@@ -1,0 +1,201 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Pandas-flavoured table wrapper — the Spark-native re-expression of the
+  * reference's `Table` / `Column` / `Filter` / `LocIndexer` surface
+  * (seaserpent/base.py:61, :1704, :2261, :2317).
+  *
+  * Where the reference compiles pandas-style expressions to SeaTable SQL
+  * strings (`create_query`, base.py:2518) and ships them over HTTP, we build
+  * Catalyst `Column` trees directly: the "query compilation" step the
+  * reference hand-rolls is Catalyst's job here, so filters reach the parquet
+  * scan (PushedFilters), projections prune columns (ReadSchema), and the
+  * whole pipeline stays in whole-stage codegen.
+  *
+  * All transforms are lazy plan rewrites over the wrapped [[DataFrame]]; the
+  * wrapper never collects. Designed so every method survives a 1000-executor
+  * cluster: predicates push down, joins declare broadcast hints for dim
+  * tables, aggregations use partial (map-side) aggregation.
+  */
+final case class Table(df: DataFrame, name: String) {
+
+  /** Column accessor: `table("col")` ≅ reference `table['col']`
+    * (base.py:202). */
+  def apply(colName: String): Col = Col(df(colName), colName)
+
+  // ---------------------------------------------------------------- reads
+
+  /** `table.loc[pred]` (LocIndexer.__getitem__, base.py:2326). */
+  def loc(pred: Column): Table = copy(df = df.filter(pred))
+
+  /** `table.loc[pred, cols]` — filter + projection in one step; projection
+    * prunes the scan schema. */
+  def loc(pred: Column, cols: Seq[String]): Table =
+    copy(df = df.filter(pred).select(cols.map(df(_)): _*))
+
+  /** Column projection, `table[["a", "b"]]`. */
+  def select(cols: String*): Table = copy(df = df.select(cols.map(df(_)): _*))
+
+  /** `table.head(n)` (base.py:1472). SeaTable has an implicit row order; a
+    * distributed table does not, so callers pass the order. Spark plans this
+    * as TakeOrderedAndProject — no global sort materialization. */
+  def head(n: Int, order: Column*): DataFrame = df.orderBy(order: _*).limit(n)
+
+  /** `table.iloc[start:stop]` (iLocIndexer, base.py:2466) — LIMIT with
+    * offset. */
+  def iloc(start: Int, stop: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).offset(start).limit(stop - start)
+
+  /** `Column.unique` (base.py:2158) — SELECT DISTINCT; partial-aggregate
+    * dedup, no full shuffle of payload columns. */
+  def unique(colName: String): DataFrame = df.select(colName).distinct()
+
+  /** `Column.value_counts` (base.py:2205): counts per value, descending —
+    * pandas tie order is unspecified, we tie-break by value for
+    * determinism. */
+  def valueCounts(colName: String): DataFrame =
+    df.groupBy(colName).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(colName))
+
+  /** `Column.astype` (base.py:1861). */
+  def astype(colName: String, to: DataType): Table =
+    copy(df = df.withColumn(colName, df(colName).cast(to)))
+
+  // --------------------------------------------------------------- writes
+  // The reference's write path batch-uploads row patches over HTTP
+  // (batch_upload, base.py:2588). The Spark-native analog is a plan rewrite
+  // producing a new immutable table (persist via .write).
+
+  /** `table['col'] = value` (Table.__setitem__, base.py:232). */
+  def set(colName: String, value: Column): Table =
+    copy(df = df.withColumn(colName, value))
+
+  /** `table.loc[mask, col] = value` (LocIndexer.__setitem__, base.py:2381):
+    * masked assignment → CASE WHEN, codegen'd, no per-row upload. */
+  def setWhere(mask: Column, colName: String, value: Column): Table =
+    copy(df = df.withColumn(colName, when(mask, value).otherwise(df(colName))))
+
+  /** `Column.update(values)` (base.py:2171) writes only *changed* cells.
+    * Returns the change-set (id, new value) — the rows the reference would
+    * upload. Null-safe inequality mirrors its `is_equal_array`. */
+  def updateChanged(idCol: String, colName: String, newValue: Column): DataFrame =
+    df.withColumn("__new", newValue)
+      .filter(!(col("__new") <=> df(colName)))
+      .select(col(idCol), col("__new").as(s"${colName}_new"))
+
+  /** `table.append(other)` (base.py:822): rows of `other` appended; columns
+    * not present in this table are dropped (reference keeps the
+    * intersection). */
+  def append(other: Table): Table = {
+    val common = df.columns.filter(other.df.columns.contains(_))
+    copy(df = df.select(common.map(df(_)): _*)
+      .unionByName(other.df.select(common.map(other.df(_)): _*)))
+  }
+
+  /** `table.delete_rows(pred)` (base.py:865) — keep the complement. */
+  def deleteRows(pred: Column): Table = copy(df = df.filter(!pred))
+
+  // ---------------------------------------------------------------- links
+  // Reference links (Table.link, base.py:1483) store row-id lists in a link
+  // column; linked-formula columns (add_linked_column, base.py:748) then
+  // aggregate over the linked rows. Spark-native: the link IS a join key and
+  // the formula IS a grouped aggregation — one shuffle, partial aggs,
+  // broadcast when the dim side is small.
+
+  /** `Table.link`: equi-join this table to `other`. `broadcastOther` marks
+    * the dim side for a broadcast-hash join (no shuffle of the fact side). */
+  def link(other: Table, on: String, onOther: String,
+           how: String = "inner", broadcastOther: Boolean = false): Table = {
+    val right = if (broadcastOther) broadcast(other.df) else other.df
+    copy(df = df.join(right, df(on) === right(onOther), how))
+  }
+
+  /** `add_linked_column` (base.py:748): aggregate `valueCol` of `other`
+    * over the link, one row per key of this table. `formula` mirrors the
+    * reference's ALLOWED_FORMULAS. Aggregation runs BEFORE the join back to
+    * this table (pre-aggregate, then broadcast-or-shuffle join the compact
+    * per-key result — at 100 TB this is the difference between shuffling the
+    * fact table and shuffling one row per key). */
+  def addLinkedColumn(other: Table, on: String, onOther: String,
+                      valueCol: String, formula: String, as: String): Table = {
+    val v = other.df(valueCol)
+    // Numeric rollups sum via DECIMAL(28,6): exact, order-independent
+    // accumulation, so results are reproducible across partitionings /
+    // cluster sizes (fp sums are not) and bit-identical to any other
+    // engine summing the same values.
+    def exactSum = sum(v.cast(org.apache.spark.sql.types.DataTypes
+      .createDecimalType(28, 6))).cast("double")
+    val agg = formula match {
+      case "lookup" =>
+        // lookup returns the linked values; deterministic sorted order
+        array_join(sort_array(collect_list(v.cast("string"))), ",").as(as)
+      case "count_links"  => count(v).as(as)
+      case "rollup-avg"   => (exactSum / count(v)).as(as)
+      case "rollup-sum"   => exactSum.as(as)
+      case "rollup-conc"  =>
+        array_join(sort_array(collect_list(v.cast("string"))), ",").as(as)
+      case "findmax"      => max(v).as(as)
+      case "findmin"      => min(v).as(as)
+      case bad => throw new IllegalArgumentException(
+        s"Unrecognized formula '$bad' (reference base.py:784 ALLOWED_FORMULAS)")
+    }
+    val perKey = other.df.groupBy(other.df(onOther).as("__k")).agg(agg)
+    copy(df = df.join(perKey, df(on) === col("__k"), "left").drop("__k"))
+  }
+
+  // ------------------------------------------------------------------ sql
+
+  /** `Table.query(sql)` (base.py:1616) — raw SQL against this table. */
+  def query(spark: SparkSession, sql: String): DataFrame = {
+    df.createOrReplaceTempView(name)
+    spark.sql(sql)
+  }
+}
+
+/** Thin column handle mirroring the reference `Column` (base.py:1704).
+  * Most predicates are Spark built-ins already; the wrapper adds the
+  * reference's empty-string-as-null text semantics (README note 5,
+  * base.py:2014) and keeps names aligned with the reference API. */
+final case class Col(c: Column, colName: String) {
+  def ===(other: Any): Column = c === other
+  def =!=(other: Any): Column = c =!= other
+  def >(other: Any): Column  = c > other
+  def >=(other: Any): Column = c >= other
+  def <(other: Any): Column  = c < other
+  def <=(other: Any): Column = c <= other
+
+  /** `Column.isin` (base.py:1974). */
+  def isin(values: Any*): Column = c.isin(values: _*)
+
+  /** `Column.contains` → LIKE '%pat%' (base.py:1938). */
+  def contains(pat: String): Column = c.contains(pat)
+
+  /** `Column.startswith` → LIKE 'pat%' (base.py:1952); prefix predicates
+    * push down to parquet as string-range filters. */
+  def startswith(pat: String): Column = c.startsWith(pat)
+
+  /** `Column.endswith` → LIKE '%pat' (base.py:1963). */
+  def endswith(pat: String): Column = c.endsWith(pat)
+
+  /** `Column.isnull(empty_str=True)` (base.py:2014): for text, '' counts as
+    * null — SeaTable UI clears cells to ''. */
+  def isnull(emptyStr: Boolean = true): Column =
+    if (emptyStr) c.isNull || c === "" else c.isNull
+
+  /** `Column.notnull(empty_str=True)` (base.py:2033). */
+  def notnull(emptyStr: Boolean = true): Column =
+    if (emptyStr) c.isNotNull && c =!= "" else c.isNotNull
+
+  /** `Column.map(dict)` (base.py:2052) with pandas semantics: unmapped
+    * values → null (na_action=None ⇒ CASE with no ELSE). Compiled to a
+    * when-chain — codegen'd, no UDF. */
+  def mapValues(mapping: Seq[(Any, Any)]): Column = {
+    val first = when(c === mapping.head._1, lit(mapping.head._2))
+    mapping.tail.foldLeft(first) { case (acc, (k, v)) =>
+      acc.when(c === k, lit(v))
+    }
+  }
+}

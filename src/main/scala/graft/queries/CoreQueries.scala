@@ -1,0 +1,414 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.{Table, ViewCompiler, ViewDef, ViewFilter}
+import graft.operators.ChangeLog
+import graft.tables.Tables
+
+/** §2.1 of SURVEY.md — the reference's core query surface re-expressed as
+  * Catalyst plans, each paired with a DuckDB oracle (SparkEntry.oracleSql).
+  *
+  * Correctness protocol (SURVEY.md §5): identical aliases both sides,
+  * doubles produced by arithmetic rounded in both engines, timestamps
+  * emitted as formatted strings, deterministic total order everywhere.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): Table =
+    Table(Tables.load(s, dir, n), n)
+
+  /** Exact-sum discipline (SURVEY.md §5): every fp aggregate is summed as
+    * DECIMAL(28,6) of the row-level double expression. Row-level IEEE ops
+    * are deterministic and identical across engines; the decimal sum is
+    * order-independent; the final cast back to double is then bit-identical
+    * in Spark and DuckDB no matter how partitions combined. This kills the
+    * whole class of "fp sum order flips a rounded digit" diffs — and at
+    * 100 TB it also makes results reproducible run-to-run. */
+  private val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+  private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(Dec)).cast("double")
+  private def davg(c: org.apache.spark.sql.Column) = dsum(c) / count(c)
+
+  /** Shared raw-SQL text for q_query_sql — the exact same string runs in
+    * Spark SQL and DuckDB (reference Table.query, base.py:1616). */
+  val revenueByNationSql: String =
+    "SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN orders ON o_custkey = c_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "GROUP BY n_name ORDER BY n_name"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_cmp" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.loc(li("l_quantity") >= 30 && li("l_discount") < 0.05,
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))
+        .df.orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_filter_isin" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      c.loc(c("c_mktsegment").isin("BUILDING", "MACHINERY"),
+          Seq("c_custkey", "c_name", "c_mktsegment"))
+        .df.orderBy("c_custkey")
+    }),
+
+    "q_filter_contains" -> ((s, d) => {
+      val p = t(s, d, "part")
+      p.loc(p("p_name").contains("widget"), Seq("p_partkey", "p_name"))
+        .df.orderBy("p_partkey")
+    }),
+
+    "q_filter_startswith" -> ((s, d) => {
+      val p = t(s, d, "part")
+      p.loc(p("p_type").startswith("PROMO"), Seq("p_partkey", "p_type"))
+        .df.orderBy("p_partkey")
+    }),
+
+    "q_filter_endswith" -> ((s, d) => {
+      val p = t(s, d, "part")
+      p.loc(p("p_name").endswith("bolt"), Seq("p_partkey", "p_name"))
+        .df.orderBy("p_partkey")
+    }),
+
+    "q_filter_null" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.loc(doc("text").notnull() && doc("lang") === "en",
+          Seq("doc_id", "n_chars"))
+        .df.orderBy("doc_id")
+    }),
+
+    "q_filter_combo" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.loc((o("o_orderstatus") === "F" && o("o_totalprice") > 150000) ||
+            !o("o_orderpriority").startswith("1"),
+          Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .df.orderBy("o_orderkey")
+    }),
+
+    "q_select_cols" -> ((s, d) =>
+      t(s, d, "customer").select("c_custkey", "c_acctbal").df.orderBy("c_custkey")),
+
+    "q_iloc_slice" -> ((s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .iloc(50, 150, col("o_orderkey"))),
+
+    "q_head" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+        .head(5, col("l_orderkey"), col("l_linenumber"))),
+
+    "q_row_lookup" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.loc(o("o_orderkey").isin(1L, 2L, 3L, 5L, 8L, 13L),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .df.orderBy("o_orderkey")
+    }),
+
+    "q_unique" -> ((s, d) =>
+      t(s, d, "lineitem").unique("l_returnflag").orderBy("l_returnflag")),
+
+    "q_value_counts" -> ((s, d) => t(s, d, "events").valueCounts("event_type")),
+
+    "q_astype" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.df.select(
+          li.df("l_orderkey").cast("double").as("orderkey_dbl"),
+          li.df("l_linenumber").cast("long").as("linenumber_big"),
+          floor(li.df("l_quantity")).as("qty_int"))
+        .orderBy("orderkey_dbl", "linenumber_big")
+    }),
+
+    "q_map_values" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.df.select(li.df("l_orderkey"), li.df("l_linenumber"),
+          li("l_returnflag").mapValues(Seq("A" -> "accepted", "N" -> "new"))
+            .as("flag_mapped"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_setitem_const" -> ((s, d) =>
+      t(s, d, "customer").set("checked", lit(false))
+        .select("c_custkey", "checked").df.orderBy("c_custkey")),
+
+    "q_setitem_masked" -> ((s, d) =>
+      t(s, d, "orders")
+        .setWhere(col("o_totalprice") > 200000, "o_orderpriority", lit("0-CRITICAL"))
+        .select("o_orderkey", "o_orderpriority").df.orderBy("o_orderkey")),
+
+    "q_update_changed" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.updateChanged("o_orderkey", "o_orderstatus",
+          when(o.df("o_totalprice") < 100000, "L").otherwise(o.df("o_orderstatus")))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_append" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val a = c.loc(c("c_mktsegment") === "BUILDING")
+      val b = c.loc(c("c_mktsegment") === "MACHINERY").set("extra", lit(1))
+      a.append(b).select("c_custkey", "c_mktsegment").df.orderBy("c_custkey")
+    }),
+
+    "q_delete_rows" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.deleteRows(li("l_returnflag") === "A")
+        .df.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_link_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.link(t(s, d, "customer"), "o_custkey", "c_custkey", broadcastOther = true)
+        .select("o_orderkey", "c_name", "o_totalprice").df.orderBy("o_orderkey")
+    }),
+
+    "q_linked_lookup" -> ((s, d) =>
+      t(s, d, "customer")
+        .addLinkedColumn(t(s, d, "orders"), "c_custkey", "o_custkey",
+          "o_orderkey", "lookup", "order_ids")
+        .set("order_ids", coalesce(col("order_ids"), lit("")))
+        .select("c_custkey", "order_ids").df.orderBy("c_custkey")),
+
+    "q_linked_count" -> ((s, d) =>
+      t(s, d, "customer")
+        .addLinkedColumn(t(s, d, "orders"), "c_custkey", "o_custkey",
+          "o_orderkey", "count_links", "n_orders")
+        .set("n_orders", coalesce(col("n_orders"), lit(0L)))
+        .select("c_custkey", "n_orders").df.orderBy("c_custkey")),
+
+    "q_linked_rollup_avg" -> ((s, d) =>
+      t(s, d, "customer")
+        .addLinkedColumn(t(s, d, "orders"), "c_custkey", "o_custkey",
+          "o_totalprice", "rollup-avg", "avg_total")
+        .select("c_custkey", "avg_total").df.orderBy("c_custkey")),
+
+    "q_linked_rollup_sum" -> ((s, d) =>
+      t(s, d, "customer")
+        .addLinkedColumn(t(s, d, "orders"), "c_custkey", "o_custkey",
+          "o_totalprice", "rollup-sum", "sum_total")
+        .select("c_custkey", "sum_total").df.orderBy("c_custkey")),
+
+    "q_linked_rollup_conc" -> ((s, d) =>
+      t(s, d, "customer")
+        .addLinkedColumn(t(s, d, "orders"), "c_custkey", "o_custkey",
+          "o_orderstatus", "rollup-conc", "statuses")
+        .set("statuses", coalesce(col("statuses"), lit("")))
+        .select("c_custkey", "statuses").df.orderBy("c_custkey")),
+
+    "q_linked_findmax" -> ((s, d) =>
+      t(s, d, "customer")
+        .addLinkedColumn(t(s, d, "orders"), "c_custkey", "o_custkey",
+          "o_totalprice", "findmax", "max_total")
+        .select("c_custkey", "max_total").df.orderBy("c_custkey")),
+
+    "q_linked_findmin" -> ((s, d) =>
+      t(s, d, "customer")
+        .addLinkedColumn(t(s, d, "orders"), "c_custkey", "o_custkey",
+          "o_totalprice", "findmin", "min_total")
+        .select("c_custkey", "min_total").df.orderBy("c_custkey")),
+
+    "q_get_view" -> ((s, d) => {
+      val view = ViewDef("high-value",
+        filters = Seq(
+          ViewFilter("c_mktsegment", "is", Seq("BUILDING")),
+          ViewFilter("c_mktsegment", "is", Seq("MACHINERY")),
+          ViewFilter("c_acctbal", "greater", Seq(1000))),
+        sorts = Seq(("c_acctbal", false), ("c_custkey", true)),
+        hiddenCols = Seq("c_nationkey"))
+      ViewCompiler.getView(t(s, d, "customer"), view)
+    }),
+
+    "q_query_sql" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(revenueByNationSql)
+    }),
+
+    "q_time_machine" -> ((s, d) => {
+      val snap = ChangeLog.snapshotAsOf(Tables.events(s, d),
+        key = "user_id", ts = "ts", tieBreak = "event_id",
+        asOf = to_timestamp(lit("2024-01-15 00:00:00")),
+        valueCols = Seq("event_type", "value"))
+      snap.select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts_s"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
+    }),
+
+    "q_row_logs" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 5)
+      ChangeLog.rowLogs(ev, "user_id", "ts", "event_id")
+        .select(col("user_id"), col("rev"), col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+        .orderBy("user_id", "rev")
+    }),
+
+    "q1_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_topk" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < to_timestamp(lit("1997-07-01 00:00:00")))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > to_timestamp(lit("1997-07-01 00:00:00")))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("revenue"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_cmp" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem " +
+       "WHERE l_quantity >= 30 AND l_discount < 0.05 ORDER BY l_orderkey, l_linenumber"),
+    "q_filter_isin" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+       "WHERE c_mktsegment IN ('BUILDING','MACHINERY') ORDER BY c_custkey"),
+    "q_filter_contains" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%widget%' ORDER BY p_partkey",
+    "q_filter_startswith" ->
+      "SELECT p_partkey, p_type FROM part WHERE p_type LIKE 'PROMO%' ORDER BY p_partkey",
+    "q_filter_endswith" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%bolt' ORDER BY p_partkey",
+    "q_filter_null" ->
+      ("SELECT doc_id, n_chars FROM documents " +
+       "WHERE text IS NOT NULL AND text != '' AND lang = 'en' ORDER BY doc_id"),
+    "q_filter_combo" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders " +
+       "WHERE (o_orderstatus = 'F' AND o_totalprice > 150000) " +
+       "OR NOT (o_orderpriority LIKE '1%') ORDER BY o_orderkey"),
+    "q_select_cols" ->
+      "SELECT c_custkey, c_acctbal FROM customer ORDER BY c_custkey",
+    "q_iloc_slice" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+       "ORDER BY o_orderkey LIMIT 100 OFFSET 50"),
+    "q_head" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+       "ORDER BY l_orderkey, l_linenumber LIMIT 5"),
+    "q_row_lookup" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus FROM orders " +
+       "WHERE o_orderkey IN (1,2,3,5,8,13) ORDER BY o_orderkey"),
+    "q_unique" ->
+      "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag",
+    "q_value_counts" ->
+      ("SELECT event_type, COUNT(*) AS \"count\" FROM events GROUP BY event_type " +
+       "ORDER BY \"count\" DESC, event_type"),
+    "q_astype" ->
+      ("SELECT CAST(l_orderkey AS DOUBLE) AS orderkey_dbl, " +
+       "CAST(l_linenumber AS BIGINT) AS linenumber_big, " +
+       "CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int FROM lineitem " +
+       "ORDER BY orderkey_dbl, linenumber_big"),
+    "q_map_values" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+       "CASE WHEN l_returnflag = 'A' THEN 'accepted' " +
+       "WHEN l_returnflag = 'N' THEN 'new' END AS flag_mapped " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "q_setitem_const" ->
+      "SELECT c_custkey, FALSE AS checked FROM customer ORDER BY c_custkey",
+    "q_setitem_masked" ->
+      ("SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN '0-CRITICAL' " +
+       "ELSE o_orderpriority END AS o_orderpriority FROM orders ORDER BY o_orderkey"),
+    "q_update_changed" ->
+      ("SELECT o_orderkey, 'L' AS o_orderstatus_new FROM orders " +
+       "WHERE o_totalprice < 100000 AND o_orderstatus != 'L' ORDER BY o_orderkey"),
+    "q_append" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer " +
+       "WHERE c_mktsegment IN ('BUILDING','MACHINERY') ORDER BY c_custkey"),
+    "q_delete_rows" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem " +
+       "WHERE NOT (l_returnflag = 'A') GROUP BY l_returnflag, l_linestatus " +
+       "ORDER BY l_returnflag, l_linestatus"),
+    "q_link_join" ->
+      ("SELECT o_orderkey, c_name, o_totalprice FROM orders " +
+       "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    "q_linked_lookup" ->
+      ("SELECT c_custkey, array_to_string(list_sort(list(CAST(o_orderkey AS VARCHAR))), ',') AS order_ids " +
+       "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+       "GROUP BY c_custkey ORDER BY c_custkey"),
+    "q_linked_count" ->
+      ("SELECT c_custkey, COUNT(o_orderkey) AS n_orders " +
+       "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+       "GROUP BY c_custkey ORDER BY c_custkey"),
+    "q_linked_rollup_avg" ->
+      ("SELECT c_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+       "/ COUNT(o_totalprice) AS avg_total " +
+       "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+       "GROUP BY c_custkey ORDER BY c_custkey"),
+    "q_linked_rollup_sum" ->
+      ("SELECT c_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_total " +
+       "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+       "GROUP BY c_custkey ORDER BY c_custkey"),
+    "q_linked_rollup_conc" ->
+      ("SELECT c_custkey, array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses " +
+       "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+       "GROUP BY c_custkey ORDER BY c_custkey"),
+    "q_linked_findmax" ->
+      ("SELECT c_custkey, MAX(o_totalprice) AS max_total " +
+       "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+       "GROUP BY c_custkey ORDER BY c_custkey"),
+    "q_linked_findmin" ->
+      ("SELECT c_custkey, MIN(o_totalprice) AS min_total " +
+       "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+       "GROUP BY c_custkey ORDER BY c_custkey"),
+    "q_get_view" ->
+      ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +
+       "WHERE c_mktsegment IN ('BUILDING','MACHINERY') AND c_acctbal > 1000 " +
+       "ORDER BY c_acctbal DESC, c_custkey"),
+    "q_query_sql" -> revenueByNationSql,
+    "q_time_machine" ->
+      ("SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS last_ts_s, " +
+       "event_id AS last_event_id, event_type AS last_event_type, value AS last_value " +
+       "FROM events WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00' " +
+       "QUALIFY row_number() OVER (PARTITION BY user_id " +
+       "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1 ORDER BY user_id"),
+    "q_row_logs" ->
+      ("SELECT user_id, row_number() OVER (PARTITION BY user_id " +
+       "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rev, event_id, event_type, " +
+       "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s " +
+       "FROM events WHERE user_id < 5 ORDER BY user_id, rev"),
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price, " +
+       "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price, " +
+       "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price, " +
+       "CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc, " +
+       "COUNT(*) AS count_order " +
+       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00' " +
+       "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q3_topk" ->
+      ("SELECT o_orderkey, " +
+       "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "WHERE c_mktsegment = 'BUILDING' " +
+       "AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00' " +
+       "AND l_shipdate > TIMESTAMP '1997-07-01 00:00:00' " +
+       "GROUP BY o_orderkey " +
+       "ORDER BY revenue DESC, o_orderkey LIMIT 10")
+  )
+}
