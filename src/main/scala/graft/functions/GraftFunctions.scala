@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration of graft's native expressions.
+  *
+  * Two routes, both public Spark API:
+  *   - `SparkSession.builder().withExtensions(GraftExtensions.inject)` (or
+  *     `spark.sql.extensions=graft.functions.GraftExtensions`) — the
+  *     cluster-deployment route;
+  *   - `GraftFunctions.ensureRegistered(spark)` — imperative fallback for
+  *     sessions graft didn't build (driver smoke, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = GraftExtensions.inject(e)
+}
+
+object GraftExtensions {
+  private def info(clazz: Class[_], name: String) =
+    new ExpressionInfo(clazz.getName, name)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("rolling_hash"), info(classOf[RollingHash], "rolling_hash"),
+        (es: Seq[Expression]) => RollingHash(es.head)),
+      (FunctionIdentifier("simhash64"), info(classOf[SimHash64], "simhash64"),
+        (es: Seq[Expression]) => SimHash64(es.head))
+    )
+
+  def inject(e: SparkSessionExtensions): Unit =
+    all.foreach { case (id, fi, builder) => e.injectFunction((id, fi, builder)) }
+}
+
+object GraftFunctions {
+  /** Register on an existing session (idempotent). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    GraftExtensions.all.foreach { case (id, fi, builder) =>
+      reg.registerFunction(id, fi, builder)
+    }
+  }
+
+  // Column-API handles (functions must be registered on the active session).
+  def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
+  def simhash64(c: Column): Column = call_function("simhash64", c)
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for content hashing.
+  *
+  * These are native `Expression`s with `doGenCode` (not UDFs): they stay
+  * inside whole-stage codegen, so the document-fingerprint / simhash scans
+  * run at columnar-read speed with zero serialization overhead — the thing
+  * that matters when the `documents` table is 100 TB.
+  *
+  * The reference has no analog (it delegates compute to the SeaTable
+  * server); these back the LLM-pipeline dedup/fingerprint operators of
+  * SURVEY.md §2.2.
+  */
+
+/** Polynomial rolling hash of a string: fold over UTF-16 code units,
+  * `acc = (acc * mult + c) mod modulus`. Deterministic, engine-agnostic
+  * (DuckDB reproduces it with a list_reduce fold — see
+  * PipelineQueries.oracles("q_text_fingerprint")). */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash expects STRING, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    RollingHashImpl.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHashImpl.MODULE$$.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHashImpl {
+  final val Mod: Long = 1000000007L
+  final val Mult: Long = 31L
+  /** Callable from generated Java (via MODULE$). */
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      acc = (acc * Mult + str.charAt(i).toLong) % Mod
+      i += 1
+    }
+    acc
+  }
+}
+
+/** 64-bit SimHash over an array of token strings (Charikar 2002,
+  * "Similarity estimation techniques from rounding algorithms"): each token
+  * is FNV-1a-hashed to 64 bits; per bit position a counter is incremented
+  * for a 1-bit and decremented for a 0-bit; the sign vector of the counters
+  * is the fingerprint. Near-duplicate docs land within small Hamming
+  * distance, so dedup becomes a banded equi-join + `bit_count(a ^ b)`
+  * filter — no O(n²) pass (see Dedup.simhashPairs). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects ARRAY<STRING>, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SimHash64Impl.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64Impl.MODULE$$.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64Impl {
+  /** FNV-1a 64-bit over UTF-8 bytes — stable, dependency-free. */
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+  def compute(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < tokens.numElements()) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a64(tokens.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analogs of the streaming event operators (SURVEY.md §2.2/2.3):
+  * tumbling-window aggregation and gap-based sessionization. The streaming
+  * versions live in graft.streaming.EventStreams; these batch shapes are
+  * what the DuckDB oracle can check.
+  */
+object Events {
+
+  private val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+
+  /** Tumbling-window aggregate via Spark's `window()` — counts and an
+    * exact-decimal value sum per (window, event_type). Partial aggregation
+    * combines map-side before the single shuffle on (window, type). */
+  def tumblingAgg(events: DataFrame, ts: String, typeCol: String,
+                  valueCol: String, width: String): DataFrame =
+    events.groupBy(window(col(ts), width), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(Dec)).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col(typeCol), col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapSeconds`. lag + running
+    * sum over one window partition per user — a single shuffle on user_id,
+    * and AQE handles skewed users. */
+  def sessionize(events: DataFrame, userCol: String, ts: String,
+                 tieBreak: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(ts), col(tieBreak))
+    val gapped = events
+      .withColumn("__prev", lag(col(ts), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_micros(col(ts)) - unix_micros(col("__prev")) > gapSeconds * 1000000L,
+        1L).otherwise(0L))
+      .withColumn("session", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped.groupBy(col(userCol), col("session"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col(ts)), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(max(col(ts)), "yyyy-MM-dd HH:mm:ss").as("sess_end"))
+      .orderBy(col(userCol), col("session"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.2): media as opaque `binary`
+  * columns with a typed metadata struct, plus a decode/feature-extract
+  * stage shaped for real media pipelines.
+  *
+  * The container has no image/audio codecs, so `stubDecode` computes a
+  * DETERMINISTIC FAKE feature vector (clearly marked); everything around
+  * it — binary column handling, the typed Dataset schema, the
+  * mapPartitions batch shape (decoder state initialized once per
+  * partition, streamed row batches, no collect) — is the real 100 TB
+  * plumbing a codec would drop into.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], n_bytes: Long,
+                      media_type: String)
+  /** Decoded features (stubbed payload analysis). */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, media_type: String,
+                           feature: Array[Float])
+
+  /** Treat document text as an opaque binary payload + metadata struct —
+    * the scan-side shape an image/audio table would have. Pure projection,
+    * pipelined with the parquet read. */
+  def asBinary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
+        lit("text/plain").as("media_type")).as("meta"))
+
+  /** Per-partition "decode": the stand-in for an image/audio decoder.
+    * STUB — a real deployment replaces `decodeOne` with a codec call; the
+    * mapPartitions shape (per-partition init, iterator streaming) is what
+    * carries over unchanged. */
+  def stubDecode(media: Dataset[MediaRow], featDim: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would happen here (e.g. codec context)
+      it.map { m =>
+        val f = new Array[Float](featDim)
+        var i = 0
+        while (i < m.payload.length) { // deterministic fake: byte histogram folds
+          f(i % featDim) += (m.payload(i) & 0xff) / 255.0f
+          i += 1
+        }
+        MediaFeatures(m.doc_id, m.n_bytes, m.media_type, f)
+      }
+    }
+  }
+
+  /** Oracle-checkable byte stats over the binary column: sizes, an 8-byte
+    * header sample (hex), and a stub scalar feature. */
+  def byteStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bin = encode(col(textCol), "UTF-8")
+    docs.select(col(idCol),
+      octet_length(bin).cast("long").as("n_bytes"),
+      lower(hex(encode(substring(col(textCol), 1, 8), "UTF-8"))).as("head_hex"),
+      (octet_length(bin) % 256).cast("long").as("stub_feature"),
+      lit("text/plain").as("media_type"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.2).
+  *
+  * Scale posture: the query side is always tiny → broadcast; the corpus is
+  * scanned once. Brute-force top-k is the exactness baseline; `annLsh`
+  * (random-hyperplane signatures → band-bucketed candidates) is the path
+  * that survives a 10^9-vector corpus, because candidates come from an
+  * equi-join on band hashes instead of a full cross product.
+  */
+object Similarity {
+
+  /** Deterministic dot product: left-fold in array order with a double
+    * accumulator. Same op sequence as DuckDB's list_dot_product, so results
+    * are bit-identical to the oracle (verified empirically) — threshold and
+    * top-k comparisons then agree exactly across engines. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity over array<double> columns:
+    * dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against the
+    * corpus, rank per query with a window, keep k. The window shuffles by
+    * query id — k·|queries| rows survive. Self-matches excluded. */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+    val q = e.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("query_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic ±1 random-hyperplane sign matrix (seeded). */
+  private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Sign-random-projection signature (Charikar SRP-LSH): bit p of the
+    * signature is sign(<v, s_p>) for a fixed ±1 hyperplane s_p. Angular
+    * locality: P[bit agrees] = 1 - θ/π. Pure expression tree per row. */
+  def srpSignature(v: Column, numPlanes: Int, dim: Int): Column = {
+    val ps = planes(numPlanes, dim)
+    ps.zipWithIndex.map { case (s, p) =>
+      val proj = dot(v, array(s.map(lit): _*))
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: 16-bit SRP signatures split into 4
+    * bands of 4 bits; corpus vectors sharing any band with a query vector
+    * are candidates; exact cosine ranks candidates, window keeps k.
+    * The candidate step is an equi-join on (band, 4-bit value) — shuffle
+    * carries (id, band hash) only, never the cross product. */
+  def annLsh(emb: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], k: Int,
+             numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
+    val bits = numPlanes / bands
+    val mask = (1L << bits) - 1
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"),
+      srpSignature(col(vecCol).cast("array<double>"), numPlanes, dim).as("sig"))
+    val banded = e.select(col("vid"), col("v"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv")))
+    val q = banded.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("band"), col("bv"))
+    val cand = banded.join(broadcast(q),
+        Seq("band", "bv"))
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("qv"), col("v"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+}

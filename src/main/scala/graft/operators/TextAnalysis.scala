@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Text analysis operators for training-data curation (SURVEY.md §2.2):
+  * language ID, quality scoring, token counting, fingerprinting. All are
+  * single-pass projections built from codegen'd builtins (plus graft's
+  * native rolling-hash Expression) — they pipeline with the parquet scan
+  * and never shuffle.
+  */
+object TextAnalysis {
+
+  /** Marker-token vocabularies (n-gram-heuristic language ID). Tiny on
+    * purpose: the point is the scoring shape (per-language occurrence
+    * counts + deterministic argmax), not lexicon coverage. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "este", "por"))
+
+  /** Per-language marker scores + deterministic argmax (ties resolve in
+    * Markers order). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val scored = docs.select(
+      (col(idCol) +: Markers.map { case (l, ms) =>
+        TextOps.markerCount(toks, ms).as(s"score_$l")
+      }): _*)
+    val detected = Markers.map(_._1).foldRight(lit(Markers.last._1): Column) {
+      case (l, rest) =>
+        val ge = Markers.map(_._1).filter(_ != l)
+          .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+        when(ge, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("detected", detected)
+  }
+
+  /** Quality signals: length, token count, mean word length, punctuation
+    * ratio, stopword ratio, distinct-token (repetition) ratio. Ratios are
+    * int/int double divisions — deterministic across engines. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = TextOps.tokens(t)
+    val nTok = size(toks)
+    val nChar = length(t)
+    val nPunct = nChar - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))
+    val nStop = TextOps.markerCount(TextOps.tokens(lower(t)), Markers.head._2)
+    val nDistinct = size(array_distinct(toks))
+    docs.select(col(idCol), nChar.as("n_chars_m"), nTok.as("n_tokens"),
+      (length(regexp_replace(t, " ", "")) / nTok).as("mean_word_len"),
+      (nPunct / nChar).as("punct_ratio"),
+      (nStop / nTok).as("stopword_ratio"),
+      (nDistinct / nTok).as("distinct_ratio"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish segmentation count
+    * (letter runs | digit runs | single non-alnum), via regexp_count so the
+    * scan never materializes token arrays. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit("\\S+")).as("ws_tokens"),
+      regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+        .as("bpe_tokens"),
+      length(col(textCol)).as("n_chars_m"))
+
+  /** Document fingerprints: normalized text → md5 (exact dedup key) +
+    * polynomial rolling hash (graft native Expression, codegen'd). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val norm = TextOps.normalize(col(textCol))
+    docs.select(col(idCol), md5(norm).as("fp_md5"),
+      GraftFunctions.rolling_hash(norm).as("fp_roll"))
+  }
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.tables.Tables
+
+/** SURVEY.md §2.2 — LLM-data-pipeline operators over the `documents`,
+  * `embeddings` and `events` tables, each with a DuckDB oracle unless the
+  * operator is inherently approximate (minhash/simhash/LSH → rows-only).
+  *
+  * Oracle lockstep rules (on top of SURVEY.md §5):
+  *   - shingling: Spark `transform(sequence(1, n-2), i -> slice(toks,i,3))`
+  *     ≡ DuckDB `[t[i:i+2] for i in range(1, len(t)-1)]` — both empty for
+  *     docs shorter than the shingle width;
+  *   - dot products: deterministic left-fold ≡ DuckDB list_dot_product
+  *     (bit-identical, verified);
+  *   - null text: coalesce to '' on BOTH sides wherever an expression would
+  *     otherwise differ on nulls (Spark size(null) = -1 vs DuckDB NULL).
+  */
+object PipelineQueries {
+
+  /** Cosine SQL fragment for the DuckDB oracles. */
+  private def cosSql(a: String, b: String): String = {
+    def dp(x: String, y: String) =
+      s"list_dot_product(CAST($x.embedding AS DOUBLE[]), CAST($y.embedding AS DOUBLE[]))"
+    s"${dp(a, b)} / (sqrt(${dp(a, a)}) * sqrt(${dp(b, b)}))"
+  }
+
+  /** Marker-list SQL literal per language. */
+  private def markersSql(l: String): String =
+    TextAnalysis.Markers.toMap.apply(l).map(m => s"'$m'").mkString("[", ",", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy("h")),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", tau = 0.5)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 4)),
+
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
+        "doc_id", "text", w = 3, tau = 0.5)),
+
+    "q_dedup_embed" -> ((s, d) =>
+      Dedup.embedPairs(Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4)),
+
+    "q_ann_topk" -> ((s, d) =>
+      Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    "q_text_langid" -> ((s, d) =>
+      TextAnalysis.langId(
+        Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
+        "doc_id", "text").orderBy("doc_id")),
+
+    "q_text_quality" -> ((s, d) =>
+      TextAnalysis.quality(
+        Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
+        "doc_id", "text").orderBy("doc_id")),
+
+    "q_text_tokens" -> ((s, d) =>
+      TextAnalysis.tokenCounts(
+        Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
+        "doc_id", "text").orderBy("doc_id")),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(
+        Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
+        "doc_id", "text").orderBy("doc_id")),
+
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.byteStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_events_window" -> ((s, d) =>
+      Events.tumblingAgg(Tables.events(s, d), "ts", "event_type", "value", "1 hour")
+        .orderBy("win_start", "event_type")),
+
+    "q_events_sessionize" -> ((s, d) =>
+      Events.sessionize(Tables.events(s, d), "user_id", "ts", "event_id",
+        gapSeconds = 21600L))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      ("SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
+       "FROM documents GROUP BY md5(text) ORDER BY h"),
+
+    "q_dedup_ngram" ->
+      ("WITH toks AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS t FROM documents), " +
+       "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
+       "for i in range(1, len(t)-1)]) AS s FROM toks), " +
+       "inv AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+       "sizes AS (SELECT doc_id, len(s) AS n FROM sh), " +
+       "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared " +
+       "FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+       "SELECT doc_a, doc_b, shared / (na.n + nb.n - shared) AS jaccard " +
+       "FROM pairs JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b " +
+       "WHERE shared / (na.n + nb.n - shared) >= 0.5 ORDER BY doc_a, doc_b"),
+
+    "q_dedup_embed" ->
+      ("SELECT id_a, id_b, cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+       cosSql("a", "b") + " AS cos FROM embeddings a JOIN embeddings b " +
+       "ON a.vec_id < b.vec_id) WHERE cos >= 0.4 ORDER BY id_a, id_b"),
+
+    "q_ann_topk" ->
+      ("SELECT query_id, rank, neighbor_id, cos FROM (" +
+       "SELECT query_id, neighbor_id, cos, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM (" +
+       "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " + cosSql("q", "c") +
+       " AS cos FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id " +
+       "WHERE q.vec_id IN (0,1,2,3,4))) WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    "q_text_langid" ->
+      ("WITH t AS (SELECT doc_id, string_split(lower(coalesce(text,'')), ' ') AS toks " +
+       "FROM documents), s AS (SELECT doc_id, " +
+       TextAnalysis.Markers.map { case (l, _) =>
+         s"len(list_filter(toks, x -> list_contains(${markersSql(l)}, x))) AS score_$l"
+       }.mkString(", ") + " FROM t) " +
+       "SELECT doc_id, score_en, score_de, score_fr, score_es, " +
+       "CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en' " +
+       "WHEN score_de >= score_fr AND score_de >= score_es THEN 'de' " +
+       "WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS detected " +
+       "FROM s ORDER BY doc_id"),
+
+    "q_text_quality" ->
+      ("WITH x AS (SELECT doc_id, coalesce(text,'') AS t FROM documents) " +
+       "SELECT doc_id, length(t) AS n_chars_m, len(string_split(t, ' ')) AS n_tokens, " +
+       "length(regexp_replace(t, ' ', '', 'g')) / len(string_split(t, ' ')) AS mean_word_len, " +
+       "(length(t) - length(regexp_replace(t, '[^a-zA-Z0-9 ]', '', 'g'))) / length(t) AS punct_ratio, " +
+       "len(list_filter(string_split(lower(t), ' '), x -> list_contains(" + markersSql("en") +
+       ", x))) / len(string_split(t, ' ')) AS stopword_ratio, " +
+       "len(list_distinct(string_split(t, ' '))) / len(string_split(t, ' ')) AS distinct_ratio " +
+       "FROM x ORDER BY doc_id"),
+
+    "q_text_tokens" ->
+      ("SELECT doc_id, len(regexp_extract_all(coalesce(text,''), '\\S+')) AS ws_tokens, " +
+       "len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens, " +
+       "length(coalesce(text,'')) AS n_chars_m FROM documents ORDER BY doc_id"),
+
+    "q_text_fingerprint" ->
+      ("WITH x AS (SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+       "lower(coalesce(text,'')), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm " +
+       "FROM documents) " +
+       "SELECT doc_id, md5(norm) AS fp_md5, " +
+       "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+       "[CAST(ascii(c) AS BIGINT) for c in string_split(norm, '') if c != '']), " +
+       "(acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll " +
+       "FROM x ORDER BY doc_id"),
+
+    "q_multimodal_meta" ->
+      ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
+       "lower(hex(encode(substr(text, 1, 8)))) AS head_hex, " +
+       "octet_length(encode(text)) % 256 AS stub_feature, " +
+       "'text/plain' AS media_type FROM documents ORDER BY doc_id"),
+
+    "q_events_window" ->
+      ("SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start, " +
+       "event_type, COUNT(*) AS n_events, " +
+       "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value " +
+       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q_events_sessionize" ->
+      ("WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events), " +
+       "g AS (SELECT user_id, event_id, t, CASE WHEN lag(t) OVER w IS NULL OR " +
+       "epoch_us(t) - epoch_us(lag(t) OVER w) > 21600000000 THEN 1 ELSE 0 END AS nw " +
+       "FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+       "se AS (SELECT user_id, t, SUM(nw) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+       "ROWS UNBOUNDED PRECEDING) AS session FROM g) " +
+       "SELECT user_id, session, COUNT(*) AS n_events, " +
+       "strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS sess_start, " +
+       "strftime(MAX(t), '%Y-%m-%d %H:%M:%S') AS sess_end " +
+       "FROM se GROUP BY user_id, session ORDER BY user_id, session")
+  )
+}
