@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.3) — the streaming analogs
+  * of Events.tumblingAgg / Events.sessionize.
+  *
+  * Scale posture: both are keyed stateful ops; state is partitioned by
+  * group key across executors, watermarks bound state size (late events
+  * beyond the watermark are dropped, closed sessions/windows are evicted).
+  * With RocksDB state store (prod config) state spills off-heap, so a
+  * 10^8-user stream holds.
+  */
+object EventStreams {
+
+  /** One event row (mirror of the events table schema). */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** An emitted (closed or updating) session. */
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Internal per-key session accumulator (public: the state-store encoder's
+    * generated code must resolve its accessors). */
+  case class SessionState(sStart: Long, sEnd: Long, nEv: Long, sumV: Double)
+
+  /** Watermarked tumbling-window counts — the streaming shape of
+    * q_events_window. Append-mode compatible: a window finalizes when the
+    * watermark passes its end. */
+  def windowedCounts(events: DataFrame, watermarkDelay: String = "10 minutes",
+                     width: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization with explicit state:
+    * `flatMapGroupsWithState` keyed by user, EventTimeTimeout. A session
+    * closes (and is emitted) when the watermark passes its end + gap; state
+    * per key is one fixed-size SessionState — bounded memory regardless of
+    * stream length. Streaming shape of q_events_sessionize. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new Timestamp(s.sStart), new Timestamp(s.sEnd), s.nEv, s.sumV))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.sEnd <= gapMs =>
+              cur = Some(SessionState(s.sStart, math.max(s.sEnd, t), s.nEv + 1, s.sumV + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, new Timestamp(s.sStart), new Timestamp(s.sEnd), s.nEv, s.sumV)
+              cur = Some(SessionState(t, t, 1L, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.sEnd + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

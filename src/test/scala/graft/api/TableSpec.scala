@@ -1,0 +1,73 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl = Table(Seq(
+    (1L, "alice", "A", 10.0),
+    (2L, "bob", "B", 20.0),
+    (3L, "carol", "", 30.0),
+    (4L, null.asInstanceOf[String], "A", 40.0)
+  ).toDF("id", "name", "tag", "score"), "t")
+
+  test("loc filters and projects") {
+    val t = tbl
+    val out = t.loc(t("score") >= 20 && t("tag") === "A", Seq("id")).df.collect()
+    assert(out.map(_.getLong(0)).toSet == Set(4L))
+  }
+
+  test("empty-string-as-null text semantics (reference note 5)") {
+    val t = tbl
+    assert(t.loc(t("name").isnull()).df.collect().map(_.getLong(0)).toSet == Set(4L))
+    assert(t.loc(t("tag").isnull()).df.count() == 1) // "" counts as null
+    assert(t.loc(t("tag").notnull()).df.count() == 3)
+  }
+
+  test("mapValues: unmapped -> null (pandas map semantics)") {
+    val t = tbl
+    val out = t.df.select(t("tag").mapValues(Seq("A" -> "x")).as("m"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.count(_.contains("x")) == 2 && out.count(_.isEmpty) == 2)
+  }
+
+  test("setWhere rewrites only masked rows") {
+    val t = tbl
+    val out = t.setWhere(col("score") > 25, "tag", lit("HI"))
+      .df.select("tag").as[String].collect()
+    assert(out.count(_ == "HI") == 2)
+  }
+
+  test("updateChanged emits only changed cells, null-safe") {
+    val t = tbl
+    val changes = t.updateChanged("id", "tag", lit("A")).collect()
+    // rows 2 (B->A) and 3 (""->A) change; 1 and 4 already A
+    assert(changes.map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("append keeps target columns only") {
+    val t = tbl
+    val other = Table(Seq((9L, "zed", "Z", 1.0, true))
+      .toDF("id", "name", "tag", "score", "extra"), "o")
+    val appended = t.append(other)
+    assert(appended.df.columns.toSeq == Seq("id", "name", "tag", "score"))
+    assert(appended.df.count() == 5)
+  }
+
+  test("addLinkedColumn rollups pre-aggregate before join") {
+    val t = tbl
+    val orders = Table(Seq((1L, 5.0), (1L, 7.0), (2L, 1.0))
+      .toDF("cust", "amt"), "orders")
+    val sum = t.addLinkedColumn(orders, "id", "cust", "amt", "rollup-sum", "s")
+      .df.select("id", "s").as[(Long, Option[Double])].collect().toMap
+    assert(sum(1L).contains(12.0) && sum(2L).contains(1.0) && sum(3L).isEmpty)
+    val luk = t.addLinkedColumn(orders, "id", "cust", "amt", "lookup", "l")
+      .df.select("id", "l").as[(Long, Option[String])].collect().toMap
+    assert(luk(1L).contains("5.0,7.0"))
+    intercept[IllegalArgumentException] {
+      t.addLinkedColumn(orders, "id", "cust", "amt", "bogus", "x")
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+    "eta", "theta", "iota", "kappa")
+  private def doc(seed: Int, n: Int = 60): String = {
+    val r = new scala.util.Random(seed)
+    (1 to n).map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+  }
+
+  // doc 2 is doc 1 with one word changed; doc 3..6 are unrelated
+  private def docs = {
+    val d1 = doc(1)
+    val d2 = { val w = d1.split(" "); w(30) = "changed"; w.mkString(" ") }
+    Seq((1L, d1), (2L, d2), (3L, doc(3)), (4L, doc(4)), (5L, doc(5)),
+      (6L, d1)).toDF("doc_id", "text")
+  }
+
+  test("exact dedup collapses identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("keep_id") == 1L &&
+      out.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds the planted near-dup and the exact dup") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", tau = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair missed")
+    assert(pairs.contains((1L, 6L)), "exact-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard is exact and complete for tau > 0") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", w = 3, tau = 0.5)
+      .select("doc_a", "doc_b", "jaccard").collect()
+    val m = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 6L)) == 1.0)
+    assert(m.contains((1L, 2L)) && m((1L, 2L)) > 0.8)
+  }
+
+  test("simhash pairs rank the near-dup closest") {
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 6L)) == 0)
+    assert(out.get((1L, 2L)).exists(_ <= 10))
+  }
+
+  test("embedding pairs find high-cosine vectors") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embedPairs(e, "vec_id", "embedding", tau = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  test("annTopK matches a driver-side brute force on sf0.001") {
+    val emb = Tables.embeddings(spark, sf())
+    val out = Similarity.annTopK(emb, "vec_id", "embedding", Seq(0L), k = 5)
+      .select("rank", "neighbor_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+
+    // brute force on the driver (test-only; operators never collect)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val expect = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(vecs(0L), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(out.sortBy(_._1).map(_._2).toSeq == expect)
+  }
+
+  test("annLsh returns k ranked candidates with valid cosines") {
+    val emb = Tables.embeddings(spark, sf())
+    val out = Similarity.annLsh(emb, "vec_id", "embedding", Seq(0L, 1L), k = 5)
+      .collect()
+    assert(out.length == 10)
+    assert(out.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
+  }
+}

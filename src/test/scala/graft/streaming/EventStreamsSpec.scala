@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+
+  private def ts(min: Long): Timestamp = new Timestamp((min + 600) * 60000L) // +600: epoch-0 rows are watermark-dropped
+
+  test("windowedCounts aggregates tumbling windows under a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = windowedCounts(mem.toDF(), watermarkDelay = "5 minutes", width = "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(4), 1, "click", 2.0),
+        Event(3, ts(11), 2, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark past window [0,10)
+      mem.addData(Event(4, ts(30), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").as[(Timestamp, String, Long, Double)].collect()
+      val closed = rows.find(_._2 == "click")
+      assert(closed.exists(r => r._3 == 2L && r._4 == 3.0))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions after the gap via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapSeconds = 600, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 5 min apart (one session), then 30 min silence
+      mem.addData(
+        Event(1, ts(0), 1, "a", 1.0),
+        Event(2, ts(5), 1, "a", 2.0))
+      q.processAllAvailable()
+      // watermark jumps far ahead -> session times out and is emitted
+      mem.addData(Event(9, ts(60), 2, "b", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts(120), 2, "b", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[Session].collect()
+      val u1 = sessions.filter(_.user_id == 1L)
+      assert(u1.length == 1)
+      assert(u1.head.n_events == 2L && u1.head.sum_value == 3.0)
+      assert(u1.head.session_start == ts(0) && u1.head.session_end == ts(5))
+    } finally q.stop()
+  }
+}
