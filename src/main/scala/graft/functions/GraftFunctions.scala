@@ -27,7 +27,9 @@ object GraftExtensions {
       (FunctionIdentifier("rolling_hash"), info(classOf[RollingHash], "rolling_hash"),
         (es: Seq[Expression]) => RollingHash(es.head)),
       (FunctionIdentifier("simhash64"), info(classOf[SimHash64], "simhash64"),
-        (es: Seq[Expression]) => SimHash64(es.head))
+        (es: Seq[Expression]) => SimHash64(es.head)),
+      (FunctionIdentifier("vec_dot"), info(classOf[VecDot], "vec_dot"),
+        (es: Seq[Expression]) => VecDot(es.head, es(1)))
     )
 
   def inject(e: SparkSessionExtensions): Unit =
@@ -47,4 +49,5 @@ object GraftFunctions {
   // Column-API handles (functions must be registered on the active session).
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 }

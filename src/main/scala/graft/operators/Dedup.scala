@@ -30,40 +30,35 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature column: array<long> of length numPerm over a
-    * shingle-array column. sig[p] = min over shingles of
-    * ((a_p * h32(sh) + b_p) mod 2^31-1), h32 = low 31 bits of xxhash64.
-    * Pure expression tree — evaluated in a single pass over each row's
-    * shingle array, no shuffle. */
-  def minhashSignature(shingleArr: Column, numPerm: Int): Column = {
-    val hs = transform(shingleArr, sh => xxhash64(sh).bitwiseAND(lit(0x7fffffffL)))
-    val ps = perms(numPerm)
-    array(ps.map { case (a, b) =>
-      array_min(transform(hs, h => (h * a + b) % Prime))
-    }: _*)
-  }
-
-  /** Banded LSH hash list: bands of `rowsPerBand` signature slots, each
-    * hashed to one long — docs agreeing on any band become candidates. */
-  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(lit(b), concat_ws(",",
-        slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
-    }: _*)
-
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
-    * Pipeline: shingle → 128-perm minhash → 32×4 banded LSH →
-    * band-bucket equi-join (only ids + one 8-byte band hash shuffle) →
-    * verify candidates against the true shingle sets → jaccard ≥ tau.
-    * Approximate in recall (banding), exact in precision (verify step). */
+    * Pipeline: shingle → explode → 128 `min()` partial aggregations
+    * (the signature) → 32×4 banded LSH → band-bucket equi-join (only ids
+    * + one 8-byte band hash shuffle) → verify candidates against the true
+    * shingle sets → jaccard ≥ tau. Approximate in recall (banding), exact
+    * in precision (verify step).
+    *
+    * The signature is computed as a grouped aggregation over exploded
+    * (doc_id, shingle-hash) rows rather than a per-row array expression:
+    * all 128 permuted mins evaluate in ONE codegen'd pass with map-side
+    * partial aggregation — an inlined array-expression variant re-computed
+    * the signature once per band and benchmarked 250× slower at sf0.1. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    tau: Double, numPerm: Int = 128, bands: Int = 32): DataFrame = {
     val rowsPerBand = numPerm / bands
+    val ps = perms(numPerm)
     val sh = docs.select(col(idCol).as("doc_id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), 3).as("sh"))
-    val sig = sh.select(col("doc_id"),
-      bandHashes(minhashSignature(col("sh"), numPerm), bands, rowsPerBand).as("bh"))
-    val bandsDf = sig.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).bitwiseAND(lit(0x7fffffffL)).as("h"))
+    val minAggs = ps.zipWithIndex.map { case ((a, b), p) =>
+      min((col("h") * a + b) % Prime).as(s"m$p")
+    }
+    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until bands).map { bd =>
+      xxhash64((lit(bd) +: (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+        .map(p => col(s"m$p"))): _*)
+    }
+    val bandsDf = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "h")))
     val cand = bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -144,11 +139,16 @@ object Dedup {
     * this same verify runs per bucket. */
   def embedPairs(emb: DataFrame, idCol: String, vecCol: String,
                  tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    // sqrt-norms are per-row facts: compute them once on each side of the
+    // join instead of re-deriving inside every pair's cosine.
     val e = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
     e.as("a").join(e.as("b"), col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= tau)
       .orderBy("id_a", "id_b")
   }

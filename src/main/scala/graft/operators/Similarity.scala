@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Deterministic dot product: left-fold in array order with a double
-    * accumulator. Same op sequence as DuckDB's list_dot_product, so results
-    * are bit-identical to the oracle (verified empirically) — threshold and
-    * top-k comparisons then agree exactly across engines. */
+    * accumulator (graft's native codegen'd VecDot Expression). Same op
+    * sequence as DuckDB's list_dot_product, so results are bit-identical
+    * to the oracle (verified empirically) — threshold and top-k
+    * comparisons then agree exactly across engines. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.vec_dot(a, b)
 
   /** Cosine similarity over array<double> columns:
     * dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))). */
@@ -31,12 +32,14 @@ object Similarity {
     * query id — k·|queries| rows survive. Self-matches excluded. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val e = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = e.filter(col("vid").isin(queryIds: _*))
-      .select(col("vid").as("query_id"), col("v").as("qv"))
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = e.join(broadcast(q), col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("neighbor_id"),
-        cosine(col("qv"), col("v")).as("cos"))
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -69,24 +72,28 @@ object Similarity {
   def annLsh(emb: DataFrame, idCol: String, vecCol: String,
              queryIds: Seq[Long], k: Int,
              numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val bits = numPlanes / bands
     val mask = (1L << bits) - 1
     val e = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"),
       srpSignature(col(vecCol).cast("array<double>"), numPlanes, dim).as("sig"))
-    val banded = e.select(col("vid"), col("v"),
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val banded = e.select(col("vid"), col("v"), col("nrm"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bv")))
     val q = banded.filter(col("vid").isin(queryIds: _*))
-      .select(col("vid").as("query_id"), col("v").as("qv"), col("band"), col("bv"))
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("band"), col("bv"))
     val cand = banded.join(broadcast(q),
         Seq("band", "bv"))
       .filter(col("vid") =!= col("query_id"))
-      .select(col("query_id"), col("vid").as("neighbor_id"), col("qv"), col("v"))
-      .distinct()
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("qv"), col("qnrm"),
+        col("v"), col("nrm"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cand.select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("v")).as("cos"))
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
