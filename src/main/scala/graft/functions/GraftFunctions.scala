@@ -29,7 +29,12 @@ object GraftExtensions {
       (FunctionIdentifier("simhash64"), info(classOf[SimHash64], "simhash64"),
         (es: Seq[Expression]) => SimHash64(es.head)),
       (FunctionIdentifier("vec_dot"), info(classOf[VecDot], "vec_dot"),
-        (es: Seq[Expression]) => VecDot(es.head, es(1)))
+        (es: Seq[Expression]) => VecDot(es.head, es(1))),
+      (FunctionIdentifier("minhash_bands"), info(classOf[MinHashBands], "minhash_bands"),
+        (es: Seq[Expression]) => MinHashBands(es.head,
+          es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+      (FunctionIdentifier("word_shingles"), info(classOf[WordShingles], "word_shingles"),
+        (es: Seq[Expression]) => WordShingles(es.head, es(1).eval().asInstanceOf[Int]))
     )
 
   def inject(e: SparkSessionExtensions): Unit =
@@ -50,4 +55,10 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def minhash_bands(shingles: Column, numPerm: Int, bands: Int): Column =
+    call_function("minhash_bands", shingles,
+      org.apache.spark.sql.functions.lit(numPerm),
+      org.apache.spark.sql.functions.lit(bands))
+  def word_shingles(text: Column, w: Int): Column =
+    call_function("word_shingles", text, org.apache.spark.sql.functions.lit(w))
 }

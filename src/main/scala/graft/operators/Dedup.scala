@@ -20,49 +20,41 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Intra-bucket id-ordered candidate pairs: group rows by bucket key,
+    * collect the (small) id payloads, emit pairs with a double explode.
+    * ONE pass over the upstream pipeline — a self-join would evaluate the
+    * (expensive) signature computation once per side. Bucket payloads are
+    * bounded by LSH design (a band value collides mostly for true
+    * near-dups); a pathological hot bucket surfaces as a big collect_list
+    * and should be capped upstream (e.g. `slice`) if the corpus contains
+    * massive exact-dup clusters. */
+  private def bucketPairs(df: DataFrame, keyCols: Seq[String],
+                          payload: Column): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(collect_list(payload).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(col("__ids")).as("__a"), col("__ids"))
+      .select(col("__a"), explode(col("__ids")).as("__b"))
+
   // -------------------------------------------------------------- MinHash
 
-  private val Prime = 2147483647L // 2^31 - 1
-  /** Deterministic permutation coefficients (seeded; a in [1,p), b in [0,p)). */
-  private def perms(numPerm: Int): Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(numPerm)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
-      rnd.nextInt(Int.MaxValue).toLong))
-  }
-
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
-    * Pipeline: shingle → explode → 128 `min()` partial aggregations
-    * (the signature) → 32×4 banded LSH → band-bucket equi-join (only ids
-    * + one 8-byte band hash shuffle) → verify candidates against the true
-    * shingle sets → jaccard ≥ tau. Approximate in recall (banding), exact
-    * in precision (verify step).
-    *
-    * The signature is computed as a grouped aggregation over exploded
-    * (doc_id, shingle-hash) rows rather than a per-row array expression:
-    * all 128 permuted mins evaluate in ONE codegen'd pass with map-side
-    * partial aggregation — an inlined array-expression variant re-computed
-    * the signature once per band and benchmarked 250× slower at sf0.1. */
+    * Pipeline: shingle → native `minhash_bands` Expression (128 permuted
+    * mins folded to 32 band hashes in one codegen'd loop per row) →
+    * band-bucket grouping (only ids + one 8-byte band hash shuffle) →
+    * verify candidates against the true shingle sets → jaccard ≥ tau.
+    * Approximate in recall (banding), exact in precision (verify step).
+    * The signature never leaves the scan task — no signature shuffle. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    tau: Double, numPerm: Int = 128, bands: Int = 32): DataFrame = {
-    val rowsPerBand = numPerm / bands
-    val ps = perms(numPerm)
+    GraftFunctions.ensureRegistered(docs.sparkSession)
     val sh = docs.select(col(idCol).as("doc_id"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), 3).as("sh"))
-    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).bitwiseAND(lit(0x7fffffffL)).as("h"))
-    val minAggs = ps.zipWithIndex.map { case ((a, b), p) =>
-      min((col("h") * a + b) % Prime).as(s"m$p")
-    }
-    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    val bandCols = (0 until bands).map { bd =>
-      xxhash64((lit(bd) +: (bd * rowsPerBand until (bd + 1) * rowsPerBand)
-        .map(p => col(s"m$p"))): _*)
-    }
-    val bandsDf = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "h")))
-    val cand = bandsDf.as("a").join(bandsDf.as("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      GraftFunctions.word_shingles(col(textCol), 3).as("sh"))
+    val bandsDf = sh.select(col("doc_id"),
+      posexplode(GraftFunctions.minhash_bands(col("sh"), numPerm, bands))
+        .as(Seq("band", "h")))
+    val cand = bucketPairs(bandsDf, Seq("band", "h"), col("doc_id"))
+      .filter(col("__a") < col("__b"))
+      .select(col("__a").as("doc_a"), col("__b").as("doc_b"))
       .distinct()
     val withSets = cand
       .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
@@ -94,11 +86,10 @@ object Dedup {
       posexplode(array((0 until 4).map(k =>
         shiftright(col("sig"), k * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk", "cv")))
-    chunks.as("a").join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+    bucketPairs(chunks, Seq("chunk", "cv"), struct(col("doc_id"), col("sig")))
+      .filter(col("__a.doc_id") < col("__b.doc_id"))
+      .select(col("__a.doc_id").as("doc_a"), col("__b.doc_id").as("doc_b"),
+        bit_count(col("__a.sig").bitwiseXOR(col("__b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
@@ -112,13 +103,14 @@ object Dedup {
     * and the join shuffles (shingle, id) rows only. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         w: Int, tau: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
     val sh = docs.select(col(idCol).as("doc_id"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh"))
+      GraftFunctions.word_shingles(col(textCol), w).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    inv.as("a").join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    bucketPairs(inv, Seq("s"), col("doc_id"))
+      .filter(col("__a") < col("__b"))
+      .groupBy(col("__a").as("doc_a"), col("__b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .join(sizes.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id"))
       .drop("doc_id")
