@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Diagnostic main: dump formatted physical plans for the headline queries
+  * so scan pushdown (PushedFilters), column pruning (ReadSchema), join
+  * strategies (BroadcastHashJoin vs SortMergeJoin) and codegen spans can be
+  * audited per round. Usage: runMain graft.PlanAudit [sfDir] [query...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("q1_agg", "q3_topk", "q_filter_cmp", "q_link_join",
+        "q_linked_rollup_sum", "q_dedup_minhash", "q_ann_topk",
+        "q_events_sessionize")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      SparkEntry.queries.get(n) match {
+        case Some(f) => println(f(spark, sfDir).queryExecution.explainString(FormattedMode))
+        case None => println(s"unknown query '$n'")
+      }
+    }
+    spark.stop()
+  }
+}

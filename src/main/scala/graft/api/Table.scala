@@ -146,6 +146,33 @@ final case class Table(df: DataFrame, name: String) {
     copy(df = df.join(perKey, df(on) === col("__k"), "left").drop("__k"))
   }
 
+  // -------------------------------------------------------- frame parity
+  // Reference schema/introspection ops (base.py) that are plan rewrites or
+  // metadata reads here — no HTTP admin calls to mirror.
+
+  /** `Table.add_column` (base.py:578): new column with a default value. */
+  def addColumn(colName: String, default: Column): Table =
+    copy(df = df.withColumn(colName, default))
+
+  /** `Column.clear` (base.py:1832): null out a column, keep its type. */
+  def clear(colName: String): Table =
+    copy(df = df.withColumn(colName,
+      lit(null).cast(df.schema(colName).dataType)))
+
+  /** `Column.delete` (base.py:1845): drop a column. */
+  def dropColumn(colName: String): Table = copy(df = df.drop(colName))
+
+  /** `Column.rename` (base.py:1807). */
+  def rename(from: String, to: String): Table =
+    copy(df = df.withColumnRenamed(from, to))
+
+  /** `Table.columns` / `Table.dtypes` / `Table.shape` (base.py:176, :1248).
+    * shape's row count is an action (one job), like the reference's
+    * count query. */
+  def columnNames: Seq[String] = df.columns.toSeq
+  def dtypes: Seq[(String, String)] = df.dtypes.toSeq
+  def shape: (Long, Int) = (df.count(), df.columns.length)
+
   // ------------------------------------------------------------------ sql
 
   /** `Table.query(sql)` (base.py:1616) — raw SQL against this table. */

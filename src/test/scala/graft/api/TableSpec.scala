@@ -56,6 +56,18 @@ class TableSpec extends SparkSpec {
     assert(appended.df.count() == 5)
   }
 
+  test("frame parity: addColumn/clear/dropColumn/rename/dtypes/shape") {
+    val t = tbl
+    assert(t.addColumn("z", lit(0)).columnNames.contains("z"))
+    val cleared = t.clear("score")
+    assert(cleared.df.schema("score").dataType.typeName == "double")
+    assert(cleared.df.filter(col("score").isNotNull).count() == 0)
+    assert(!t.dropColumn("tag").columnNames.contains("tag"))
+    assert(t.rename("tag", "label").columnNames.contains("label"))
+    assert(t.shape == (4L, 4))
+    assert(t.dtypes.toMap.apply("id").toLowerCase.contains("long"))
+  }
+
   test("addLinkedColumn rollups pre-aggregate before join") {
     val t = tbl
     val orders = Table(Seq((1L, 5.0), (1L, 7.0), (2L, 1.0))
