@@ -40,6 +40,15 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop rows whose `idCols` were already seen
+    * within the watermark horizon. State holds only ids inside the
+    * watermark window — bounded, unlike a global dropDuplicates. The
+    * streaming shape of Dedup.exact for at-least-once sources. */
+  def dedupe(events: DataFrame, idCols: Seq[String],
+             watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Gap-based sessionization with explicit state:
     * `flatMapGroupsWithState` keyed by user, EventTimeTimeout. A session
     * closes (and is emitted) when the watermark passes its end + gap; state

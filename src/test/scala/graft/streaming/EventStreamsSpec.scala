@@ -32,6 +32,24 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupe drops duplicate ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupe(mem.toDF(), Seq("event_id"), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "a", 1.0),
+        Event(1, ts(1), 1, "a", 1.0), // duplicate delivery
+        Event(2, ts(2), 1, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(3), 1, "a", 1.0)) // still within watermark
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the gap via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
