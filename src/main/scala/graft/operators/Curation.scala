@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A composed training-data curation pipeline — the operators of
+  * SURVEY.md §2.2 chained the way a 100 TB corpus pass would run them:
+  *
+  *   1. language ID + quality gates (pure scan-side projections/filters);
+  *   2. exact dedup (one hash shuffle, keep the lowest id per content);
+  *   3. near-dup dedup via MinHash+LSH (candidate equi-join + verify),
+  *      dropping the higher id of each confirmed pair;
+  *   4. fingerprints attached for downstream provenance.
+  *
+  * Stage order matters at scale: the cheap scan-side gates run first so
+  * the shuffling stages see the smallest possible corpus.
+  */
+object Curation {
+
+  /** Returns the curated corpus: one row per kept doc with detected
+    * language, quality signals and fingerprints. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minTokens: Int = 10, maxStopwordRatio: Double = 1.0,
+             nearDupTau: Double = 0.8): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+
+    // 1. scan-side gates
+    val lang = TextAnalysis.langId(base, "doc_id", "text")
+    val qual = TextAnalysis.quality(base, "doc_id", "text")
+    val gated = base
+      .join(lang.select(col("doc_id"), col("detected").as("lang_detected")), "doc_id")
+      .join(qual.select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+        col("distinct_ratio")), "doc_id")
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") <= maxStopwordRatio)
+
+    // 2. exact dedup: keep the canonical (min) id per content hash
+    val keepExact = Dedup.exact(gated, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val exactDeduped = gated.join(keepExact, "doc_id")
+
+    // 3. near-dup dedup: drop the higher id of each confirmed pair
+    val nearDupLosers = Dedup.minhashPairs(exactDeduped, "doc_id", "text",
+        tau = nearDupTau)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val deduped = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+
+    // 4. provenance fingerprints
+    deduped.join(TextAnalysis.fingerprint(deduped, "doc_id", "text"), "doc_id")
+      .select("doc_id", "lang_detected", "n_tokens", "stopword_ratio",
+        "distinct_ratio", "fp_md5", "fp_roll")
+  }
+}

@@ -53,6 +53,50 @@ object Multimodal {
     }
   }
 
+  /** One sampled "frame": a fixed-size byte slice of the payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: every `stride`-th `frameSize`-byte slice of the
+    * payload — the batch shape of video frame extraction (a real decoder
+    * would replace the slicing with codec-driven keyframe extraction; the
+    * flatMap fan-out, schema and partition behavior are identical).
+    * Output size is bounded by `maxFrames` per row so a pathological
+    * payload cannot blow up a task. */
+  def frameSample(media: Dataset[MediaRow], frameSize: Int, stride: Int,
+                  maxFrames: Int = 64): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      Iterator.range(0, m.payload.length, stride)
+        .take(maxFrames)
+        .zipWithIndex
+        .map { case (off, idx) =>
+          Frame(m.doc_id, idx,
+            java.util.Arrays.copyOfRange(m.payload, off,
+              math.min(off + frameSize, m.payload.length)))
+        }
+    }
+  }
+
+  /** Feature "resize": deterministic average-pool of a feature vector to
+    * `outDim` (the stand-in for image resize / embedding projection). */
+  def resizeFeatures(feats: Dataset[MediaFeatures], outDim: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      val in = f.feature
+      val out = new Array[Float](outDim)
+      val counts = new Array[Int](outDim)
+      var i = 0
+      while (i < in.length) {
+        val j = (i.toLong * outDim / math.max(in.length, 1)).toInt
+        out(j) += in(i); counts(j) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < outDim) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+      f.copy(feature = out)
+    }
+  }
+
   /** Oracle-checkable byte stats over the binary column: sizes, an 8-byte
     * header sample (hex), and a stub scalar feature. */
   def byteStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate: gates, exact dedup and near-dup dedup compose") {
+    val d1 = (1 to 60).map(i => s"w${i % 9}").mkString(" ")
+    val nearD1 = { val w = d1.split(" "); w(5) = "zzz"; w.mkString(" ") }
+    val docs = Seq(
+      (1L, d1),
+      (2L, d1),              // exact dup of 1 -> dropped
+      (3L, nearD1),          // near dup of 1 -> dropped
+      (4L, "short text"),    // < minTokens -> dropped
+      (5L, (1 to 60).map(i => s"q${i % 7}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val kept = Curation.curate(docs, "doc_id", "text", minTokens = 10,
+        nearDupTau = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L))
+  }
+
+  test("curate on sf0.001 documents keeps a sane fraction with fingerprints") {
+    val docs = Tables.documents(spark, sf())
+    val out = Curation.curate(docs, "doc_id", "text")
+    val n = out.count()
+    assert(n > 0 && n <= docs.count())
+    assert(out.filter(col("fp_md5").isNull).count() == 0)
+  }
+
+  test("frameSample bounds fan-out and preserves bytes") {
+    val docs = Tables.documents(spark, sf()).limit(10)
+    val media = Multimodal.asBinary(docs, "doc_id", "text")
+      .select(col("doc_id"), col("payload"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.media_type").as("media_type"))
+      .filter(col("payload").isNotNull)
+      .as[Multimodal.MediaRow]
+    val frames = Multimodal.frameSample(media, frameSize = 16, stride = 64,
+      maxFrames = 5).collect()
+    assert(frames.nonEmpty)
+    assert(frames.groupBy(_.doc_id).values.forall(_.length <= 5))
+    assert(frames.forall(_.frame.length <= 16))
+    val resized = Multimodal.resizeFeatures(
+      Multimodal.stubDecode(media, featDim = 8), outDim = 4).collect()
+    assert(resized.forall(_.feature.length == 4))
+  }
+}
