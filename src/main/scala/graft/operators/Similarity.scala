@@ -47,6 +47,53 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-style ANN: partition the corpus into `nlist` cells around coarse
+    * centroids, probe the `nprobe` nearest cells per query, rank
+    * candidates by exact cosine. The centroid set here is a deterministic
+    * sample (lowest ids) standing in for a k-means codebook — the
+    * assignment/probe plumbing (the Spark-side shape) is what matters:
+    * corpus assignment is a scan-side argmax over a broadcast codebook,
+    * candidates come from an equi-join on cell id, so a query touches
+    * ~nprobe/nlist of the corpus instead of all of it.
+    * Centroids are collected to the driver — bounded at nlist×dim floats,
+    * the IVF codebook is driver-resident by construction (like any
+    * broadcast). */
+  def annIvf(emb: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], k: Int,
+             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents: Array[(Int, Array[Double])] = e.orderBy("vid").limit(nlist)
+      .select("v").collect().map(_.getSeq[Double](0).toArray).zipWithIndex
+      .map { case (v, i) => (i, v) }
+    def centSims(v: Column, nrm: Column) = array(cents.map { case (_, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      dot(v, array(cv.map(lit): _*)) / (nrm * cn)
+    }: _*)
+    def withSims(df: DataFrame) = df.withColumn("sims", centSims(col("v"), col("nrm")))
+    val corpus = withSims(e)
+      .withColumn("cell", expr("array_position(sims, array_max(sims))").cast("int"))
+      .drop("sims")
+    val probes = withSims(e.filter(col("vid").isin(queryIds: _*)))
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        posexplode(col("sims")).as(Seq("cellIdx", "sim")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cellIdx"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        (col("cellIdx") + 1).as("cell"))
+    val cand = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("vid") =!= col("query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("vid").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic ±1 random-hyperplane sign matrix (seeded). */
   private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)

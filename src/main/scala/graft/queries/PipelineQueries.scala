@@ -57,6 +57,10 @@ object PipelineQueries {
       Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.annIvf(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
     "q_text_langid" -> ((s, d) =>
       TextAnalysis.langId(
         Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),

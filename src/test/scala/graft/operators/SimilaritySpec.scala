@@ -25,6 +25,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sortBy(_._1).map(_._2).toSeq == expect)
   }
 
+  test("annIvf probes cells and returns ranked candidates") {
+    val emb = Tables.embeddings(spark, sf())
+    val out = Similarity.annIvf(emb, "vec_id", "embedding", Seq(0L, 1L), k = 5)
+      .collect()
+    assert(out.length == 10)
+    assert(out.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
+    // each query's ranks are 1..5 and strictly ordered by cosine
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.values.forall(rs =>
+      rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5)))
+  }
+
   test("annLsh returns k ranked candidates with valid cosines") {
     val emb = Tables.embeddings(spark, sf())
     val out = Similarity.annLsh(emb, "vec_id", "embedding", Seq(0L, 1L), k = 5)
