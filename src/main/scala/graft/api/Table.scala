@@ -197,8 +197,15 @@ final case class Col(c: Column, colName: String) {
   /** `Column.isin` (base.py:1974). */
   def isin(values: Any*): Column = c.isin(values: _*)
 
-  /** `Column.contains` → LIKE '%pat%' (base.py:1938). */
+  /** `Column.contains` → LIKE '%pat%' (base.py:1938). For multi-select
+    * columns (Array[String] in our data model, SURVEY §3) the reference
+    * matches rows whose selected options include the pattern
+    * (base.py:1946) — use [[containsOption]]. */
   def contains(pat: String): Column = c.contains(pat)
+
+  /** Multi-select `contains`: any selected option equals `pat`
+    * (reference semantics for select dtypes, base.py:1946). */
+  def containsOption(pat: String): Column = array_contains(c, pat)
 
   /** `Column.startswith` → LIKE 'pat%' (base.py:1952); prefix predicates
     * push down to parquet as string-range filters. */

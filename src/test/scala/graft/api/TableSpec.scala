@@ -56,6 +56,15 @@ class TableSpec extends SparkSpec {
     assert(appended.df.count() == 5)
   }
 
+  test("containsOption: multi-select membership (reference base.py:1946)") {
+    val t = Table(Seq(
+      (1L, Seq("red", "blue")), (2L, Seq("green")), (3L, Seq.empty[String])
+    ).toDF("id", "labels"), "t")
+    val hit = t.loc(t("labels").containsOption("blue")).df
+      .select("id").as[Long].collect().toSet
+    assert(hit == Set(1L))
+  }
+
   test("frame parity: addColumn/clear/dropColumn/rename/dtypes/shape") {
     val t = tbl
     assert(t.addColumn("z", lit(0)).columnNames.contains("z"))
