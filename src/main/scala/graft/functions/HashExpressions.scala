@@ -33,7 +33,7 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     RollingHashImpl.compute(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHashImpl.MODULE$$.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHashImpl.compute($c)")
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
   override def prettyName: String = "rolling_hash"
@@ -42,7 +42,7 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 object RollingHashImpl {
   final val Mod: Long = 1000000007L
   final val Mult: Long = 31L
-  /** Callable from generated Java (via MODULE$). */
+  /** Callable from generated Java (static forwarder). */
   def compute(s: UTF8String): Long = {
     val str = s.toString
     var acc = 0L
@@ -72,7 +72,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     SimHash64Impl.compute(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64Impl.MODULE$$.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64Impl.compute($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
   override def prettyName: String = "simhash64"
@@ -100,7 +100,7 @@ case class VecDot(left: Expression, right: Expression)
     VecDotImpl.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecDotImpl.MODULE$$.compute($a, $b)")
+      s"graft.functions.VecDotImpl.compute($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
@@ -143,7 +143,7 @@ case class MinHashBands(child: Expression, numPerm: Int, bands: Int)
     MinHashBandsImpl.compute(input.asInstanceOf[ArrayData], numPerm, bands)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinHashBandsImpl.MODULE$$.compute($c, $numPerm, $bands)")
+      s"graft.functions.MinHashBandsImpl.compute($c, $numPerm, $bands)")
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
   override def prettyName: String = "minhash_bands"
@@ -218,7 +218,7 @@ case class WordShingles(child: Expression, w: Int) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     WordShinglesImpl.compute(input.asInstanceOf[UTF8String], w)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShinglesImpl.MODULE$$.compute($c, $w)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShinglesImpl.compute($c, $w)")
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
   override def prettyName: String = "word_shingles"

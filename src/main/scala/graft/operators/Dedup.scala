@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -97,29 +98,71 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** Exact n-gram Jaccard pairs via inverted-index join: explode distinct
-    * shingles, equi-join on shingle, count shared per pair, compute exact
-    * jaccard. Complete for tau > 0 (any qualifying pair shares ≥1 shingle),
-    * and the join shuffles (shingle, id) rows only. */
+  /** Exact n-gram Jaccard pairs via a prefix-filtered inverted-index join
+    * (PPJoin-style; Xiao et al. 2008, "Efficient similarity joins for
+    * near duplicate detection").
+    *
+    * Candidate generation indexes only each doc's PREFIX — its
+    * `n - ceil(tau*n) + 1` globally-rarest shingles (global frequency
+    * order): two sets with Jaccard ≥ tau must overlap within both
+    * prefixes, so the filter is complete. Verification then computes
+    * exact Jaccard from the full shingle sets.
+    *
+    * At web-corpus scale (Zipfian shingle frequencies) this is the
+    * load-bearing choice: a plain shared-shingle index generates a
+    * candidate pair-row for every co-occurrence of every common shingle
+    * (quadratic in the hottest posting list), while the prefix index
+    * bounds posting lists to rare shingles.
+    *
+    * `prefixFilter = false` selects the plain count-based index instead:
+    * cheaper when the shingle space is small/uniform so no posting list
+    * is pathologically hot (e.g. narrow-vocabulary corpora, where the
+    * prefix is barely selective and its extra freq/rank stages dominate).
+    * Both strategies are exact and return identical pairs. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        w: Int, tau: Double): DataFrame = {
+                        w: Int, tau: Double,
+                        prefixFilter: Boolean = true): DataFrame = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
     val sh = docs.select(col(idCol).as("doc_id"),
       GraftFunctions.word_shingles(col(textCol), w).as("sh"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    bucketPairs(inv, Seq("s"), col("doc_id"))
-      .filter(col("__a") < col("__b"))
-      .groupBy(col("__a").as("doc_a"), col("__b").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id"))
-      .drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id"))
-      .drop("doc_id")
-      .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= tau)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    if (prefixFilter) {
+      val freq = inv.groupBy("s").agg(count(lit(1)).as("f"))
+      val ranked = inv.join(freq, "s")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("f"), col("s"))))
+      val prefix = ranked.filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      val cand = bucketPairs(prefix.select(col("doc_id"), col("s")), Seq("s"), col("doc_id"))
+        .filter(col("__a") < col("__b"))
+        .select(col("__a").as("doc_a"), col("__b").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
+        .drop("doc_id")
+        .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
+        .drop("doc_id")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    } else {
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      bucketPairs(inv.select(col("doc_id"), col("s")), Seq("s"), col("doc_id"))
+        .filter(col("__a") < col("__b"))
+        .groupBy(col("__a").as("doc_a"), col("__b").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id"))
+        .drop("doc_id")
+        .join(sizes.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id"))
+        .drop("doc_id")
+        .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
+        .filter(col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   // --------------------------------------------------------- embedding dup

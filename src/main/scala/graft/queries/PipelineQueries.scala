@@ -41,10 +41,13 @@ object PipelineQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 4)),
 
+    // prefixFilter=false: the synthetic 40-token vocabulary makes every
+    // shingle hot, so the PPJoin prefix index barely prunes here; real
+    // (Zipfian) corpora want the default prefix path.
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
-        "doc_id", "text", w = 3, tau = 0.5)),
+        "doc_id", "text", w = 3, tau = 0.5, prefixFilter = false)),
 
     "q_dedup_embed" -> ((s, d) =>
       Dedup.embedPairs(Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4)),

@@ -44,6 +44,15 @@ class DedupSpec extends SparkSpec {
     assert(m.contains((1L, 2L)) && m((1L, 2L)) > 0.8)
   }
 
+  test("prefix-filtered and plain ngram strategies return identical pairs") {
+    def run(pf: Boolean) =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", w = 3, tau = 0.3,
+          prefixFilter = pf)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(true) == run(false))
+  }
+
   test("simhash pairs rank the near-dup closest") {
     val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
       .select("doc_a", "doc_b", "hamming").collect()
