@@ -40,6 +40,29 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Running per-user stats emitted on every update. */
+  case class UserStats(user_id: Long, n_events: Long, sum_value: Double,
+                       last_ts: Timestamp)
+
+  /** Per-key running aggregates with `mapGroupsWithState`: one fixed-size
+    * state record per user, updated each micro-batch, emitted on change
+    * (Update mode). The streaming analog of a grouped running total. */
+  def runningStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (userId, rows, state) =>
+          val prev = state.getOption.getOrElse(
+            UserStats(userId, 0L, 0.0, new Timestamp(0L)))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            UserStats(userId, acc.n_events + 1, acc.sum_value + e.value,
+              if (e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /** Streaming exact dedup: drop rows whose `idCols` were already seen
     * within the watermark horizon. State holds only ids inside the
     * watermark window — bounded, unlike a global dropDuplicates. The

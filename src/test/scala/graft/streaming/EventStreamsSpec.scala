@@ -32,6 +32,24 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningStats keeps one state record per user across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = runningStats(mem.toDS())
+      .writeStream.format("memory").queryName("rs").outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 1, "a", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(2), 1, "a", 4.0))
+      q.processAllAvailable()
+      val latest = spark.table("rs").as[UserStats].collect()
+        .filter(_.user_id == 1L).maxBy(_.n_events)
+      assert(latest.n_events == 3L && latest.sum_value == 7.0)
+      assert(latest.last_ts == ts(2))
+    } finally q.stop()
+  }
+
   test("dedupe drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
