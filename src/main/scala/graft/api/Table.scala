@@ -173,6 +173,17 @@ final case class Table(df: DataFrame, name: String) {
   def dtypes: Seq[(String, String)] = df.dtypes.toSeq
   def shape: (Long, Int) = (df.count(), df.columns.length)
 
+  /** Persist this table as parquet — the durable end of the reference's
+    * write path (its `__setitem__`/`append` upload rows over HTTP; here
+    * mutations are plan rewrites and THIS is where they materialize).
+    * `partitionBy` columns become directory partitions, so downstream
+    * readers get partition pruning for free. */
+  def save(path: String, partitionBy: Seq[String] = Nil,
+           mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
   // ------------------------------------------------------------------ sql
 
   /** `Table.query(sql)` (base.py:1616) — raw SQL against this table. */

@@ -77,6 +77,17 @@ class TableSpec extends SparkSpec {
     assert(t.dtypes.toMap.apply("id").toLowerCase.contains("long"))
   }
 
+  test("save writes partitioned parquet that prunes on read") {
+    val t = tbl
+    val out = s"/tmp/graft-save-${java.util.UUID.randomUUID()}"
+    t.save(out, partitionBy = Seq("tag"))
+    val back = spark.read.parquet(out).filter(col("tag") === "A")
+    assert(back.count() == 2)
+    // partition pruning: only the tag=A directory is read
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || back.inputFiles.forall(_.contains("tag=A")))
+  }
+
   test("addLinkedColumn rollups pre-aggregate before join") {
     val t = tbl
     val orders = Table(Seq((1L, 5.0), (1L, 7.0), (2L, 1.0))
