@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, Similarity, TemporalJoins, TextAnalysis}
 import graft.tables.Tables
 
 /** SURVEY.md §2.2 — LLM-data-pipeline operators over the `documents`,
@@ -94,7 +94,32 @@ object PipelineQueries {
 
     "q_events_sessionize" -> ((s, d) =>
       Events.sessionize(Tables.events(s, d), "user_id", "ts", "event_id",
-        gapSeconds = 21600L))
+        gapSeconds = 21600L)),
+
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("rid"), max_by(col("value"), col("event_id")).as("rval"))
+      TemporalJoins.asOfJoin(clicks, purchases, "user_id", "ts", Seq("rid", "rval"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("asof_rid"), col("asof_rval"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      val b = ev.select(col("user_id"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+      TemporalJoins.bandedRangeJoin(a, b, "user_id", "a_ts", "b_ts", toleranceSec = 3600L)
+        .filter(col("a_id") < col("b_id"))
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          expr("abs(unix_micros(a_ts) - unix_micros(b_ts)) div 1000000").as("gap_s"))
+        .orderBy("user_id", "a_id", "b_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -186,6 +211,25 @@ object PipelineQueries {
        "SELECT user_id, session, COUNT(*) AS n_events, " +
        "strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS sess_start, " +
        "strftime(MAX(t), '%Y-%m-%d %H:%M:%S') AS sess_end " +
-       "FROM se GROUP BY user_id, session ORDER BY user_id, session")
+       "FROM se GROUP BY user_id, session ORDER BY user_id, session"),
+
+    "q_asof_join" ->
+      ("WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t " +
+       "FROM events WHERE event_type = 'click'), " +
+       "r0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(event_id) AS rid, " +
+       "max_by(value, event_id) AS rval FROM events WHERE event_type = 'purchase' " +
+       "GROUP BY 1, 2) " +
+       "SELECT l.user_id, event_id, strftime(l.t, '%Y-%m-%d %H:%M:%S') AS ts_s, " +
+       "rid AS asof_rid, rval AS asof_rval " +
+       "FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.t >= r0.t " +
+       "ORDER BY l.user_id, event_id"),
+
+    "q_range_join" ->
+      ("SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id, " +
+       "abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) // 1000000 AS gap_s " +
+       "FROM events a JOIN events b ON a.user_id = b.user_id " +
+       "AND a.event_id < b.event_id " +
+       "AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000 " +
+       "ORDER BY a.user_id, a_id, b_id")
   )
 }

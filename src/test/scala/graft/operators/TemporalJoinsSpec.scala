@@ -1,0 +1,41 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("asOfJoin picks the latest right row at or before each left ts") {
+    val left = Seq(
+      (1L, ts(10), 100L), // after r@5 -> 5
+      (1L, ts(20), 101L), // after r@20 (tie matches) -> 20
+      (1L, ts(3), 102L),  // before any right -> null
+      (2L, ts(30), 103L)  // other key, no right rows -> null
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts(5), "r5"), (1L, ts(20), "r20"), (1L, ts(25), "r25")
+    ).toDF("k", "ts", "rv")
+    val out = TemporalJoins.asOfJoin(left, right, "k", "ts", Seq("rv"))
+      .select("lid", "asof_rv").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(100L -> Some("r5"), 101L -> Some("r20"),
+      102L -> None, 103L -> None))
+  }
+
+  test("bandedRangeJoin matches each in-band pair exactly once") {
+    val a = Seq((1L, 1L, ts(0)), (1L, 2L, ts(59)), (1L, 3L, ts(200)))
+      .toDF("k", "a_id", "a_ts")
+    val b = Seq((1L, 10L, ts(30)), (1L, 11L, ts(240)), (2L, 12L, ts(30)))
+      .toDF("k", "b_id", "b_ts")
+    val out = TemporalJoins.bandedRangeJoin(a, b, "k", "a_ts", "b_ts",
+        toleranceSec = 3600)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted
+    // in-band pairs: 0↔30 (30m), 59↔30 (29m), 200↔240 (40m); key 2's row
+    // never joins key 1; nothing appears twice despite the ±1-bin explode
+    assert(out.toSeq == Seq((1L, 10L), (2L, 10L), (3L, 11L)))
+  }
+}
