@@ -93,9 +93,11 @@ object CoreQueries {
       t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         .iloc(50, 150, col("o_orderkey"))),
 
+    // order by ALL emitted columns: (l_orderkey, l_linenumber) is not
+    // unique, so a 2-column order leaves the LIMIT boundary ambiguous
     "q_head" -> ((s, d) =>
       t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
-        .head(5, col("l_orderkey"), col("l_linenumber"))),
+        .head(5, col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
 
     "q_row_lookup" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -306,7 +308,7 @@ object CoreQueries {
        "ORDER BY o_orderkey LIMIT 100 OFFSET 50"),
     "q_head" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
-       "ORDER BY l_orderkey, l_linenumber LIMIT 5"),
+       "ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 5"),
     "q_row_lookup" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus FROM orders " +
        "WHERE o_orderkey IN (1,2,3,5,8,13) ORDER BY o_orderkey"),
@@ -343,8 +345,11 @@ object CoreQueries {
     "q_link_join" ->
       ("SELECT o_orderkey, c_name, o_totalprice FROM orders " +
        "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    // coalesce: DuckDB's list() over an unmatched LEFT JOIN group is NULL,
+    // the Spark side emits '' for customers with no orders
     "q_linked_lookup" ->
-      ("SELECT c_custkey, array_to_string(list_sort(list(CAST(o_orderkey AS VARCHAR))), ',') AS order_ids " +
+      ("SELECT c_custkey, coalesce(array_to_string(list_sort(" +
+       "list(CAST(o_orderkey AS VARCHAR)) FILTER (o_orderkey IS NOT NULL)), ','), '') AS order_ids " +
        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
        "GROUP BY c_custkey ORDER BY c_custkey"),
     "q_linked_count" ->
@@ -361,7 +366,8 @@ object CoreQueries {
        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
        "GROUP BY c_custkey ORDER BY c_custkey"),
     "q_linked_rollup_conc" ->
-      ("SELECT c_custkey, array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses " +
+      ("SELECT c_custkey, coalesce(array_to_string(list_sort(" +
+       "list(o_orderstatus) FILTER (o_orderstatus IS NOT NULL)), ','), '') AS statuses " +
        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
        "GROUP BY c_custkey ORDER BY c_custkey"),
     "q_linked_findmax" ->
