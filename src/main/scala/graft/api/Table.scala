@@ -237,10 +237,12 @@ final case class Col(c: Column, colName: String) {
   /** `Column.map(dict)` (base.py:2052) with pandas semantics: unmapped
     * values → null (na_action=None ⇒ CASE with no ELSE). Compiled to a
     * when-chain — codegen'd, no UDF. */
-  def mapValues(mapping: Seq[(Any, Any)]): Column = {
-    val first = when(c === mapping.head._1, lit(mapping.head._2))
-    mapping.tail.foldLeft(first) { case (acc, (k, v)) =>
-      acc.when(c === k, lit(v))
+  def mapValues(mapping: Seq[(Any, Any)]): Column =
+    if (mapping.isEmpty) lit(null) // pandas .map({}) -> all-NaN
+    else {
+      val first = when(c === mapping.head._1, lit(mapping.head._2))
+      mapping.tail.foldLeft(first) { case (acc, (k, v)) =>
+        acc.when(c === k, lit(v))
+      }
     }
-  }
 }

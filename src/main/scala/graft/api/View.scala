@@ -47,16 +47,21 @@ object ViewCompiler {
     * columns. */
   def getView(t: Table, view: ViewDef,
               hideCols: Boolean = true, sort: Boolean = true): DataFrame = {
-    // group is/is_not terms per column, like the reference's filters_grp
-    val grouped = view.filters.groupBy(f => (f.column, f.predicate)).map {
+    // merge same-column is/is_not terms into set predicates, like the
+    // reference's filters_grp; every OTHER filter compiles individually and
+    // all are AND-ed (a groupBy-and-keep-head would silently drop repeated
+    // contains/greater/... filters on the same column)
+    val (mergeable, individual) = view.filters.partition(f =>
+      f.predicate == "is" || f.predicate == "is_not")
+    val merged = mergeable.groupBy(f => (f.column, f.predicate)).map {
       case ((c, "is"), fs) if fs.map(_.terms.size).sum > 1 =>
         ViewFilter(c, "is_any_of", fs.flatMap(_.terms))
       case ((c, "is_not"), fs) if fs.map(_.terms.size).sum > 1 =>
         ViewFilter(c, "is_none_of", fs.flatMap(_.terms))
       case (_, fs) => fs.head
     }.toSeq
-    val pred = grouped.map(compileFilter(t, _)).reduceOption(_ && _)
-      .getOrElse(lit(true))
+    val pred = (merged ++ individual).map(compileFilter(t, _))
+      .reduceOption(_ && _).getOrElse(lit(true))
     val visible = t.df.columns.filterNot(c => hideCols && view.hiddenCols.contains(c))
     var out = t.df.filter(pred).select(visible.map(t.df(_)): _*)
     if (sort && view.sorts.nonEmpty)

@@ -139,11 +139,14 @@ case class MinHashBands(child: Expression, numPerm: Int, bands: Int)
     case t => TypeCheckResult.TypeCheckFailure(
       s"minhash_bands expects ARRAY<STRING>, got ${t.sql}")
   }
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     MinHashBandsImpl.compute(input.asInstanceOf[ArrayData], numPerm, bands)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinHashBandsImpl.compute($c, $numPerm, $bands)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHashBandsImpl.compute($c, $numPerm, $bands);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
   override def prettyName: String = "minhash_bands"
@@ -165,7 +168,11 @@ object MinHashBandsImpl {
       (a, b)
     })
 
+  /** Returns null for empty shingle arrays: a doc too short to shingle has
+    * no signature — otherwise every short doc would share one constant
+    * signature and collide into a single pathological band bucket. */
   def compute(shingles: ArrayData, numPerm: Int, bands: Int): ArrayData = {
+    if (shingles.numElements() == 0) return null
     val (pa, pb) = perms(numPerm)
     val mins = new Array[Long](numPerm)
     java.util.Arrays.fill(mins, Long.MaxValue)

@@ -25,15 +25,17 @@ object Curation {
     val base = docs.select(col(idCol).as("doc_id"),
       coalesce(col(textCol), lit("")).as("text"))
 
-    // 1. scan-side gates
-    val lang = TextAnalysis.langId(base, "doc_id", "text")
-    val qual = TextAnalysis.quality(base, "doc_id", "text")
-    val gated = base
-      .join(lang.select(col("doc_id"), col("detected").as("lang_detected")), "doc_id")
-      .join(qual.select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
-        col("distinct_ratio")), "doc_id")
+    // 1. scan-side gates — ONE projection over the scan, no joins: langid
+    // scores, quality signals and the gate filter all pipeline with the
+    // parquet read
+    val gated = base.select((col("doc_id") +: col("text") +:
+        (TextAnalysis.langScoreCols(col("text")) ++
+          TextAnalysis.qualityCols(col("text")))): _*)
+      .withColumn("lang_detected", TextAnalysis.detectedCol)
       .filter(col("n_tokens") >= minTokens &&
         col("stopword_ratio") <= maxStopwordRatio)
+      .select("doc_id", "text", "lang_detected", "n_tokens",
+        "stopword_ratio", "distinct_ratio")
 
     // 2. exact dedup: keep the canonical (min) id per content hash
     val keepExact = Dedup.exact(gated, "doc_id", "text")

@@ -21,6 +21,23 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact-Jaccard verification: attach both docs' full shingle sets to
+    * each candidate pair, compute |∩| / |∪|, keep pairs ≥ tau. Shared by
+    * the MinHash and prefix-filtered n-gram paths so their (oracle-checked)
+    * output schema and semantics cannot drift apart. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
   /** Intra-bucket id-ordered candidate pairs: group rows by bucket key,
     * collect the (small) id payloads, emit pairs with a double explode.
     * ONE pass over the upstream pipeline — a self-join would evaluate the
@@ -57,18 +74,7 @@ object Dedup {
       .filter(col("__a") < col("__b"))
       .select(col("__a").as("doc_a"), col("__b").as("doc_b"))
       .distinct()
-    val withSets = cand
-      .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
-      .drop("doc_id")
-      .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
-      .drop("doc_id")
-    withSets
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jaccard") >= tau)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    verifyJaccard(cand, sh, tau)
   }
 
   // -------------------------------------------------------------- SimHash
@@ -132,22 +138,16 @@ object Dedup {
       val ranked = inv.join(freq, "s")
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("f"), col("s"))))
-      val prefix = ranked.filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      // exact-decimal ceil: double tau*n can land epsilon above the true
+      // product (0.07*100 = 7.000000000000001 → ceil 8), shortening the
+      // prefix below the completeness bound; decimal arithmetic is exact
+      val tauDec = lit(new java.math.BigDecimal(tau.toString))
+      val prefix = ranked.filter(col("rk") <= col("n") - ceil(tauDec * col("n")) + 1)
       val cand = bucketPairs(prefix.select(col("doc_id"), col("s")), Seq("s"), col("doc_id"))
         .filter(col("__a") < col("__b"))
         .select(col("__a").as("doc_a"), col("__b").as("doc_b"))
         .distinct()
-      cand
-        .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
-        .drop("doc_id")
-        .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
-        .drop("doc_id")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard",
-          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-        .filter(col("jaccard") >= tau)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+      verifyJaccard(cand, sh, tau)
     } else {
       val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
       bucketPairs(inv.select(col("doc_id"), col("s")), Seq("s"), col("doc_id"))

@@ -21,6 +21,12 @@ object Joins {
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, salts: Int, how: String = "inner"): DataFrame = {
     require(salts > 0)
+    // dim rows exist once per salt copy: an unmatched dim row under a
+    // right/full outer join would surface `salts` times — only
+    // fact-preserving join types keep the plain-join result set
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+      .contains(how.toLowerCase.replace("_", "")),
+      s"saltedJoin supports fact-preserving join types only, got '$how'")
     // deterministic spread: hash of the whole fact row modulo salts
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts)).cast("int"))

@@ -64,6 +64,8 @@ object Multimodal {
     * payload cannot blow up a task. */
   def frameSample(media: Dataset[MediaRow], frameSize: Int, stride: Int,
                   maxFrames: Int = 64): Dataset[Frame] = {
+    require(frameSize > 0 && stride > 0 && maxFrames > 0,
+      s"frameSize/stride/maxFrames must be positive, got ($frameSize, $stride, $maxFrames)")
     import media.sparkSession.implicits._
     media.flatMap { m =>
       Iterator.range(0, m.payload.length, stride)

@@ -118,8 +118,11 @@ object Similarity {
     * carries (id, band hash) only, never the cross product. */
   def annLsh(emb: DataFrame, idCol: String, vecCol: String,
              queryIds: Seq[Long], k: Int,
-             numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
+             numPlanes: Int = 16, bands: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    // hyperplanes must span the real embedding dimension — a hardcoded dim
+    // would silently truncate the projection (vec_dot folds min length)
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val bits = numPlanes / bands
     val mask = (1L << bits) - 1
     val e = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"),

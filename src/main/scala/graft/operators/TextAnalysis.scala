@@ -21,40 +21,49 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
     "es" -> Seq("el", "los", "las", "y", "es", "este", "por"))
 
-  /** Per-language marker scores + deterministic argmax (ties resolve in
-    * Markers order). */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextOps.tokens(lower(col(textCol)))
-    val scored = docs.select(
-      (col(idCol) +: Markers.map { case (l, ms) =>
-        TextOps.markerCount(toks, ms).as(s"score_$l")
-      }): _*)
-    val detected = Markers.map(_._1).foldRight(lit(Markers.last._1): Column) {
+  /** Per-language marker-score columns (aliased score_<lang>) — composable
+    * into any single-scan projection. */
+  def langScoreCols(text: Column): Seq[Column] = {
+    val toks = TextOps.tokens(lower(text))
+    Markers.map { case (l, ms) => TextOps.markerCount(toks, ms).as(s"score_$l") }
+  }
+
+  /** Deterministic argmax over the score_<lang> columns (ties resolve in
+    * Markers order). Requires langScoreCols in scope. */
+  def detectedCol: Column =
+    Markers.map(_._1).foldRight(lit(Markers.last._1): Column) {
       case (l, rest) =>
         val ge = Markers.map(_._1).filter(_ != l)
           .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
         when(ge, lit(l)).otherwise(rest)
     }
-    scored.withColumn("detected", detected)
-  }
+
+  /** Per-language marker scores + deterministic argmax. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select((col(idCol) +: langScoreCols(col(textCol))): _*)
+      .withColumn("detected", detectedCol)
 
   /** Quality signals: length, token count, mean word length, punctuation
     * ratio, stopword ratio, distinct-token (repetition) ratio. Ratios are
     * int/int double divisions — deterministic across engines. */
-  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  /** Quality-signal columns — composable into any single-scan
+    * projection. */
+  def qualityCols(t: Column): Seq[Column] = {
     val toks = TextOps.tokens(t)
     val nTok = size(toks)
     val nChar = length(t)
     val nPunct = nChar - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))
     val nStop = TextOps.markerCount(TextOps.tokens(lower(t)), Markers.head._2)
     val nDistinct = size(array_distinct(toks))
-    docs.select(col(idCol), nChar.as("n_chars_m"), nTok.as("n_tokens"),
+    Seq(nChar.as("n_chars_m"), nTok.as("n_tokens"),
       (length(regexp_replace(t, " ", "")) / nTok).as("mean_word_len"),
       (nPunct / nChar).as("punct_ratio"),
       (nStop / nTok).as("stopword_ratio"),
       (nDistinct / nTok).as("distinct_ratio"))
   }
+
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select((col(idCol) +: qualityCols(col(textCol))): _*)
 
   /** Token counting: whitespace tokens and a BPE-ish segmentation count
     * (letter runs | digit runs | single non-alnum), via regexp_count so the

@@ -31,6 +31,10 @@ class TableSpec extends SparkSpec {
     val out = t.df.select(t("tag").mapValues(Seq("A" -> "x")).as("m"))
       .collect().map(r => Option(r.getString(0)))
     assert(out.count(_.contains("x")) == 2 && out.count(_.isEmpty) == 2)
+    // empty mapping -> all null, like pandas .map({})
+    val empty = t.df.select(t("tag").mapValues(Seq.empty).as("m"))
+      .collect().map(r => r.isNullAt(0))
+    assert(empty.forall(identity))
   }
 
   test("setWhere rewrites only masked rows") {

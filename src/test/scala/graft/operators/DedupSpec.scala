@@ -44,6 +44,20 @@ class DedupSpec extends SparkSpec {
     assert(m.contains((1L, 2L)) && m((1L, 2L)) > 0.8)
   }
 
+  test("short docs get null minhash signatures, not a shared constant one") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val short = Seq((1L, "a b"), (2L, "c d"), (3L, "e"), (4L, doc(9)))
+      .toDF("doc_id", "text")
+    // no pair output at all: the three short docs must NOT collide
+    assert(Dedup.minhashPairs(short, "doc_id", "text", tau = 0.1).count() == 0)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val sigs = short.select(
+      graft.functions.GraftFunctions.minhash_bands(
+        graft.functions.GraftFunctions.word_shingles(col("text"), 3), 128, 32).as("s"))
+      .filter(col("s").isNull).count()
+    assert(sigs == 3L)
+  }
+
   test("prefix-filtered and plain ngram strategies return identical pairs") {
     def run(pf: Boolean) =
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", w = 3, tau = 0.3,

@@ -19,6 +19,17 @@ class JoinsSpec extends SparkSpec {
     assert(salted.size == 901)
   }
 
+  test("saltedJoin rejects dim-preserving join types") {
+    val fact = Seq((1L, 1)).toDF("k", "p")
+    val dim = Seq((1L, "x")).toDF("dk", "n")
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(fact, dim, "k", "dk", salts = 4, how = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(fact, dim, "k", "dk", salts = 4, how = "full_outer")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
