@@ -265,6 +265,29 @@ object CoreQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // top-3 orders per customer by price: per-group ranking via window —
+    // the shuffle is one hash partition by customer, ranking is in-partition
+    "q_topk_per_group" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // exact per-group quantiles: Spark `percentile` and DuckDB
+    // quantile_cont share the linear-interpolation definition and produce
+    // bit-identical doubles (verified on this data)
+    "q_stats_quantiles" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med_total"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_total"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     "q3_topk" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)
@@ -406,6 +429,15 @@ object CoreQueries {
        "COUNT(*) AS count_order " +
        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00' " +
        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_stats_quantiles" ->
+      ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med_total, " +
+       "quantile_cont(o_totalprice, 0.9) AS p90_total, COUNT(*) AS n " +
+       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_topk_per_group" ->
+      ("SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (" +
+       "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
+       "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk " +
+       "FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk"),
     "q3_topk" ->
       ("SELECT o_orderkey, " +
        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue " +
