@@ -63,6 +63,22 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each left event joins right events of
+    * the same key whose timestamp lies within `[leftTs - lookbackSec,
+    * leftTs]`. Watermarks on BOTH sides + the time-range condition let
+    * Spark evict buffered state once the watermark passes the interval —
+    * bounded state on unbounded streams. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   lookbackSec: Long,
+                   watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).as("l")
+    val r = right.withWatermark("ts", watermarkDelay).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $lookbackSec SECONDS") &&
+        col("r.ts") <= col("l.ts"))
+  }
+
   /** Streaming exact dedup: drop rows whose `idCols` were already seen
     * within the watermark horizon. State holds only ids inside the
     * watermark window — bounded, unlike a global dropDuplicates. The

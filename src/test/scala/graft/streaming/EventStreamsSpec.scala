@@ -32,6 +32,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin matches right events within the lookback window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = intervalJoin(
+      clicks.toDF().select($"event_id".as("c_id"), $"user_id", $"ts"),
+      views.toDF().select($"event_id".as("v_id"), $"user_id", $"ts".as("v_ts"))
+        .withColumnRenamed("v_ts", "ts"),
+      "user_id", lookbackSec = 600)
+    val q = joined.select($"c_id", $"v_id")
+      .writeStream.format("memory").queryName("ij").outputMode(OutputMode.Append).start()
+    try {
+      views.addData(Event(10, ts(0), 1, "view", 1.0), Event(11, ts(30), 1, "view", 1.0))
+      clicks.addData(Event(1, ts(5), 1, "click", 1.0))  // within 10m of view@0
+      q.processAllAvailable()
+      val pairs = spark.table("ij").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 10L)))
+      assert(!pairs.contains((1L, 11L))) // view@30 is AFTER the click
+    } finally q.stop()
+  }
+
   test("runningStats keeps one state record per user across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
