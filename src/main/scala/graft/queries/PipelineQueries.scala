@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Events, Multimodal, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, TemporalJoins, TextAnalysis}
 import graft.tables.Tables
 
 /** SURVEY.md §2.2 — LLM-data-pipeline operators over the `documents`,
@@ -95,6 +95,15 @@ object PipelineQueries {
     "q_events_sessionize" -> ((s, d) =>
       Events.sessionize(Tables.events(s, d), "user_id", "ts", "event_id",
         gapSeconds = 21600L)),
+
+    // rows-only: the full curation composition (gates -> exact dedup ->
+    // minhash near-dup dedup -> fingerprints), summarized per language
+    "q_curation_pipeline" -> ((s, d) =>
+      Curation.curate(Tables.documents(s, d), "doc_id", "text")
+        .groupBy("lang_detected")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("lang_detected")),
 
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
