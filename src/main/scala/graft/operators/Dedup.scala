@@ -80,10 +80,11 @@ object Dedup {
   // -------------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs: 64-bit simhash (native codegen'd Expression),
-    * split into 4×16-bit chunks; by pigeonhole any pair within Hamming
-    * distance ≤ 3·(chunks-1)/... shares at least one exact chunk when
-    * ham < chunks, and in practice near-dups collide on ≥1 chunk — the
-    * chunk equi-join bounds candidates, then `bit_count(a^b)` verifies. */
+    * split into 4×16-bit chunks. By pigeonhole, any pair with Hamming
+    * distance < 4 shares at least one exact chunk (and near-dups at
+    * slightly larger distances still collide on ≥1 chunk in practice) —
+    * the chunk equi-join bounds candidates, then `bit_count(a^b)`
+    * verifies the true distance. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
