@@ -1,6 +1,13 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Execute the full plan without keeping results. A noop-format write
+    * evaluates every measured expression: `.count()` would let Catalyst
+    * prune projections an aggregate doesn't need (so projection-heavy
+    * queries would time a plan that never runs their expressions). */
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -15,16 +22,25 @@ object Bench {
     // per-query numbers measure the plans rather than JVM startup.
     Seq("q1_agg", "q_text_tokens", "q_events_window", "q_ann_topk")
       .foreach(n => SparkEntry.queries.get(n)
-        .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => () }))
+        .foreach(f => try run(f(spark, sfDir)) catch { case _: Throwable => () }))
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          // a broken query must surface as a bench failure, not a fast number
+          System.err.println(s"BENCH FAIL $name: $e")
+          e.printStackTrace()
+          failed ::= name
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$errs}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -37,20 +37,26 @@ object Curation {
       .select("doc_id", "text", "lang_detected", "n_tokens",
         "stopword_ratio", "distinct_ratio")
 
-    // 2. exact dedup: keep the canonical (min) id per content hash
-    val keepExact = Dedup.exact(gated, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"))
-    val exactDeduped = gated.join(keepExact, "doc_id")
+    // 2. exact dedup keeping rows in-line: one shuffle of the gated rows on
+    // the content hash (exact()+join-back would execute the gated scan twice
+    // and shuffle twice)
+    val exactDeduped = Dedup.exactRows(gated, "doc_id", "text")
 
-    // 3. near-dup dedup: drop the higher id of each confirmed pair
+    // 3. near-dup dedup: drop the higher id of each confirmed pair. The
+    // loser set is tiny relative to the corpus → broadcast-able anti-join;
+    // exactDeduped is the one subtree that executes twice (loser derivation
+    // + anti-join left side), which costs a scan+window, not a blow-up.
     val nearDupLosers = Dedup.minhashPairs(exactDeduped, "doc_id", "text",
         tau = nearDupTau)
       .select(col("doc_b").as("doc_id")).distinct()
     val deduped = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
 
-    // 4. provenance fingerprints
-    deduped.join(TextAnalysis.fingerprint(deduped, "doc_id", "text"), "doc_id")
-      .select("doc_id", "lang_detected", "n_tokens", "stopword_ratio",
-        "distinct_ratio", "fp_md5", "fp_roll")
+    // 4. provenance fingerprints: a pure per-row projection — attached with
+    // select, never a self-join (which would re-execute the whole dedup
+    // subtree and add a shuffle for what is scan-side arithmetic)
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    deduped.select(col("doc_id") +: col("lang_detected") +: col("n_tokens") +:
+      col("stopword_ratio") +: col("distinct_ratio") +:
+      TextAnalysis.fingerprintCols(col("text")): _*)
   }
 }

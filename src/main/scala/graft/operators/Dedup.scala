@@ -21,6 +21,18 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup keeping the full surviving rows: ONE shuffle of the rows
+    * on the content hash, keep the min-id row per content. Compared to
+    * `exact()` + join-back (shuffle (hash,id), then shuffle the full rows
+    * again for the join, and execute the upstream plan twice), this is
+    * strictly less I/O whenever the caller needs the rows — the shape
+    * pipelines like Curation want at 100 TB. */
+  def exactRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    docs.withColumn("__keep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__keep")).drop("__keep")
+  }
+
   /** Exact-Jaccard verification: attach both docs' full shingle sets to
     * each candidate pair, compute |∩| / |∪|, keep pairs ≥ tau. Shared by
     * the MinHash and prefix-filtered n-gram paths so their (oracle-checked)

@@ -75,12 +75,19 @@ object TextAnalysis {
         .as("bpe_tokens"),
       length(col(textCol)).as("n_chars_m"))
 
+  /** Fingerprint columns (normalized text → md5 + polynomial rolling
+    * hash) — composable into any single-scan projection, so pipelines can
+    * ATTACH fingerprints without a self-join (a pure per-row fact never
+    * justifies a shuffle). */
+  def fingerprintCols(text: Column): Seq[Column] = {
+    val norm = TextOps.normalize(text)
+    Seq(md5(norm).as("fp_md5"), GraftFunctions.rolling_hash(norm).as("fp_roll"))
+  }
+
   /** Document fingerprints: normalized text → md5 (exact dedup key) +
     * polynomial rolling hash (graft native Expression, codegen'd). */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
-    val norm = TextOps.normalize(col(textCol))
-    docs.select(col(idCol), md5(norm).as("fp_md5"),
-      GraftFunctions.rolling_hash(norm).as("fp_roll"))
+    docs.select(col(idCol) +: fingerprintCols(col(textCol)): _*)
   }
 }

@@ -215,8 +215,10 @@ object PipelineQueries {
        "g AS (SELECT user_id, event_id, t, CASE WHEN lag(t) OVER w IS NULL OR " +
        "epoch_us(t) - epoch_us(lag(t) OVER w) > 21600000000 THEN 1 ELSE 0 END AS nw " +
        "FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
-       "se AS (SELECT user_id, t, SUM(nw) OVER (PARTITION BY user_id ORDER BY t, event_id " +
-       "ROWS UNBOUNDED PRECEDING) AS session FROM g) " +
+       // CAST: DuckDB types SUM(int) OVER as HUGEINT (surfaces as float64 in
+       // the comparator) while Spark emits BIGINT — content is identical
+       "se AS (SELECT user_id, t, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+       "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session FROM g) " +
        "SELECT user_id, session, COUNT(*) AS n_events, " +
        "strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS sess_start, " +
        "strftime(MAX(t), '%Y-%m-%d %H:%M:%S') AS sess_end " +
