@@ -34,7 +34,17 @@ object GraftExtensions {
         (es: Seq[Expression]) => MinHashBands(es.head,
           es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
       (FunctionIdentifier("word_shingles"), info(classOf[WordShingles], "word_shingles"),
-        (es: Seq[Expression]) => WordShingles(es.head, es(1).eval().asInstanceOf[Int]))
+        (es: Seq[Expression]) => WordShingles(es.head, es(1).eval().asInstanceOf[Int])),
+      // the codebook argument is a foldable nested-array literal, decoded
+      // ONCE at resolution into the expression's reference-object matrix
+      (FunctionIdentifier("vec_mat_cosines"), info(classOf[VecMatCosines], "vec_mat_cosines"),
+        (es: Seq[Expression]) => VecMatCosines(es.head, VecMatCosines.fromLiteral(es(1)))),
+      (FunctionIdentifier("srp_signature"), info(classOf[SrpSignature], "srp_signature"),
+        (es: Seq[Expression]) => SrpSignature(es.head, es(1).eval().asInstanceOf[Int],
+          if (es.length > 2) es(2).eval() match {
+            case i: Int => i.toLong
+            case l: Long => l
+          } else 0L))
     )
 
   def inject(e: SparkSessionExtensions): Unit =
@@ -61,4 +71,11 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(bands))
   def word_shingles(text: Column, w: Int): Column =
     call_function("word_shingles", text, org.apache.spark.sql.functions.lit(w))
+  def vec_mat_cosines(v: Column, mat: Array[Array[Double]]): Column =
+    call_function("vec_mat_cosines", v,
+      org.apache.spark.sql.functions.typedLit(mat.map(_.toSeq).toSeq))
+  def srp_signature(v: Column, numPlanes: Int, seed: Long = 0L): Column =
+    call_function("srp_signature", v,
+      org.apache.spark.sql.functions.lit(numPlanes),
+      org.apache.spark.sql.functions.lit(seed))
 }

@@ -292,3 +292,120 @@ object SimHash64Impl {
     sig
   }
 }
+
+/** Cosine similarities of a vector against a constant codebook matrix:
+  * out[j] = dot(v, m_j) / (|v| * |m_j|). The codebook rides along as a
+  * codegen REFERENCE OBJECT, not as literal array expressions — an
+  * nlist×dim literal codebook costs seconds of Janino compile per plan
+  * (measured 5.6s on the sf0.1 IVF query) while a reference object is one
+  * opaque field. Row norms are precomputed once at construction. */
+case class VecMatCosines(child: Expression, mat: Array[Array[Double]],
+                         norms: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_mat_cosines expects ARRAY<DOUBLE>, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    VecMatCosinesImpl.compute(input.asInstanceOf[ArrayData], mat, norms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("graftCosMat", mat, "double[][]")
+    val nrmRef = ctx.addReferenceObj("graftCosNorms", norms, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecMatCosinesImpl.compute($c, $matRef, $nrmRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): VecMatCosines =
+    copy(child = newChild)
+  override def prettyName: String = "vec_mat_cosines"
+}
+
+object VecMatCosines {
+  def apply(child: Expression, mat: Array[Array[Double]]): VecMatCosines =
+    VecMatCosines(child, mat,
+      mat.map(r => math.sqrt(r.map(x => x * x).sum)))
+  /** Decode a nested array literal (array<array<double>>) into the matrix. */
+  def fromLiteral(e: Expression): Array[Array[Double]] = {
+    val a = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements())(i => a.getArray(i).toDoubleArray())
+  }
+}
+
+object VecMatCosinesImpl {
+  def compute(v: ArrayData, mat: Array[Array[Double]],
+              norms: Array[Double]): ArrayData = {
+    val n = v.numElements()
+    var vn = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); vn += x * x; i += 1 }
+    vn = math.sqrt(vn)
+    val out = new Array[Any](mat.length)
+    var j = 0
+    while (j < mat.length) {
+      val row = mat(j)
+      val m = math.min(n, row.length)
+      var acc = 0.0
+      var k = 0
+      while (k < m) { acc += v.getDouble(k) * row(k); k += 1 }
+      out(j) = acc / (vn * norms(j))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Sign-random-projection LSH signature (Charikar 2002): bit p is
+  * sign(<v, s_p>) for a fixed ±1 hyperplane s_p. The hyperplane components
+  * are derived ON THE FLY from a splitmix64-style hash of (seed, plane,
+  * index) — no dim-sized literal arrays in the plan (Janino compile cost)
+  * and no driver job to probe the vector dimension; any dim works per row.
+  * Distinct `seed`s give independent hyperplane sets, so L independent LSH
+  * tables are L calls with seeds 0..L-1.
+  * Angular locality: P[bit agrees] = 1 - θ/π. */
+case class SrpSignature(child: Expression, numPlanes: Int, seed: Long)
+  extends UnaryExpression {
+  require(numPlanes >= 1 && numPlanes <= 64, "numPlanes must be in [1,64]")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"srp_signature expects ARRAY<DOUBLE>, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SrpSignatureImpl.compute(input.asInstanceOf[ArrayData], numPlanes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SrpSignatureImpl.compute($c, $numPlanes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+  override def prettyName: String = "srp_signature"
+}
+
+object SrpSignatureImpl {
+  /** splitmix64 finalizer (public-domain mixing function). */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def compute(v: ArrayData, numPlanes: Int, seed: Long): Long = {
+    val n = v.numElements()
+    val seedMix = mix(seed)
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        // ±1 component from the top bit of mix(seed ^ (p,i))
+        val s = if (mix(seedMix ^ ((p.toLong << 32) | i.toLong)) < 0) -1.0 else 1.0
+        acc += s * v.getDouble(i)
+        i += 1
+      }
+      if (acc >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}

@@ -50,20 +50,38 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
 
+  /** Default hot-bucket cap for [[bucketPairs]]: far above any bucket a
+    * healthy LSH banding produces, low enough that one adversarial bucket
+    * (a massive exact-dup cluster that skipped exact dedup) cannot OOM a
+    * task with an unbounded collect_list. */
+  val DefaultMaxBucket = 100000
+
   /** Intra-bucket id-ordered candidate pairs: group rows by bucket key,
     * collect the (small) id payloads, emit pairs with a double explode.
     * ONE pass over the upstream pipeline — a self-join would evaluate the
-    * (expensive) signature computation once per side. Bucket payloads are
-    * bounded by LSH design (a band value collides mostly for true
-    * near-dups); a pathological hot bucket surfaces as a big collect_list
-    * and should be capped upstream (e.g. `slice`) if the corpus contains
-    * massive exact-dup clusters. */
+    * (expensive) signature computation once per side.
+    *
+    * Hot-bucket enforcement: bucket membership is capped at `maxBucket`
+    * rows BEFORE the collect (row_number over the bucket key — the window
+    * reuses the exact hash partitioning of the groupBy, so it adds a sort
+    * but no second shuffle). Bucket payloads are bounded by LSH design (a
+    * band value collides mostly for true near-dups), but a pathological
+    * bucket — a giant exact-dup cluster the caller didn't exact-dedup
+    * first — would otherwise materialize an unbounded list in one task.
+    * The cap is deterministic (payload-ordered); pairs whose both members
+    * rank under the cap are unaffected, members beyond it are silently
+    * dropped from that bucket only. */
   private def bucketPairs(df: DataFrame, keyCols: Seq[String],
-                          payload: Column): DataFrame =
-    df.groupBy(keyCols.map(col): _*).agg(collect_list(payload).as("__ids"))
+                          payload: Column,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(payload)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxBucket)
+      .groupBy(keyCols.map(col): _*).agg(collect_list(payload).as("__ids"))
       .filter(size(col("__ids")) > 1)
       .select(explode(col("__ids")).as("__a"), col("__ids"))
       .select(col("__a"), explode(col("__ids")).as("__b"))
+  }
 
   // -------------------------------------------------------------- MinHash
 
@@ -75,14 +93,15 @@ object Dedup {
     * Approximate in recall (banding), exact in precision (verify step).
     * The signature never leaves the scan task — no signature shuffle. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   tau: Double, numPerm: Int = 128, bands: Int = 32): DataFrame = {
+                   tau: Double, numPerm: Int = 128, bands: Int = 32,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
     val sh = docs.select(col(idCol).as("doc_id"),
       GraftFunctions.word_shingles(col(textCol), 3).as("sh"))
     val bandsDf = sh.select(col("doc_id"),
       posexplode(GraftFunctions.minhash_bands(col("sh"), numPerm, bands))
         .as(Seq("band", "h")))
-    val cand = bucketPairs(bandsDf, Seq("band", "h"), col("doc_id"))
+    val cand = bucketPairs(bandsDf, Seq("band", "h"), col("doc_id"), maxBucket)
       .filter(col("__a") < col("__b"))
       .select(col("__a").as("doc_a"), col("__b").as("doc_b"))
       .distinct()
@@ -98,7 +117,8 @@ object Dedup {
     * the chunk equi-join bounds candidates, then `bit_count(a^b)`
     * verifies the true distance. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
     val sig = docs.select(col(idCol).as("doc_id"),
       GraftFunctions.simhash64(TextOps.tokens(col(textCol))).as("sig"))
@@ -106,7 +126,7 @@ object Dedup {
       posexplode(array((0 until 4).map(k =>
         shiftright(col("sig"), k * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk", "cv")))
-    bucketPairs(chunks, Seq("chunk", "cv"), struct(col("doc_id"), col("sig")))
+    bucketPairs(chunks, Seq("chunk", "cv"), struct(col("doc_id"), col("sig")), maxBucket)
       .filter(col("__a.doc_id") < col("__b.doc_id"))
       .select(col("__a.doc_id").as("doc_a"), col("__b.doc_id").as("doc_b"),
         bit_count(col("__a.sig").bitwiseXOR(col("__b.sig"))).as("hamming"))
@@ -181,10 +201,11 @@ object Dedup {
   // --------------------------------------------------------- embedding dup
 
   /** Embedding near-dup pairs: exact cosine ≥ tau over all id-ordered pairs.
-    * Cosine uses Similarity.cosine (deterministic left-fold dot product).
-    * This is the exact small/medium-corpus path; at 100 TB the LSH-bucketed
-    * candidate generation of Similarity.annLsh bounds the pair space and
-    * this same verify runs per bucket. */
+    * This is the EXACT path — a non-equi self-join that Spark plans as a
+    * nested-loop/cartesian, so it is only for small corpora and as the
+    * oracle reference the banded path is spec-checked against. The path
+    * that survives 100 TB is [[embedPairsBanded]].
+    * Cosine uses Similarity.cosine (deterministic left-fold dot product). */
   def embedPairs(emb: DataFrame, idCol: String, vecCol: String,
                  tau: Double): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
@@ -197,6 +218,53 @@ object Dedup {
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
         (Similarity.dot(col("a.v"), col("b.v")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding near-dup pairs, LSH-banded — the 100 TB path. Candidate
+    * generation is `tables` independent SRP-LSH tables of `bits` hyperplanes
+    * each (native `srp_signature` Expression, seeds 0..tables-1): vectors
+    * sharing a table's full signature are candidates (equi-join on
+    * (table, signature) — the plan has NO cartesian / nested-loop; the
+    * shuffle carries (id, 8-byte signature) rows only). Exact cosine then
+    * verifies every candidate, so precision is exact; recall is the LSH
+    * collision bound: a pair at cosine c collides per table with
+    * p(c)^bits for p(c) = 1 - acos(c)/π, and is missed entirely with
+    * (1 - p^bits)^tables.
+    *
+    * Parameter guidance: buckets shrink as ~n/2^bits per table, misses
+    * shrink as tables grows. A true near-dup regime (tau ≥ 0.9, p ≥ 0.86)
+    * wants the defaults (16 bits → per-table recall ~0.08 but 32 tables →
+    * ~93% overall, buckets 65536× smaller than the corpus); a deliberately
+    * weak threshold like the test data's 0.4 (p ≈ 0.63) sits outside
+    * LSH's effective regime and needs few-bit/many-table settings (the
+    * spec uses 2×32: miss ≈ 7.7e-8 — only viable because the test corpus
+    * is tiny). Verification joins the slim (id, vector, norm) relation
+    * back to the capped candidate pairs rather than collecting vectors
+    * into bucket lists. */
+  def embedPairsBanded(emb: DataFrame, idCol: String, vecCol: String,
+                       tau: Double, bits: Int = 16, tables: Int = 32,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val sigs = e.select(col("vid"),
+      posexplode(array((0 until tables).map(t =>
+        GraftFunctions.srp_signature(col("v"), bits, t.toLong)): _*))
+        .as(Seq("tbl", "sig")))
+    val cand = bucketPairs(sigs, Seq("tbl", "sig"), col("vid"), maxBucket)
+      .filter(col("__a") < col("__b"))
+      .select(col("__a").as("id_a"), col("__b").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vid"), col("v").as("va"), col("nrm").as("na")),
+        col("id_a") === col("vid")).drop("vid")
+      .join(e.select(col("vid"), col("v").as("vb"), col("nrm").as("nb")),
+        col("id_b") === col("vid")).drop("vid")
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= tau)
       .orderBy("id_a", "id_b")
   }

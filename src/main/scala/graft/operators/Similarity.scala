@@ -52,26 +52,25 @@ object Similarity {
     * candidates by exact cosine. The centroid set here is a deterministic
     * sample (lowest ids) standing in for a k-means codebook — the
     * assignment/probe plumbing (the Spark-side shape) is what matters:
-    * corpus assignment is a scan-side argmax over a broadcast codebook,
-    * candidates come from an equi-join on cell id, so a query touches
-    * ~nprobe/nlist of the corpus instead of all of it.
+    * corpus assignment is a scan-side argmax over the codebook, candidates
+    * come from an equi-join on cell id, so a query touches ~nprobe/nlist
+    * of the corpus instead of all of it.
     * Centroids are collected to the driver — bounded at nlist×dim floats,
     * the IVF codebook is driver-resident by construction (like any
-    * broadcast). */
+    * broadcast). The codebook rides into tasks as ONE reference object of
+    * the native `vec_mat_cosines` Expression — nlist literal-array
+    * expressions would cost seconds of Janino compile per plan (measured
+    * 5.6s at sf0.1) for the same semantics. */
   def annIvf(emb: DataFrame, idCol: String, vecCol: String,
              queryIds: Seq[Long], k: Int,
              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val e = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val cents: Array[(Int, Array[Double])] = e.orderBy("vid").limit(nlist)
-      .select("v").collect().map(_.getSeq[Double](0).toArray).zipWithIndex
-      .map { case (v, i) => (i, v) }
-    def centSims(v: Column, nrm: Column) = array(cents.map { case (_, cv) =>
-      val cn = math.sqrt(cv.map(x => x * x).sum)
-      dot(v, array(cv.map(lit): _*)) / (nrm * cn)
-    }: _*)
-    def withSims(df: DataFrame) = df.withColumn("sims", centSims(col("v"), col("nrm")))
+    val codebook: Array[Array[Double]] = e.orderBy("vid").limit(nlist)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    def withSims(df: DataFrame) = df.withColumn("sims",
+      graft.functions.GraftFunctions.vec_mat_cosines(col("v"), codebook))
     val corpus = withSims(e)
       .withColumn("cell", expr("array_position(sims, array_max(sims))").cast("int"))
       .drop("sims")
@@ -94,22 +93,13 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic ±1 random-hyperplane sign matrix (seeded). */
-  private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
-
-  /** Sign-random-projection signature (Charikar SRP-LSH): bit p of the
-    * signature is sign(<v, s_p>) for a fixed ±1 hyperplane s_p. Angular
-    * locality: P[bit agrees] = 1 - θ/π. Pure expression tree per row. */
-  def srpSignature(v: Column, numPlanes: Int, dim: Int): Column = {
-    val ps = planes(numPlanes, dim)
-    ps.zipWithIndex.map { case (s, p) =>
-      val proj = dot(v, array(s.map(lit): _*))
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** Sign-random-projection signature (Charikar SRP-LSH) — native codegen'd
+    * Expression (graft.functions.SrpSignature): hyperplane components are
+    * hash-derived per (seed, plane, index), so there is no dim-sized
+    * literal in the plan and no driver job to probe the vector dimension.
+    * Angular locality: P[bit agrees] = 1 - θ/π. */
+  def srpSignature(v: Column, numPlanes: Int, seed: Long = 0L): Column =
+    graft.functions.GraftFunctions.srp_signature(v, numPlanes, seed)
 
   /** LSH-bucketed approximate top-k: 16-bit SRP signatures split into 4
     * bands of 4 bits; corpus vectors sharing any band with a query vector
@@ -120,13 +110,10 @@ object Similarity {
              queryIds: Seq[Long], k: Int,
              numPlanes: Int = 16, bands: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
-    // hyperplanes must span the real embedding dimension — a hardcoded dim
-    // would silently truncate the projection (vec_dot folds min length)
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val bits = numPlanes / bands
     val mask = (1L << bits) - 1
     val e = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"),
-      srpSignature(col(vecCol).cast("array<double>"), numPlanes, dim).as("sig"))
+      srpSignature(col(vecCol).cast("array<double>"), numPlanes).as("sig"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val banded = e.select(col("vid"), col("v"), col("nrm"),
       posexplode(array((0 until bands).map(b =>

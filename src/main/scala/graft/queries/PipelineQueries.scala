@@ -52,6 +52,15 @@ object PipelineQueries {
     "q_dedup_embed" -> ((s, d) =>
       Dedup.embedPairs(Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4)),
 
+    // the scale path: SRP-LSH banded candidates + exact-cosine verify.
+    // 2-bit × 32-table banding because the test threshold (0.4) is far
+    // below the near-dup regime — see Dedup.embedPairsBanded's scaladoc
+    // for the recall math; checked against the SAME oracle as the exact
+    // cartesian above (miss probability ~1e-7 ⇒ identical output here).
+    "q_dedup_embed_lsh" -> ((s, d) =>
+      Dedup.embedPairsBanded(Tables.embeddings(s, d), "vec_id", "embedding",
+        tau = 0.4, bits = 2, tables = 32)),
+
     "q_ann_topk" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
@@ -149,6 +158,11 @@ object PipelineQueries {
        "WHERE shared / (na.n + nb.n - shared) >= 0.5 ORDER BY doc_a, doc_b"),
 
     "q_dedup_embed" ->
+      ("SELECT id_a, id_b, cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+       cosSql("a", "b") + " AS cos FROM embeddings a JOIN embeddings b " +
+       "ON a.vec_id < b.vec_id) WHERE cos >= 0.4 ORDER BY id_a, id_b"),
+
+    "q_dedup_embed_lsh" ->
       ("SELECT id_a, id_b, cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
        cosSql("a", "b") + " AS cos FROM embeddings a JOIN embeddings b " +
        "ON a.vec_id < b.vec_id) WHERE cos >= 0.4 ORDER BY id_a, id_b"),

@@ -85,4 +85,38 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("banded embed dedup ≡ exact cartesian on the test embeddings") {
+    val emb = graft.tables.Tables.embeddings(spark, sf())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = rows(Dedup.embedPairs(emb, "vec_id", "embedding", tau = 0.4))
+    val banded = rows(Dedup.embedPairsBanded(emb, "vec_id", "embedding",
+      tau = 0.4, bits = 2, tables = 32))
+    assert(exact.nonEmpty, "test data should contain pairs above tau")
+    assert(banded == exact)
+  }
+
+  test("banded embed dedup plans an equi-join, never a cartesian") {
+    val emb = graft.tables.Tables.embeddings(spark, sf())
+    val plan = Dedup.embedPairsBanded(emb, "vec_id", "embedding", tau = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join in plan:\n$plan")
+  }
+
+  test("hot buckets are capped: a giant exact-dup cluster cannot explode pairs") {
+    val d = doc(42)
+    val cluster = (1L to 200L).map(i => (i, d)) :+ (1000L, doc(7))
+    val df = cluster.toDF("doc_id", "text")
+    // uncapped would emit 200*199/2 = 19900 pairs; cap at 10 bounds the
+    // bucket to 10 members -> at most 45 pairs per band bucket
+    val capped = Dedup.minhashPairs(df, "doc_id", "text", tau = 0.5,
+      maxBucket = 10)
+    assert(capped.count() == 45L)
+    // pairs among the retained (lowest-id, deterministic) members survive
+    val ids = capped.select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(ids == (1L to 10L).toSet)
+  }
 }
