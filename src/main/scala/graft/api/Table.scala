@@ -64,6 +64,13 @@ final case class Table(df: DataFrame, name: String) {
   def astype(colName: String, to: DataType): Table =
     copy(df = df.withColumn(colName, df(colName).cast(to)))
 
+  /** `value in column` membership probe (`Column.__contains__`,
+    * base.py:1782). An existence check, not a scan: LIMIT 1 lets every
+    * partition stop at its first hit and the job cancels on the first
+    * non-empty result. */
+  def containsValue(colName: String, value: Any): Boolean =
+    !df.filter(df(colName) === lit(value)).limit(1).isEmpty
+
   // --------------------------------------------------------------- writes
   // The reference's write path batch-uploads row patches over HTTP
   // (batch_upload, base.py:2588). The Spark-native analog is a plan rewrite

@@ -43,10 +43,64 @@ object ChangeLog {
         .map(c => col(s"__last.$c").as(c)): _*)
   }
 
+  /** Per-COLUMN state as of `asOf` — the reference's actual `time_machine`
+    * semantics (base.py:973; patch loop :1008-1031): each (key, column)
+    * cell reverts independently to the value of its own last update at or
+    * before `asOf`, so a row whose columns changed at different times gets
+    * a mixed-vintage reconstruction. A log row "updates" a column iff the
+    * column is non-null in that row (sparse changelog model).
+    *
+    * One grouped aggregation: per column, max_by over an ordering that is
+    * null — and therefore ignored by the aggregate — on rows that don't
+    * set the column. Partial aggregation combines map-side, so the shuffle
+    * carries one candidate per (key, column) per partition; there is no
+    * per-column window or self-join no matter how many columns are
+    * reconstructed. */
+  def snapshotAsOfColumns(log: DataFrame, key: String, ts: String,
+                          tieBreak: String, asOf: Column,
+                          valueCols: Seq[String]): DataFrame = {
+    val ord = struct(col(ts), col(tieBreak))
+    val aggs = valueCols.map(c =>
+      max_by(col(c), when(col(c).isNotNull, ord)).as(c))
+    log.filter(col(ts) <= asOf)
+      .groupBy(col(key))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Ordered per-key history with a revision number — `fetch_row_logs`
     * analog. */
   def rowLogs(log: DataFrame, key: String, ts: String, tieBreak: String): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
     log.withColumn("rev", row_number().over(w))
+  }
+
+  /** Table-level activity page — `fetch_logs` analog (base.py:1037): the
+    * latest `n` entries table-wide, newest first. Plans as
+    * TakeOrderedAndProject: each partition keeps its top n, the driver
+    * merges — no global sort materialization, scale-safe for page-sized
+    * n. */
+  def fetchLogs(log: DataFrame, ts: String, tieBreak: String, n: Int): DataFrame =
+    log.orderBy(col(ts).desc, col(tieBreak).desc).limit(n)
+
+  /** Unpack log rows into per-cell change records — the `clean_details`
+    * analog (base.py:1154): for each key's consecutive entries, emit one
+    * (column, old_value, new_value) row per column that actually changed
+    * (null-safe comparison; values stringified like the reference's
+    * detail payloads). lag over the key window, then ONE explode of a
+    * column-count-sized array — the shuffle is the same single hash
+    * partition by key that any per-key history needs. */
+  def cellChanges(log: DataFrame, key: String, ts: String, tieBreak: String,
+                  valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    val lagged = valueCols.foldLeft(log)((df, c) =>
+      df.withColumn(s"__prev_$c", lag(col(c), 1).over(w)))
+    lagged.select(col(key), col(ts), col(tieBreak),
+        explode(array(valueCols.map(c => struct(
+          lit(c).as("column"),
+          col(s"__prev_$c").cast("string").as("old_value"),
+          col(c).cast("string").as("new_value"))): _*)).as("chg"))
+      .filter(!(col("chg.old_value") <=> col("chg.new_value")))
+      .select(col(key), col(ts), col(tieBreak), col("chg.column").as("column"),
+        col("chg.old_value").as("old_value"), col("chg.new_value").as("new_value"))
   }
 }

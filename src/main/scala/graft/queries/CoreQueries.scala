@@ -26,6 +26,7 @@ object CoreQueries {
     * whole class of "fp sum order flips a rounded digit" diffs — and at
     * 100 TB it also makes results reproducible run-to-run. */
   private val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+  private val Dec18 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
   private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(Dec)).cast("double")
   private def davg(c: org.apache.spark.sql.Column) = dsum(c) / count(c)
 
@@ -239,6 +240,67 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // per-COLUMN time machine (reference base.py:1008-1031): click_value
+    // and purchase_value revert independently — a user whose last click
+    // and last purchase happened at different times gets a mixed-vintage
+    // row, which the whole-row snapshotAsOf above cannot produce
+    "q_time_machine_cols" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val log = ev.select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click", col("value")).as("click_value"),
+        when(col("event_type") === "purchase", col("value")).as("purchase_value"))
+      ChangeLog.snapshotAsOfColumns(log, "user_id", "ts", "event_id",
+          to_timestamp(lit("2024-01-15 00:00:00")),
+          Seq("click_value", "purchase_value"))
+        .orderBy("user_id")
+    }),
+
+    "q_fetch_logs" -> ((s, d) =>
+      ChangeLog.fetchLogs(Tables.events(s, d), "ts", "event_id", 100)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))),
+
+    // clean_details analog: per-cell (old, new) change rows; value goes
+    // through DECIMAL(18,6) so its string form is engine-identical
+    "q_cell_changes" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 5)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          col("value").cast(Dec18).as("value"))
+      ChangeLog.cellChanges(ev, "user_id", "ts", "event_id",
+          Seq("event_type", "value"))
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("event_id"), col("column"), col("old_value"), col("new_value"))
+        .orderBy("user_id", "ts_s", "event_id", "column")
+    }),
+
+    // multi-select data model (SURVEY §3): p_name split to an
+    // Array[String] options column; `contains` on a select dtype matches
+    // rows whose OPTIONS include the value (reference base.py:1946), not
+    // substring match
+    "q_multiselect_contains" -> ((s, d) => {
+      val tb = t(s, d, "part").set("name_opts", split(col("p_name"), " "))
+      tb.loc(tb("name_opts").containsOption("bolt")).df
+        .select(col("p_partkey"), col("p_name"),
+          size(col("name_opts")).cast("long").as("n_opts"))
+        .orderBy("p_partkey")
+    }),
+
+    // link data model (SURVEY §3): the link column IS an Array[Long] of
+    // linked row ids; downstream reads it with array ops (size /
+    // array_min / array_max), never re-joining the fact table
+    "q_link_array" -> ((s, d) => {
+      val links = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_ids"))
+      links.filter(size(col("order_ids")) >= 8)
+        .select(col("c_custkey"),
+          size(col("order_ids")).cast("long").as("n_orders"),
+          array_min(col("order_ids")).as("min_id"),
+          array_max(col("order_ids")).as("max_id"))
+        .orderBy("c_custkey")
+    }),
+
     "q_row_logs" -> ((s, d) => {
       val ev = Tables.events(s, d).filter(col("user_id") < 5)
       ChangeLog.rowLogs(ev, "user_id", "ts", "event_id")
@@ -412,6 +474,41 @@ object CoreQueries {
        "FROM events WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00' " +
        "QUALIFY row_number() OVER (PARTITION BY user_id " +
        "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1 ORDER BY user_id"),
+    "q_time_machine_cols" ->
+      ("WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type, value " +
+       "FROM events WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'), " +
+       "c AS (SELECT user_id, value AS click_value FROM x WHERE event_type = 'click' " +
+       "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) = 1), " +
+       "p AS (SELECT user_id, value AS purchase_value FROM x WHERE event_type = 'purchase' " +
+       "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) = 1) " +
+       "SELECT k.user_id, click_value, purchase_value FROM (SELECT DISTINCT user_id FROM x) k " +
+       "LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id) ORDER BY k.user_id"),
+    "q_fetch_logs" ->
+      ("SELECT event_id, user_id, event_type, " +
+       "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s FROM events " +
+       "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC LIMIT 100"),
+    "q_cell_changes" ->
+      ("WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type, " +
+       "CAST(value AS DECIMAL(18,6)) AS value FROM events WHERE user_id < 5), " +
+       "l AS (SELECT user_id, t, event_id, event_type, value, " +
+       "lag(event_type) OVER w AS prev_type, lag(value) OVER w AS prev_value " +
+       "FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+       "u AS (SELECT user_id, t, event_id, 'event_type' AS \"column\", " +
+       "CAST(prev_type AS VARCHAR) AS old_value, CAST(event_type AS VARCHAR) AS new_value " +
+       "FROM l WHERE prev_type IS DISTINCT FROM event_type " +
+       "UNION ALL SELECT user_id, t, event_id, 'value' AS \"column\", " +
+       "CAST(prev_value AS VARCHAR) AS old_value, CAST(value AS VARCHAR) AS new_value " +
+       "FROM l WHERE prev_value IS DISTINCT FROM value) " +
+       "SELECT user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS ts_s, event_id, " +
+       "\"column\", old_value, new_value FROM u " +
+       "ORDER BY user_id, ts_s, event_id, \"column\""),
+    "q_multiselect_contains" ->
+      ("SELECT p_partkey, p_name, len(string_split(p_name, ' ')) AS n_opts FROM part " +
+       "WHERE list_contains(string_split(p_name, ' '), 'bolt') ORDER BY p_partkey"),
+    "q_link_array" ->
+      ("SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders, MIN(o_orderkey) AS min_id, " +
+       "MAX(o_orderkey) AS max_id FROM orders GROUP BY o_custkey " +
+       "HAVING COUNT(*) >= 8 ORDER BY c_custkey"),
     "q_row_logs" ->
       ("SELECT user_id, row_number() OVER (PARTITION BY user_id " +
        "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rev, event_id, event_type, " +

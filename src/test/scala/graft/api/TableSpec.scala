@@ -60,6 +60,13 @@ class TableSpec extends SparkSpec {
     assert(appended.df.count() == 5)
   }
 
+  test("containsValue: 'value in column' existence probe (base.py:1782)") {
+    val t = tbl
+    assert(t.containsValue("name", t.df.select("name").head().getString(0)))
+    assert(!t.containsValue("name", "no-such-name"))
+    assert(!t.containsValue("id", -1L))
+  }
+
   test("containsOption: multi-select membership (reference base.py:1946)") {
     val t = Table(Seq(
       (1L, Seq("red", "blue")), (2L, Seq("green")), (3L, Seq.empty[String])

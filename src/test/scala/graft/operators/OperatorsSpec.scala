@@ -75,4 +75,49 @@ class OperatorsSpec extends SparkSpec {
       .select("user_id", "event_type").as[(Long, String)].collect().toMap
     assert(snap == Map(1L -> "c", 2L -> "x"))
   }
+
+  test("snapshotAsOfColumns reconstructs each column at its own vintage") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, Option("a1"), Option.empty[Double]),
+      (1L, ts("2024-01-05 00:00:00"), 2L, Option.empty[String], Option(10.0)),
+      (1L, ts("2024-01-20 00:00:00"), 3L, Option("a2"), Option.empty[Double]),
+      (2L, ts("2024-01-02 00:00:00"), 4L, Option("b1"), Option(5.0))
+    ).toDF("k", "ts", "id", "col_a", "col_b")
+    val snap = ChangeLog.snapshotAsOfColumns(log, "k", "ts", "id",
+        to_timestamp(lit("2024-01-15 00:00:00")), Seq("col_a", "col_b"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    // key 1 is mixed-vintage: col_a from Jan 1 (the Jan 20 write is after
+    // the asOf cut), col_b from Jan 5 — no single log row ever held (a1, 10.0)
+    assert(snap(1L) == (Some("a1"), Some(10.0)))
+    assert(snap(2L) == (Some("b1"), Some(5.0)))
+  }
+
+  test("cellChanges emits one row per changed cell, null-safe on firsts") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "open", 1.0),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "open", 2.0), // only value changed
+      (1L, ts("2024-01-03 00:00:00"), 3L, "done", 2.0)  // only status changed
+    ).toDF("k", "ts", "id", "status", "value")
+    val out = ChangeLog.cellChanges(log, "k", "ts", "id", Seq("status", "value"))
+      .select("id", "column", "old_value", "new_value")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), r.getString(3))).toSet
+    assert(out == Set(
+      (1L, "status", None, "open"), (1L, "value", None, "1.0"),
+      (2L, "value", Some("1.0"), "2.0"),
+      (3L, "status", Some("open"), "done")))
+  }
+
+  test("fetchLogs pages the newest n entries table-wide") {
+    val ev = Tables.events(spark, sf())
+    val out = ChangeLog.fetchLogs(ev, "ts", "event_id", 10).collect()
+    assert(out.length == 10)
+    val all = ev.orderBy(col("ts").desc, col("event_id").desc).limit(10)
+      .select("event_id").as[Long].collect().toSeq
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == all)
+  }
 }
