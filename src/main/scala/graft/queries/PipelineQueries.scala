@@ -52,14 +52,27 @@ object PipelineQueries {
     "q_dedup_embed" -> ((s, d) =>
       Dedup.embedPairs(Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4)),
 
-    // the scale path: SRP-LSH banded candidates + exact-cosine verify.
-    // 2-bit × 32-table banding because the test threshold (0.4) is far
-    // below the near-dup regime — see Dedup.embedPairsBanded's scaladoc
-    // for the recall math; checked against the SAME oracle as the exact
-    // cartesian above (miss probability ~1e-7 ⇒ identical output here).
-    "q_dedup_embed_lsh" -> ((s, d) =>
-      Dedup.embedPairsBanded(Tables.embeddings(s, d), "vec_id", "embedding",
-        tau = 0.4, bits = 2, tables = 32)),
+    // the scale path: SRP-LSH banded candidates + exact-cosine verify, at
+    // the operating point LSH is FOR — near-duplicates. The corpus is the
+    // embeddings table plus a scaled copy of every vector (1.5·v: same
+    // direction, different norm — the "same content, different
+    // normalization" near-dup class). Banding runs at real scale
+    // parameters (16-bit signatures, 8 tables): SRP signatures are
+    // scale-invariant, so every planted pair collides in EVERY table,
+    // while unrelated vectors (cos ≤ ~0.51 in this data) share a 16-bit
+    // table with probability ≤ p^16 ≈ 1e-3 — buckets stay tiny and the
+    // candidate set is ~linear in the corpus. Exact-cosine verify makes
+    // the output oracle-exact. (The weak-threshold regime, where banding
+    // must widen to 2-bit × 32-table to keep recall, is spec-covered in
+    // DedupSpec against the exact cartesian.)
+    "q_dedup_embed_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = e.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5d)).as("embedding"))
+      Dedup.embedPairsBanded(e.union(planted), "vec_id", "embedding",
+        tau = 0.995, bits = 16, tables = 8)
+    }),
 
     "q_ann_topk" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -163,9 +176,13 @@ object PipelineQueries {
        "ON a.vec_id < b.vec_id) WHERE cos >= 0.4 ORDER BY id_a, id_b"),
 
     "q_dedup_embed_lsh" ->
-      ("SELECT id_a, id_b, cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-       cosSql("a", "b") + " AS cos FROM embeddings a JOIN embeddings b " +
-       "ON a.vec_id < b.vec_id) WHERE cos >= 0.4 ORDER BY id_a, id_b"),
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+       "UNION ALL SELECT vec_id + 100000, [x * 1.5 FOR x IN CAST(embedding AS DOUBLE[])] " +
+       "FROM embeddings) " +
+       "SELECT id_a, id_b, cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+       "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * " +
+       "sqrt(list_dot_product(b.v, b.v))) AS cos FROM e a JOIN e b " +
+       "ON a.vec_id < b.vec_id) WHERE cos >= 0.995 ORDER BY id_a, id_b"),
 
     "q_ann_topk" ->
       ("SELECT query_id, rank, neighbor_id, cos FROM (" +
