@@ -200,6 +200,37 @@ final case class Table(df: DataFrame, name: String) {
   }
 }
 
+/** Table creation — the load half of the reference's table lifecycle.
+  * `Table.from_frame` (base.py:373) builds a SeaTable table from a pandas
+  * frame by uploading rows; `Table.new` (base.py:584) creates an empty one.
+  * Spark-native, creation is just wrapping a DataFrame — rows never move —
+  * and external data enters through Spark's distributed readers, so a
+  * 100 TB CSV drop loads with the same parallelism as any scan. The write
+  * half is [[Table.save]]. */
+object TableIO {
+  /** `Table.from_frame`: adopt an existing frame as a named table. */
+  def fromFrame(df: DataFrame, name: String): Table = Table(df, name)
+
+  /** Load a CSV directory/file as a table (header + schema inference —
+    * the reference infers column types from the frame's dtypes,
+    * base.py:397). For repeated reads at scale, pass an explicit schema:
+    * inference costs one extra pass over the data. */
+  def fromCsv(spark: SparkSession, path: String, name: String,
+              schema: Option[org.apache.spark.sql.types.StructType] = None): Table = {
+    val r = spark.read.option("header", "true")
+    Table(schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path), name)
+  }
+
+  /** Load newline-delimited JSON as a table. */
+  def fromJson(spark: SparkSession, path: String, name: String): Table =
+    Table(spark.read.json(path), name)
+
+  /** Reload a table previously persisted with [[Table.save]] — partition
+    * columns written by `partitionBy` come back prunable. */
+  def fromParquet(spark: SparkSession, path: String, name: String): Table =
+    Table(spark.read.parquet(path), name)
+}
+
 /** Thin column handle mirroring the reference `Column` (base.py:1704).
   * Most predicates are Spark built-ins already; the wrapper adds the
   * reference's empty-string-as-null text semantics (README note 5,

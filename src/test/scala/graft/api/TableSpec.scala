@@ -60,6 +60,23 @@ class TableSpec extends SparkSpec {
     assert(appended.df.count() == 5)
   }
 
+  test("TableIO round-trip: csv/json in, parquet save, reload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+    val t = tbl
+    t.df.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    t.df.write.mode("overwrite").json(s"$dir/json")
+    val fromCsv = TableIO.fromCsv(spark, s"$dir/csv", "t_csv")
+    assert(fromCsv.df.count() == t.df.count())
+    // inference recovers numeric/boolean dtypes, not just strings
+    assert(fromCsv.df.schema("id").dataType.typeName != "string")
+    val fromJson = TableIO.fromJson(spark, s"$dir/json", "t_json")
+    assert(fromJson.df.count() == t.df.count())
+    fromCsv.save(s"$dir/pq", partitionBy = Seq("tag"))
+    val back = TableIO.fromParquet(spark, s"$dir/pq", "t_back")
+    assert(back.df.count() == t.df.count())
+    assert(TableIO.fromFrame(t.df, "t2").name == "t2")
+  }
+
   test("containsValue: 'value in column' existence probe (base.py:1782)") {
     val t = tbl
     assert(t.containsValue("name", t.df.select("name").head().getString(0)))
