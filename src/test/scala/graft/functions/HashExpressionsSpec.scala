@@ -44,4 +44,47 @@ class HashExpressionsSpec extends SparkSpec {
     assert(near < far)
     assert(near <= 8)
   }
+
+  test("srp_signature is scale-invariant and seed-sensitive, through codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(50)(Array.fill(64)(rnd.nextGaussian()))
+    val df = vecs.map(v => (v, v.map(_ * 1.5), v.map(_ * 0.01))).toDF("v", "v15", "v001")
+    val out = df.select(
+      GraftFunctions.srp_signature(col("v"), 32),
+      GraftFunctions.srp_signature(col("v15"), 32),
+      GraftFunctions.srp_signature(col("v001"), 32),
+      GraftFunctions.srp_signature(col("v"), 32, seed = 1L))
+      .as[(Long, Long, Long, Long)].collect()
+    // sign(<c·v, s>) == sign(<v, s>) for c > 0: the signature ignores norm
+    assert(out.forall(r => r._1 == r._2 && r._1 == r._3))
+    // an independent table (different seed) must not reuse the hyperplanes
+    assert(out.count(r => r._1 == r._4) < 5)
+    // codegen result == direct impl (interpreted path)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val direct = vecs.map(v =>
+      SrpSignatureImpl.compute(new GenericArrayData(v.map(x => Double.box(x): Any)), 32, 0L))
+    assert(out.map(_._1).toSeq == direct)
+  }
+
+  test("vec_mat_cosines agrees with the pairwise cosine definition") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(13)
+    val mat = Array.fill(7)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = Seq.fill(20)(Array.fill(16)(rnd.nextGaussian()))
+    val out = vecs.toDF("v")
+      .select(GraftFunctions.vec_mat_cosines(col("v"), mat))
+      .as[Seq[Double]].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }; acc
+      }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    vecs.zip(out).foreach { case (v, sims) =>
+      assert(sims.length == mat.length)
+      mat.zip(sims).foreach { case (row, s) => assert(s == cos(v, row)) }
+    }
+  }
 }
