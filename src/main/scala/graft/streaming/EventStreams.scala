@@ -88,6 +88,40 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-static enrichment: per micro-batch equi-join of the stream
+    * against a (slowly-changing) dimension snapshot, dim side broadcast.
+    * No streaming state at all — the dim is re-resolved each batch, so a
+    * dim refresh (new parquet snapshot) is picked up without restarting
+    * the query. The streaming shape of Table.link for event enrichment. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String,
+             how: String = "left"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), how)
+
+  /** Streaming ingest curation — the admission filter of Curation.curate
+    * for a document stream: the stateless scan-side gates (language ID +
+    * quality signals, pure per-row projections) run per micro-batch, then
+    * exact dedup on the content hash with bounded state
+    * (dropDuplicatesWithinWatermark evicts hashes once the watermark
+    * passes). Near-dup stages (MinHash/LSH) need cross-corpus candidate
+    * state and belong to the batch layer; this gate keeps the stream path
+    * stateless-plus-bounded. */
+  def curateStream(docs: DataFrame, tsCol: String,
+                   minTokens: Int = 10, maxStopwordRatio: Double = 1.0,
+                   watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val base = docs.withColumn("text", coalesce(col("text"), lit("")))
+    val gated = base.select((base.columns.map(col).toSeq ++
+        TextAnalysis.langScoreCols(col("text")) ++
+        TextAnalysis.qualityCols(col("text"))): _*)
+      .withColumn("lang_detected", TextAnalysis.detectedCol)
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") <= maxStopwordRatio)
+      .withColumn("__h", md5(col("text")))
+    gated.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+  }
+
   /** Gap-based sessionization with explicit state:
     * `flatMapGroupsWithState` keyed by user, EventTimeTimeout. A session
     * closes (and is emitted) when the watermark passes its end + gap; state

@@ -90,6 +90,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich joins each micro-batch against the static dim broadcast") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+    val q = enrich(mem.toDF(), dim, "user_id")
+      .select($"event_id", $"name")
+      .writeStream.format("memory").queryName("enr").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 9, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enr").as[(Long, Option[String])].collect().toMap
+      assert(rows(1L).contains("alice"))
+      assert(rows(2L).isEmpty) // left join keeps unmatched stream rows
+    } finally q.stop()
+  }
+
+  test("curateStream gates quality and dedups content within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the cat and the dog is in a house with the other cat again ok"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStreams.curateStream(docs, "ts", minTokens = 5)
+      .select($"doc_id", $"lang_detected")
+      .writeStream.format("memory").queryName("cur").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, good, ts(0)),
+        (2L, "too short", ts(1)),   // gated: under minTokens
+        (3L, good, ts(2)))          // exact dup of 1 within watermark
+      q.processAllAvailable()
+      val rows = spark.table("cur").as[(Long, String)].collect()
+      assert(rows.map(_._1).toSet == Set(1L))
+      assert(rows.head._2 == "en")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the gap via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
