@@ -350,6 +350,18 @@ object CoreQueries {
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
+    // the scale path for quantiles: exact `percentile` buffers every value
+    // of a group in one aggregation buffer (dead at 100 TB groups);
+    // approx_percentile keeps a fixed-size sketch that merges map-side.
+    // rows-only (the sketch isn't SQL-reproducible in DuckDB); the spec
+    // asserts the rank-error bound (±n/accuracy) against the exact path.
+    "q_stats_quantiles_approx" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_orderstatus")
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("med_approx"),
+          expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     "q3_topk" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)

@@ -112,6 +112,25 @@ class OperatorsSpec extends SparkSpec {
       (3L, "status", Some("open"), "done")))
   }
 
+  test("approx quantiles sit within the rank-error bound of exact") {
+    val orders = Tables.orders(spark, sf())
+    val acc = 10000
+    val rows = orders.groupBy("o_orderstatus")
+      .agg(expr(s"approx_percentile(o_totalprice, 0.5, $acc)").as("apx"),
+        expr("sort_array(collect_list(o_totalprice))").as("vals"))
+      .collect()
+    rows.foreach { r =>
+      val vals = r.getSeq[Double](2)
+      val apx = r.getDouble(1)
+      val n = vals.length
+      val err = math.max(1, n / acc) // guaranteed rank error of the sketch
+      val lo = vals(math.max(0, (0.5 * n).toInt - err - 1))
+      val hi = vals(math.min(n - 1, (0.5 * n).toInt + err + 1))
+      assert(apx >= lo && apx <= hi,
+        s"approx median $apx outside rank band [$lo, $hi] for n=$n")
+    }
+  }
+
   test("fetchLogs pages the newest n entries table-wide") {
     val ev = Tables.events(spark, sf())
     val out = ChangeLog.fetchLogs(ev, "ts", "event_id", 10).collect()
