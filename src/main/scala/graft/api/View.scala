@@ -13,7 +13,11 @@ final case class ViewFilter(column: String, predicate: String, terms: Seq[Any])
 final case class ViewDef(name: String,
                          filters: Seq[ViewFilter],
                          sorts: Seq[(String, Boolean)],     // (col, ascending)
-                         hiddenCols: Seq[String])
+                         hiddenCols: Seq[String],
+                         // view-level `filter_conjunction` (reference
+                         // base.py:1453): "And" | "Or", applied across the
+                         // grouped predicates
+                         conjunction: String = "And")
 
 object ViewCompiler {
 
@@ -40,11 +44,12 @@ object ViewCompiler {
     }
   }
 
-  /** `Table.get_view` analog: apply filters (AND of per-column groups, as
-    * the reference groups same-column is/is_not terms into is_any_of /
-    * is_none_of — base.py:1396-1420), sorts, and hidden-column pruning.
-    * Pruning happens in the same plan so the scan only reads visible
-    * columns. */
+  /** `Table.get_view` analog: apply filters (per-column groups combined
+    * with the view's `filter_conjunction`, as the reference groups
+    * same-column is/is_not terms into is_any_of / is_none_of and then
+    * joins every compiled group with the view-level AND/OR —
+    * base.py:1396-1460), sorts, and hidden-column pruning. Pruning happens
+    * in the same plan so the scan only reads visible columns. */
   def getView(t: Table, view: ViewDef,
               hideCols: Boolean = true, sort: Boolean = true): DataFrame = {
     // merge same-column is/is_not terms into set predicates, like the
@@ -60,8 +65,14 @@ object ViewCompiler {
         ViewFilter(c, "is_none_of", fs.flatMap(_.terms))
       case (_, fs) => fs.head
     }.toSeq
+    val combine: (Column, Column) => Column = view.conjunction.toLowerCase match {
+      case "and" => _ && _
+      case "or"  => _ || _
+      case bad => throw new IllegalArgumentException(
+        s"filter_conjunction '$bad' (expected And/Or — reference base.py:1453)")
+    }
     val pred = (merged ++ individual).map(compileFilter(t, _))
-      .reduceOption(_ && _).getOrElse(lit(true))
+      .reduceOption(combine).getOrElse(lit(true))
     val visible = t.df.columns.filterNot(c => hideCols && view.hiddenCols.contains(c))
     var out = t.df.filter(pred).select(visible.map(t.df(_)): _*)
     if (sort && view.sorts.nonEmpty)

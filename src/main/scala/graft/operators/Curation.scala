@@ -49,7 +49,11 @@ object Curation {
     val nearDupLosers = Dedup.minhashPairs(exactDeduped, "doc_id", "text",
         tau = nearDupTau)
       .select(col("doc_b").as("doc_id")).distinct()
-    val deduped = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    // explicit broadcast: without the hint the static plan is a SortMergeJoin
+    // LeftAnti that exchanges+sorts the WHOLE curated corpus; AQE may convert
+    // it at runtime but at 100 TB that is not a gamble to take — the loser
+    // side is tiny by construction (near-dup ids only)
+    val deduped = exactDeduped.join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
 
     // 4. provenance fingerprints: a pure per-row projection — attached with
     // select, never a self-join (which would re-execute the whole dedup

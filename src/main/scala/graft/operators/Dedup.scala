@@ -200,15 +200,30 @@ object Dedup {
 
   // --------------------------------------------------------- embedding dup
 
+  /** Guard ceiling for [[embedPairs]]: the exact all-pairs path compares
+    * n·(n-1)/2 vectors — at 1e5 rows that is 5e9 cosine evaluations, the
+    * outer limit of "small corpus". Above it, callers must use
+    * [[embedPairsBanded]]. */
+  val MaxExactEmbedRows = 100000L
+
   /** Embedding near-dup pairs: exact cosine ≥ tau over all id-ordered pairs.
     * This is the EXACT path — a non-equi self-join that Spark plans as a
     * nested-loop/cartesian, so it is only for small corpora and as the
     * oracle reference the banded path is spec-checked against. The path
     * that survives 100 TB is [[embedPairsBanded]].
+    *
+    * SIZE-GUARDED: counts the input (one cheap job — the count reads only
+    * parquet footers/metadata when `emb` is a plain scan) and refuses to
+    * plan the cartesian above `maxRows`, so no unguarded nested-loop join
+    * is reachable through SparkEntry on a large corpus.
     * Cosine uses Similarity.cosine (deterministic left-fold dot product). */
   def embedPairs(emb: DataFrame, idCol: String, vecCol: String,
-                 tau: Double): DataFrame = {
+                 tau: Double, maxRows: Long = MaxExactEmbedRows): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val n = emb.count()
+    require(n <= maxRows,
+      s"embedPairs is the exact all-pairs baseline (O(n^2) cartesian) and is " +
+      s"capped at $maxRows rows; got $n. Use embedPairsBanded for large corpora.")
     // sqrt-norms are per-row facts: compute them once on each side of the
     // join instead of re-deriving inside every pair's cosine.
     val e = emb.select(col(idCol).as("vid"),

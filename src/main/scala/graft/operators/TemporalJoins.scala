@@ -29,8 +29,16 @@ object TemporalJoins {
     * Union trick: tag left=1/right=0, sort each key partition by
     * (ts, tag) so a right row at ts T precedes left rows at T, then
     * `last(payload, ignoreNulls)` over rows-unbounded-preceding carries
-    * the latest right payload into every left row. One shuffle total;
-    * skewed keys split fine under AQE because the window is per-key. */
+    * the latest right payload into every left row. One shuffle total.
+    *
+    * Hot-key ceiling: the window partitions by `key`, and AQE's skew
+    * mitigation applies to shuffle JOINS, not window partitions — one
+    * hot key therefore lands in ONE task and is processed by a single
+    * core's sort+scan (disk-spillable, so it completes — see the skew
+    * spec — but it serializes). If one entity owns a double-digit share
+    * of 100 TB, pre-split the key range (e.g. carry per-shard asof state
+    * and merge) or bound per-key history upstream. The same ceiling
+    * applies to any per-key window (q_topk_per_group, sessionize). */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightCols: Seq[String]): DataFrame = {
     val lTagged = left.withColumn("__tag", lit(1))

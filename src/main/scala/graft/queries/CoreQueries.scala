@@ -222,6 +222,19 @@ object CoreQueries {
       ViewCompiler.getView(t(s, d, "customer"), view)
     }),
 
+    // OR-conjunction view (reference filter_conjunction, base.py:1453):
+    // same-column is-terms still merge to is_any_of, then groups OR together
+    "q_get_view_or" -> ((s, d) => {
+      val view = ViewDef("building-or-rich",
+        filters = Seq(
+          ViewFilter("c_mktsegment", "is", Seq("BUILDING")),
+          ViewFilter("c_acctbal", "greater", Seq(9000))),
+        sorts = Seq(("c_custkey", true)),
+        hiddenCols = Seq("c_nationkey", "c_name"),
+        conjunction = "Or")
+      ViewCompiler.getView(t(s, d, "customer"), view)
+    }),
+
     "q_query_sql" -> ((s, d) => {
       Tables.registerViews(s, d)
       s.sql(revenueByNationSql)
@@ -479,6 +492,10 @@ object CoreQueries {
       ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +
        "WHERE c_mktsegment IN ('BUILDING','MACHINERY') AND c_acctbal > 1000 " +
        "ORDER BY c_acctbal DESC, c_custkey"),
+    "q_get_view_or" ->
+      ("SELECT c_custkey, c_acctbal, c_mktsegment FROM customer " +
+       "WHERE c_mktsegment = 'BUILDING' OR c_acctbal > 9000 " +
+       "ORDER BY c_custkey"),
     "q_query_sql" -> revenueByNationSql,
     "q_time_machine" ->
       ("SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS last_ts_s, " +

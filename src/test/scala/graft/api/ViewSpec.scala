@@ -30,6 +30,31 @@ class ViewSpec extends SparkSpec {
     assert(ids == Set(3L))
   }
 
+  test("Or conjunction combines filter groups with OR (reference base.py:1453)") {
+    val v = ViewDef("either", filters = Seq(
+      ViewFilter("name", "contains", Seq("nut")),
+      ViewFilter("price", "greater", Seq(1000))),
+      sorts = Nil, hiddenCols = Nil, conjunction = "Or")
+    val ids = ViewCompiler.getView(tbl, v).select("id").as[Long].collect().toSet
+    assert(ids == Set(2L, 4L)) // 'nut' OR price>1000 — AND would give none
+  }
+
+  test("Or conjunction still merges same-column is-terms into any_of first") {
+    val v = ViewDef("merge-or", filters = Seq(
+      ViewFilter("name", "is", Seq("red bolt")),
+      ViewFilter("name", "is", Seq("blue bolt")),
+      ViewFilter("price", "greater", Seq(4000))),
+      sorts = Nil, hiddenCols = Nil, conjunction = "Or")
+    val ids = ViewCompiler.getView(tbl, v).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 4L))
+  }
+
+  test("unknown conjunction is rejected") {
+    val v = ViewDef("bad", filters = Seq(ViewFilter("name", "is", Seq("x"))),
+      sorts = Nil, hiddenCols = Nil, conjunction = "Xor")
+    intercept[IllegalArgumentException] { ViewCompiler.getView(tbl, v) }
+  }
+
   test("is/is_not merging still groups into any_of/none_of") {
     val v = ViewDef("merge", filters = Seq(
       ViewFilter("name", "is", Seq("red bolt")),

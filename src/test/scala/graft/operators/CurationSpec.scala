@@ -31,6 +31,19 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("fp_md5").isNull).count() == 0)
   }
 
+  test("near-dup anti-join is a broadcast join in the static plan") {
+    val docs = Tables.documents(spark, sf())
+    val plan = Curation.curate(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the loser set must broadcast: a SortMergeJoin LeftAnti would
+    // exchange+sort the whole curated corpus at 100 TB
+    val lines = plan.linesIterator.toSeq
+    assert(lines.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"anti-join not broadcast:\n$plan")
+    assert(!lines.exists(l => l.contains("SortMergeJoin") && l.contains("LeftAnti")),
+      "anti-join fell back to sort-merge")
+  }
+
   test("frameSample bounds fan-out and preserves bytes") {
     val docs = Tables.documents(spark, sf()).limit(10)
     val media = Multimodal.asBinary(docs, "doc_id", "text")

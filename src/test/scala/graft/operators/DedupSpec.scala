@@ -97,6 +97,18 @@ class DedupSpec extends SparkSpec {
     assert(banded == exact)
   }
 
+  test("exact embed pairs refuse a corpus above the cartesian guard") {
+    val e = (1L to 50L).map(i => (i, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.embedPairs(e, "vec_id", "embedding", tau = 0.9, maxRows = 10L)
+    }
+    assert(err.getMessage.contains("embedPairsBanded"))
+    // under the cap the exact path still runs
+    assert(Dedup.embedPairs(e.limit(5), "vec_id", "embedding",
+      tau = 0.0, maxRows = 10L).count() > 0)
+  }
+
   test("banded embed dedup plans an equi-join, never a cartesian") {
     val emb = graft.tables.Tables.embeddings(spark, sf())
     val plan = Dedup.embedPairsBanded(emb, "vec_id", "embedding", tau = 0.4)

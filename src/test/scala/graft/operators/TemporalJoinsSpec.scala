@@ -26,6 +26,26 @@ class TemporalJoinsSpec extends SparkSpec {
       102L -> None, 103L -> None))
   }
 
+  test("asOfJoin completes on one 10^6-row hot key (single-task sort, spillable)") {
+    // the hot-key ceiling documented on asOfJoin: ALL rows share one key,
+    // so the window runs in ONE task — this proves the path completes
+    // (sort is disk-spillable) and stays correct, it just serializes
+    val n = 1000000
+    val left = spark.range(n).select(lit(1L).as("k"),
+      timestamp_micros(col("id") * 2000000L + 1000000L).as("ts"),
+      col("id").as("lid"))
+    val right = spark.range(n / 100).select(lit(1L).as("k"),
+      timestamp_micros(col("id") * 200000000L).as("ts"),
+      (col("id") * 100L).as("rv"))
+    val out = TemporalJoins.asOfJoin(left, right, "k", "ts", Seq("rv"))
+    // every left row at t has a prior right row at floor(t/200s)*200s,
+    // whose rv = that index * 100
+    val bad = out.filter(
+      col("asof_rv") =!= floor((col("lid") * 2L + 1L) / 200L) * 100L).count()
+    assert(bad == 0L)
+    assert(out.count() == n.toLong)
+  }
+
   test("bandedRangeJoin matches each in-band pair exactly once") {
     val a = Seq((1L, 1L, ts(0)), (1L, 2L, ts(59)), (1L, 3L, ts(200)))
       .toDF("k", "a_id", "a_ts")
