@@ -49,6 +49,49 @@ final case class Table(df: DataFrame, name: String) {
   def iloc(start: Int, stop: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).offset(start).limit(stop - start)
 
+  /** Full `table.iloc[start:stop:step]` (iLocIndexer.parse_slice,
+    * base.py:2501): python-slice semantics with negative start/stop
+    * mapped through the row count and `step` applied to the downloaded
+    * window (reference warns "step is applied only after the data has
+    * been downloaded", base.py:2472 — here the window is the offset+limit
+    * slice, so the step filter touches slice-sized data, not the table).
+    *
+    * A negative bound (or an open stop with step > 1) needs the row
+    * count: ONE count job — same cost as the reference, whose
+    * parse_slice reads `table.shape[0]`. Non-negative closed slices stay
+    * fully lazy. The row_number window for `step` runs on the
+    * already-sliced rows (user-bounded), never globally. */
+  def ilocSlice(start: Option[Long], stop: Option[Long],
+                step: Long, order: Column*): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step (reverse slices don't " +
+      "distribute; sort descending instead)")
+    require(order.nonEmpty, "a distributed table has no implicit row order; " +
+      "pass the order columns")
+    lazy val n = df.count()
+    val s0 = start match {
+      case Some(x) if x < 0 => math.max(n + x, 0L)
+      case Some(x) => x
+      case None => 0L
+    }
+    val s1 = stop match {
+      case Some(x) if x < 0 => math.max(n + x, 0L)
+      case Some(x) => x
+      case None if step == 1 => -1L // open end, no limit needed
+      case None => n
+    }
+    val ordered = df.orderBy(order: _*)
+    val sliced =
+      if (s1 < 0) ordered.offset(s0.toInt)
+      else ordered.offset(s0.toInt).limit(math.max(s1 - s0, 0L).toInt)
+    if (step == 1) sliced
+    else {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      sliced.withColumn("__rn", row_number().over(w))
+        .filter((col("__rn") - 1) % step === 0)
+        .drop("__rn")
+    }
+  }
+
   /** `Column.unique` (base.py:2158) — SELECT DISTINCT; partial-aggregate
     * dedup, no full shuffle of payload columns. */
   def unique(colName: String): DataFrame = df.select(colName).distinct()
@@ -60,9 +103,37 @@ final case class Table(df: DataFrame, name: String) {
     df.groupBy(colName).agg(count(lit(1)).as("count"))
       .orderBy(col("count").desc, col(colName))
 
-  /** `Column.astype` (base.py:1861). */
-  def astype(colName: String, to: DataType): Table =
-    copy(df = df.withColumn(colName, df(colName).cast(to)))
+  /** `Column.astype(dtype, errors)` (base.py:1861, delegating to pandas
+    * `Series.astype` semantics):
+    *   - `"raise"`: any value the cast cannot represent raises at
+    *     execution time (a codegen'd guard on "non-null in, try_cast
+    *     null out" — no second pass, and one uniform error message
+    *     whether or not the session runs ANSI mode);
+    *   - `"ignore"`: pandas suppresses the error by returning the column
+    *     UNCHANGED (all-or-nothing, not per-row). That needs to know
+    *     whether any row fails: one existence probe (LIMIT-1 job that
+    *     cancels on the first bad row, like [[containsValue]]), then the
+    *     cast or the original column. */
+  def astype(colName: String, to: DataType, errors: String = "raise"): Table = {
+    val orig = df(colName)
+    // try_cast (null on malformed input) regardless of the session's ANSI
+    // setting, so both policies behave identically under ANSI on/off
+    val tried = orig.try_cast(to)
+    errors match {
+      case "raise" =>
+        copy(df = df.withColumn(colName,
+          when(orig.isNotNull && tried.isNull,
+            raise_error(concat(lit(s"astype: cannot cast value '"),
+              orig.cast("string"), lit(s"' of ${colName} to ${to.sql}")))
+              .cast(to))
+            .otherwise(tried)))
+      case "ignore" =>
+        val anyBad = !df.filter(orig.isNotNull && tried.isNull).limit(1).isEmpty
+        if (anyBad) this else copy(df = df.withColumn(colName, tried))
+      case bad => throw new IllegalArgumentException(
+        s"errors must be 'raise' or 'ignore', got '$bad' (reference base.py:1861)")
+    }
+  }
 
   /** `value in column` membership probe (`Column.__contains__`,
     * base.py:1782). An existence check, not a scan: LIMIT 1 lets every
@@ -272,15 +343,25 @@ final case class Col(c: Column, colName: String) {
   def notnull(emptyStr: Boolean = true): Column =
     if (emptyStr) c.isNotNull && c =!= "" else c.isNotNull
 
-  /** `Column.map(dict)` (base.py:2052) with pandas semantics: unmapped
-    * values → null (na_action=None ⇒ CASE with no ELSE). Compiled to a
-    * when-chain — codegen'd, no UDF. */
-  def mapValues(mapping: Seq[(Any, Any)]): Column =
-    if (mapping.isEmpty) lit(null) // pandas .map({}) -> all-NaN
-    else {
-      val first = when(c === mapping.head._1, lit(mapping.head._2))
-      mapping.tail.foldLeft(first) { case (acc, (k, v)) =>
-        acc.when(c === k, lit(v))
-      }
+  /** `Column.map(dict, na_action)` (base.py:2052) with pandas semantics:
+    * unmapped values → null (CASE with no ELSE), compiled to a codegen'd
+    * when-chain — no UDF.
+    *   - `naAction = None` (pandas default): nulls go through the
+    *     mapping, so a `null -> v` entry applies (pandas can map NaN);
+    *   - `naAction = Some("ignore")`: nulls propagate untouched, null
+    *     mapping keys are skipped. */
+  def mapValues(mapping: Seq[(Any, Any)], naAction: Option[String] = None): Column = {
+    require(naAction.forall(_ == "ignore"),
+      s"na_action must be None or 'ignore', got $naAction (reference base.py:2052)")
+    val ignoreNulls = naAction.contains("ignore")
+    def cond(k: Any): Column = k match {
+      case null => if (ignoreNulls) lit(false) else c.isNull
+      case v => c === v
     }
+    val entries = if (ignoreNulls) mapping.filter(_._1 != null) else mapping
+    if (entries.isEmpty) lit(null) // pandas .map({}) -> all-NaN
+    else entries.tail.foldLeft(when(cond(entries.head._1), lit(entries.head._2))) {
+      case (acc, (k, v)) => acc.when(cond(k), lit(v))
+    }
+  }
 }

@@ -39,6 +39,8 @@ object GraftExtensions {
       // ONCE at resolution into the expression's reference-object matrix
       (FunctionIdentifier("vec_mat_cosines"), info(classOf[VecMatCosines], "vec_mat_cosines"),
         (es: Seq[Expression]) => VecMatCosines(es.head, VecMatCosines.fromLiteral(es(1)))),
+      (FunctionIdentifier("media_header"), info(classOf[MediaHeader], "media_header"),
+        (es: Seq[Expression]) => MediaHeader(es.head)),
       (FunctionIdentifier("srp_signature"), info(classOf[SrpSignature], "srp_signature"),
         (es: Seq[Expression]) => SrpSignature(es.head, es(1).eval().asInstanceOf[Int],
           if (es.length > 2) es(2).eval() match {
@@ -71,6 +73,7 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(bands))
   def word_shingles(text: Column, w: Int): Column =
     call_function("word_shingles", text, org.apache.spark.sql.functions.lit(w))
+  def media_header(payload: Column): Column = call_function("media_header", payload)
   def vec_mat_cosines(v: Column, mat: Array[Array[Double]]): Column =
     call_function("vec_mat_cosines", v,
       org.apache.spark.sql.functions.typedLit(mat.map(_.toSeq).toSeq))

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level media-container header parsing (SURVEY.md §2.2 multimodal).
+  *
+  * A native codegen'd Expression, not a UDF/mapPartitions stage: header
+  * sniffing is a per-row scan-side fact (like a hash), so it belongs
+  * inside whole-stage codegen where a 100 TB media table pays zero
+  * serialization for it. Full image DECODE (pixels) still needs a codec
+  * library and stays behind the Multimodal mapPartitions plumbing; the
+  * container header — magic bytes, dimensions, format — is plain byte
+  * arithmetic and is parsed here for real.
+  *
+  * Returns struct<format: string, width: int, height: int>, or NULL when
+  * the payload matches no known container (truncated or foreign magic).
+  */
+case class MediaHeader(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"media_header expects BINARY, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    MediaHeaderImpl.parse(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaHeaderImpl.parse($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MediaHeader =
+    copy(child = newChild)
+  override def prettyName: String = "media_header"
+}
+
+object MediaHeaderImpl {
+  private def u(b: Byte): Int = b & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u(b(i)) << 8) | u(b(i + 1))
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u(b(i)).toLong << 24) | (u(b(i + 1)) << 16) | (u(b(i + 2)) << 8) | u(b(i + 3))
+
+  private def row(fmt: String, w: Int, h: Int): InternalRow =
+    InternalRow(UTF8String.fromString(fmt), w, h)
+
+  /** PNG: 8-byte signature, then the IHDR chunk (must be first per the
+    * PNG spec): 4-byte length, "IHDR", 4-byte big-endian width, 4-byte
+    * big-endian height. */
+  private def parsePng(b: Array[Byte]): InternalRow = {
+    if (b.length < 24) return null
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return null
+    val w = be32(b, 16); val h = be32(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
+    row("png", w.toInt, h.toInt)
+  }
+
+  /** JPEG: SOI marker, then a walk over marker segments (each FF-marker +
+    * 2-byte big-endian length including the length bytes) until a
+    * frame-header SOFn (C0-CF except DHT C4, JPG C8, DAC CC), which
+    * carries sample precision (1 byte), then big-endian height and
+    * width. Standalone markers (RSTn, TEM) have no length field. */
+  private def parseJpeg(b: Array[Byte]): InternalRow = {
+    var pos = 2
+    while (pos + 3 < b.length) {
+      if (u(b(pos)) != 0xff) return null
+      val marker = u(b(pos + 1))
+      if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        pos += 2 // standalone marker, no segment body
+      } else if (marker >= 0xc0 && marker <= 0xcf &&
+                 marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        if (pos + 8 >= b.length) return null
+        val h = be16(b, pos + 5); val w = be16(b, pos + 7)
+        if (w <= 0 || h <= 0) return null
+        return row("jpeg", w, h)
+      } else {
+        val segLen = be16(b, pos + 2)
+        if (segLen < 2) return null
+        pos += 2 + segLen
+      }
+    }
+    null
+  }
+
+  /** Callable from generated Java. Returns null for unknown containers. */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4) return null
+    if (u(b(0)) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b.length >= 8 && u(b(4)) == 0x0d && u(b(5)) == 0x0a &&
+        u(b(6)) == 0x1a && u(b(7)) == 0x0a) parsePng(b)
+    else if (u(b(0)) == 0xff && u(b(1)) == 0xd8) parseJpeg(b)
+    else null
+  }
+}

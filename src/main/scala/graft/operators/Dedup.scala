@@ -212,15 +212,18 @@ object Dedup {
     * oracle reference the banded path is spec-checked against. The path
     * that survives 100 TB is [[embedPairsBanded]].
     *
-    * SIZE-GUARDED: counts the input (one cheap job — the count reads only
-    * parquet footers/metadata when `emb` is a plain scan) and refuses to
-    * plan the cartesian above `maxRows`, so no unguarded nested-loop join
-    * is reachable through SparkEntry on a large corpus.
+    * SIZE-GUARDED: counts an id-only projection of the input (one job;
+    * column pruning keeps it to one slim column — for a plain parquet
+    * scan Spark answers it from row-group metadata, while a DERIVED input
+    * executes its upstream plan for the count and again for the join, so
+    * callers passing an expensive pipeline should persist it first) and
+    * refuses to plan the cartesian above `maxRows` — no unguarded
+    * nested-loop join is reachable through SparkEntry on a large corpus.
     * Cosine uses Similarity.cosine (deterministic left-fold dot product). */
   def embedPairs(emb: DataFrame, idCol: String, vecCol: String,
                  tau: Double, maxRows: Long = MaxExactEmbedRows): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
-    val n = emb.count()
+    val n = emb.select(idCol).count()
     require(n <= maxRows,
       s"embedPairs is the exact all-pairs baseline (O(n^2) cartesian) and is " +
       s"capped at $maxRows rows; got $n. Use embedPairsBanded for large corpora.")

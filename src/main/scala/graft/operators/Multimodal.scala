@@ -99,6 +99,46 @@ object Multimodal {
     }
   }
 
+  /** REAL byte-level container-header decode (no codec needed): parses
+    * PNG signature+IHDR and JPEG marker-segment walks natively in codegen
+    * via graft's `media_header` Expression — see
+    * [[graft.functions.MediaHeaderImpl]]. Input: any binary payload
+    * column; output columns format/width/height (null row values for
+    * foreign containers). This replaces the r1-r3 "decode is a stub"
+    * posture for the header stage; full pixel decode still needs a codec
+    * and keeps the mapPartitions plumbing below. */
+  def decodeHeader(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        graft.functions.GraftFunctions.media_header(col(payloadCol)).as("hdr"))
+      .select(col(idCol), col("hdr.format").as("format"),
+        col("hdr.width").as("width"), col("hdr.height").as("height"))
+  }
+
+  /** Deterministic synthetic container payloads, built per row with
+    * builtin byte functions (hex/unhex/concat — scan-side, codegen'd):
+    * even ids get a PNG (signature + IHDR), odd ids a JPEG (SOI + APP0 +
+    * a VARIABLE-length COM segment + SOF0) so the JPEG path exercises a
+    * real marker walk, not a fixed offset. Dimensions are closed-form in
+    * the id (width = id % 640 + 16, height = id % 480 + 16), which is
+    * what makes decode oracle-checkable end-to-end: the container is
+    * assembled by one engine and parsed by independent byte logic. */
+  def syntheticContainers(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val w = id % 640 + 16
+    val h = id % 480 + 16
+    val png = unhex(concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000")))
+    val jpeg = unhex(concat(
+      lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "00010001" + "0000"),
+      lit("FFFE"), lpad(hex(id % 7 + 2), 4, "0"),
+      expr(s"repeat('41', CAST($idCol % 7 AS INT))"),
+      lit("FFC0" + "0011" + "08"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lit("03")))
+    docs.select(id, when(id % 2 === 0, png).otherwise(jpeg).as("payload"))
+  }
+
   /** Oracle-checkable byte stats over the binary column: sizes, an 8-byte
     * header sample (hex), and a stub scalar feature. */
   def byteStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

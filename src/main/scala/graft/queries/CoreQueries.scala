@@ -94,6 +94,17 @@ object CoreQueries {
       t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         .iloc(50, 150, col("o_orderkey"))),
 
+    // `table.iloc[-100:]` — negative start maps through the row count
+    // (reference iLocIndexer.parse_slice, base.py:2501)
+    "q_iloc_neg" -> ((s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .ilocSlice(start = Some(-100L), stop = None, step = 1, col("o_orderkey"))),
+
+    // `table.iloc[50:350:3]` — step applied within the slice window
+    "q_iloc_step" -> ((s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .ilocSlice(start = Some(50L), stop = Some(350L), step = 3, col("o_orderkey"))),
+
     // order by ALL emitted columns: (l_orderkey, l_linenumber) is not
     // unique, so a 2-column order leaves the LIMIT boundary ambiguous
     "q_head" -> ((s, d) =>
@@ -416,6 +427,15 @@ object CoreQueries {
     "q_iloc_slice" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
        "ORDER BY o_orderkey LIMIT 100 OFFSET 50"),
+    "q_iloc_neg" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM " +
+       "(SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+       "ORDER BY o_orderkey DESC LIMIT 100) ORDER BY o_orderkey"),
+    "q_iloc_step" ->
+      ("WITH x AS (SELECT o_orderkey, o_custkey, o_totalprice, " +
+       "row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders) " +
+       "SELECT o_orderkey, o_custkey, o_totalprice FROM x " +
+       "WHERE rn > 50 AND rn <= 350 AND (rn - 51) % 3 = 0 ORDER BY o_orderkey"),
     "q_head" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
        "ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 5"),

@@ -204,6 +204,15 @@ object PipelineQueries {
       Multimodal.byteStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // real header decode: synthesize PNG/JPEG containers per row (builtin
+    // byte fns), parse them back with the native media_header Expression;
+    // the oracle knows the closed-form dimensions, so any parse slip
+    // (endianness, marker walk, segment lengths) breaks the hash
+    "q_multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeHeader(
+        Multimodal.syntheticContainers(Tables.documents(s, d), "doc_id"),
+        "doc_id", "payload").orderBy("doc_id")),
+
     "q_events_window" -> ((s, d) =>
       Events.tumblingAgg(Tables.events(s, d), "ts", "event_type", "value", "1 hour")
         .orderBy("win_start", "event_type")),
@@ -381,6 +390,11 @@ object PipelineQueries {
        "lower(hex(encode(substr(text, 1, 8)))) AS head_hex, " +
        "octet_length(encode(text)) % 256 AS stub_feature, " +
        "'text/plain' AS media_type FROM documents ORDER BY doc_id"),
+
+    "q_multimodal_decode" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+       "CAST(doc_id % 640 + 16 AS INT) AS width, " +
+       "CAST(doc_id % 480 + 16 AS INT) AS height FROM documents ORDER BY doc_id"),
 
     "q_events_window" ->
       ("SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start, " +

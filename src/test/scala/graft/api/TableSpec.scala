@@ -116,6 +116,63 @@ class TableSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") || back.inputFiles.forall(_.contains("tag=A")))
   }
 
+  test("ilocSlice: negative bounds map through row count, step post-slices") {
+    val df = (0L until 100L).toDF("id")
+    val t = Table(df, "seq")
+    def ids(out: org.apache.spark.sql.DataFrame): Seq[Long] =
+      out.collect().map(_.getLong(0)).toSeq
+    // [-10:] -> last 10 rows
+    assert(ids(t.ilocSlice(Some(-10L), None, 1, col("id"))) == (90L until 100L))
+    // [5:-90] -> rows 5..9 (stop = n - 90 = 10)
+    assert(ids(t.ilocSlice(Some(5L), Some(-90L), 1, col("id"))) == (5L until 10L))
+    // [-20:-10:4] -> 80, 84, 88 (step within the window)
+    assert(ids(t.ilocSlice(Some(-20L), Some(-10L), 4, col("id"))) == Seq(80L, 84L, 88L))
+    // [::7] with open bounds
+    assert(ids(t.ilocSlice(None, None, 7, col("id"))) == (0L until 100L by 7))
+    // negative start larger than n clamps to 0
+    assert(ids(t.ilocSlice(Some(-1000L), Some(3L), 1, col("id"))) == (0L until 3L))
+    intercept[IllegalArgumentException] { t.ilocSlice(None, None, -1, col("id")) }
+    intercept[IllegalArgumentException] { t.ilocSlice(None, None, 2) } // no order
+  }
+
+  test("astype errors policy: raise throws on bad values, ignore reverts") {
+    import org.apache.spark.sql.types.LongType
+    val t = Table(Seq((1L, "12"), (2L, "34"), (3L, "oops")).toDF("id", "s"), "c")
+    // raise: execution fails on the unconvertible row
+    val ex = intercept[Exception] {
+      t.astype("s", LongType, errors = "raise").df.collect()
+    }
+    assert(ex.getMessage.contains("oops") || ex.getCause != null)
+    // ignore: pandas all-or-nothing — column comes back UNCHANGED
+    val kept = t.astype("s", LongType, errors = "ignore")
+    assert(kept.df.schema("s").dataType.typeName == "string")
+    // clean column: ignore casts normally
+    val clean = Table(Seq((1L, "12"), (2L, "34")).toDF("id", "s"), "c2")
+      .astype("s", LongType, errors = "ignore")
+    assert(clean.df.schema("s").dataType == LongType)
+    // raise on a clean column behaves like a plain cast
+    assert(Table(Seq((1L, "7")).toDF("id", "s"), "c3")
+      .astype("s", LongType).df.collect()(0).getLong(1) == 7L)
+    intercept[IllegalArgumentException] { t.astype("s", LongType, "bogus") }
+  }
+
+  test("mapValues na_action: None maps null keys, 'ignore' propagates") {
+    val t = tbl
+    // na_action=None with a null mapping key: the null name maps
+    val m0 = t.df.select(t("name").mapValues(
+        Seq[(Any, Any)]("alice" -> "A", (null, "N/A"))).as("m"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(m0.count(_.contains("N/A")) == 1)
+    // na_action='ignore': nulls propagate, null keys skipped
+    val m1 = t.df.select(t("name").mapValues(
+        Seq[(Any, Any)]("alice" -> "A", (null, "N/A")), naAction = Some("ignore")).as("m"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(m1.count(_.contains("N/A")) == 0 && m1.count(_.isEmpty) == 3)
+    intercept[IllegalArgumentException] {
+      t.df.select(t("name").mapValues(Seq("a" -> "b"), Some("bogus")))
+    }
+  }
+
   test("addLinkedColumn rollups pre-aggregate before join") {
     val t = tbl
     val orders = Table(Seq((1L, 5.0), (1L, 7.0), (2L, 1.0))

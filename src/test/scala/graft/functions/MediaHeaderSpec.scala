@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MediaHeaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference containers built byte-by-byte in the test (independent of
+    * the query-side hex/unhex construction). */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(24 + 5)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+    bb.put(Array[Byte](8, 6, 0, 0, 0))
+    bb.array()
+  }
+
+  private def jpegBytes(w: Int, h: Int, comment: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+    b(0xff, 0xd8)                                   // SOI
+    b(0xff, 0xe0, 0x00, 0x10)                       // APP0 len 16
+    out.write("JFIF".getBytes); b(0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    b(0xff, 0x01)                                   // standalone TEM marker
+    b(0xff, 0xfe, 0x00, comment + 2)                // COM, variable length
+    (0 until comment).foreach(_ => out.write('A'))
+    b(0xff, 0xc4, 0x00, 0x03, 0x00)                 // DHT (must be skipped)
+    b(0xff, 0xc0, 0x00, 0x11, 0x08)                 // SOF0
+    b(h >> 8, h & 0xff, w >> 8, w & 0xff, 3)
+    out.toByteArray
+  }
+
+  test("media_header parses PNG and JPEG containers, through codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    val rows = Seq(
+      (1L, pngBytes(640, 480)),
+      (2L, jpegBytes(1920, 1080, comment = 0)),
+      (3L, jpegBytes(31, 17, comment = 6)),
+      (4L, "not an image".getBytes),             // foreign magic -> null
+      (5L, pngBytes(1, 1).take(10)),             // truncated PNG -> null
+      (6L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)) // truncated JPEG
+    ).toDF("id", "payload")
+    val out = Multimodal.decodeHeader(rows, "id", "payload")
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) 0 else r.getInt(2), if (r.isNullAt(3)) 0 else r.getInt(3)))
+    assert(out(0) == ((1L, "png", 640, 480)))
+    assert(out(1) == ((2L, "jpeg", 1920, 1080)))
+    assert(out(2) == ((3L, "jpeg", 31, 17)))
+    assert(out(3)._2 == null && out(4)._2 == null && out(5)._2 == null)
+  }
+
+  test("media_header codegen and interpreted results agree") {
+    val payloads = Seq(pngBytes(123, 456), jpegBytes(77, 88, 3),
+      Array[Byte](1, 2, 3), Array.empty[Byte])
+    payloads.foreach { p =>
+      val interp = MediaHeaderImpl.parse(p)
+      val viaDf = Seq(Tuple1(p)).toDF("p")
+        .select(GraftFunctions.media_header(col("p")).as("h")).collect()(0)
+      if (interp == null) assert(viaDf.isNullAt(0))
+      else {
+        val r = viaDf.getStruct(0)
+        assert(r.getString(0) == interp.getUTF8String(0).toString)
+        assert(r.getInt(1) == interp.getInt(1) && r.getInt(2) == interp.getInt(2))
+      }
+    }
+  }
+
+  test("syntheticContainers round-trips dimensions through a real parse") {
+    val docs = (0L until 50L).toDF("doc_id")
+    val out = Multimodal.decodeHeader(
+        Multimodal.syntheticContainers(docs, "doc_id"), "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == (if (id % 2 == 0) "png" else "jpeg"))
+      assert(r.getInt(2) == (id % 640 + 16).toInt)
+      assert(r.getInt(3) == (id % 480 + 16).toInt)
+    }
+  }
+}
