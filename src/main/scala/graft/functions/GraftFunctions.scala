@@ -41,6 +41,14 @@ object GraftExtensions {
         (es: Seq[Expression]) => VecMatCosines(es.head, VecMatCosines.fromLiteral(es(1)))),
       (FunctionIdentifier("media_header"), info(classOf[MediaHeader], "media_header"),
         (es: Seq[Expression]) => MediaHeader(es.head)),
+      // vocabularies arrive as a foldable nested-array literal, decoded
+      // once at resolution (same pattern as vec_mat_cosines)
+      (FunctionIdentifier("marker_counts"), info(classOf[MarkerCounts], "marker_counts"),
+        (es: Seq[Expression]) => MarkerCounts(es.head, {
+          val a = es(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          (0 until a.numElements()).map(i => a.getArray(i).toObjectArray(
+            org.apache.spark.sql.types.StringType).map(_.toString).toSeq)
+        })),
       (FunctionIdentifier("srp_signature"), info(classOf[SrpSignature], "srp_signature"),
         (es: Seq[Expression]) => SrpSignature(es.head, es(1).eval().asInstanceOf[Int],
           if (es.length > 2) es(2).eval() match {
@@ -74,6 +82,9 @@ object GraftFunctions {
   def word_shingles(text: Column, w: Int): Column =
     call_function("word_shingles", text, org.apache.spark.sql.functions.lit(w))
   def media_header(payload: Column): Column = call_function("media_header", payload)
+  def marker_counts(toks: Column, vocabs: Seq[Seq[String]]): Column =
+    call_function("marker_counts", toks,
+      org.apache.spark.sql.functions.typedLit(vocabs))
   def vec_mat_cosines(v: Column, mat: Array[Array[Double]]): Column =
     call_function("vec_mat_cosines", v,
       org.apache.spark.sql.functions.typedLit(mat.map(_.toSeq).toSeq))

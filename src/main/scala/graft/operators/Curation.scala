@@ -28,6 +28,7 @@ object Curation {
              minTokens: Int = 10, maxStopwordRatio: Double = 1.0,
              nearDupTau: Double = 0.8,
              maxBroadcastLosers: Long = MaxBroadcastLosers): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val base = docs.select(col(idCol).as("doc_id"),
       coalesce(col(textCol), lit("")).as("text"))
 

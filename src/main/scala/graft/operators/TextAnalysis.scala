@@ -22,10 +22,17 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "y", "es", "este", "por"))
 
   /** Per-language marker-score columns (aliased score_<lang>) — composable
-    * into any single-scan projection. */
+    * into any single-scan projection. ONE token pass scores all four
+    * languages (native marker_counts Expression; the four element_at
+    * projections share the one array via whole-stage-codegen
+    * subexpression elimination), replacing four interpreted
+    * filter+array_contains scans — the r3 bench's slowest query. */
   def langScoreCols(text: Column): Seq[Column] = {
-    val toks = TextOps.tokens(lower(text))
-    Markers.map { case (l, ms) => TextOps.markerCount(toks, ms).as(s"score_$l") }
+    val counts = GraftFunctions.marker_counts(
+      TextOps.tokens(lower(text)), Markers.map(_._2))
+    Markers.zipWithIndex.map { case ((l, _), i) =>
+      element_at(counts, i + 1).as(s"score_$l")
+    }
   }
 
   /** Deterministic argmax over the score_<lang> columns (ties resolve in
@@ -39,9 +46,11 @@ object TextAnalysis {
     }
 
   /** Per-language marker scores + deterministic argmax. */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
     docs.select((col(idCol) +: langScoreCols(col(textCol))): _*)
       .withColumn("detected", detectedCol)
+  }
 
   /** Quality signals: length, token count, mean word length, punctuation
     * ratio, stopword ratio, distinct-token (repetition) ratio. Ratios are
@@ -62,8 +71,10 @@ object TextAnalysis {
       (nDistinct / nTok).as("distinct_ratio"))
   }
 
-  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
     docs.select((col(idCol) +: qualityCols(col(textCol))): _*)
+  }
 
   /** Token counting: whitespace tokens and a BPE-ish segmentation count
     * (letter runs | digit runs | single non-alnum), via regexp_count so the

@@ -29,7 +29,10 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
-  /** Occurrence count of marker tokens (language-ID scoring). */
+  /** Occurrence count of marker tokens (language-ID scoring) — one probe
+    * of the native marker_counts hash map per token instead of an
+    * interpreted filter+array_contains scan. Requires
+    * GraftFunctions.ensureRegistered on the session. */
   def markerCount(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+    element_at(graft.functions.GraftFunctions.marker_counts(toks, Seq(markers)), 1)
 }

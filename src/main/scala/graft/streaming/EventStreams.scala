@@ -109,6 +109,7 @@ object EventStreams {
                    minTokens: Int = 10, maxStopwordRatio: Double = 1.0,
                    watermarkDelay: String = "10 minutes"): DataFrame = {
     import graft.operators.TextAnalysis
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val base = docs.withColumn("text", coalesce(col("text"), lit("")))
     val gated = base.select((base.columns.map(col).toSeq ++
         TextAnalysis.langScoreCols(col("text")) ++

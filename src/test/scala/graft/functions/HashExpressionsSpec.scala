@@ -19,6 +19,36 @@ class HashExpressionsSpec extends SparkSpec {
     assert(RollingHashImpl.compute(UTF8String.fromString("abc")) == ref("abc"))
   }
 
+  test("marker_counts: one pass scores all vocabularies, through codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    val vocabs = Seq(Seq("the", "a"), Seq("der", "die"), Seq("a", "der"))
+    val df = Seq(
+      (1L, Seq("the", "a", "the", "zz")),
+      (2L, Seq("der", "die", "der")),
+      (3L, Seq.empty[String]),
+      (4L, Seq("a", "der", "a"))
+    ).toDF("id", "toks")
+      .select(col("id"), GraftFunctions.marker_counts(col("toks"), vocabs).as("c"))
+    val m = df.as[(Long, Seq[Int])].collect().toMap
+    // per-vocab counts: tokens shared between vocabs count in each
+    assert(m(1L) == Seq(3, 0, 1))
+    assert(m(2L) == Seq(0, 3, 2))
+    assert(m(3L) == Seq(0, 0, 0))
+    assert(m(4L) == Seq(2, 1, 3))
+    // agrees with the builtin filter+array_contains composition
+    val toks = Seq((1L, Seq("the", "a", "the", "zz")), (4L, Seq("a", "der", "a")))
+      .toDF("id", "toks")
+    val viaBuiltins = toks.select(col("id"),
+      vocabs.map(v => size(filter(col("toks"),
+        t => array_contains(array(v.map(lit): _*), t)))).reduce((a, b) =>
+        a * 100 + b).as("packed")).as[(Long, Int)].collect().toMap
+    val viaNative = toks.select(col("id"),
+      (0 until 3).map(i => element_at(
+        GraftFunctions.marker_counts(col("toks"), vocabs), i + 1))
+        .reduce((a, b) => a * 100 + b).as("packed")).as[(Long, Int)].collect().toMap
+    assert(viaBuiltins == viaNative)
+  }
+
   test("simhash64: identical token sets collide, disjoint ones differ") {
     GraftFunctions.ensureRegistered(spark)
     val df = Seq(
