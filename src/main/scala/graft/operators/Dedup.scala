@@ -115,7 +115,15 @@ object Dedup {
     * distance < 4 shares at least one exact chunk (and near-dups at
     * slightly larger distances still collide on ≥1 chunk in practice) —
     * the chunk equi-join bounds candidates, then `bit_count(a^b)`
-    * verifies the true distance. */
+    * verifies the true distance.
+    *
+    * Scaling note (measured in the 10× sf1 run): the chunk space is FIXED
+    * (4 chunks × 2^16 values), so random-collision candidates grow as
+    * ~4·n²/2^16 — quadratic with a 1/65536 constant. Fine to ~10^6 docs;
+    * beyond that, split the signature into more/wider chunks (8×8 bits
+    * trades recall guarantee distance for bucket occupancy) or pre-group
+    * by a cheap partition key; the maxBucket cap bounds the worst case
+    * either way. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int,
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
