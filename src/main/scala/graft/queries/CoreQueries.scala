@@ -386,6 +386,36 @@ object CoreQueries {
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
+    // driver-visible version of the approx-quantile spec claim: the
+    // sketch value's RANK must sit within the ±n/accuracy guarantee of
+    // the target rank. The exact rank counts make this a hard oracle row
+    // (booleans must all be true) while q_stats_quantiles_approx above
+    // stays the pure scale-path plan. Rank check: the value's rank
+    // interval [count(<v), count(<=v)] must overlap the target ± err.
+    "q_stats_quantiles_approx_check" -> ((s, d) => {
+      val acc = 10000
+      val o = Tables.orders(s, d)
+      val approx = o.groupBy("o_orderstatus")
+        .agg(expr(s"approx_percentile(o_totalprice, 0.5, $acc)").as("med"),
+          expr(s"approx_percentile(o_totalprice, 0.9, $acc)").as("p90"))
+      def cnt(cond: org.apache.spark.sql.Column) =
+        sum(when(cond, 1L).otherwise(0L))
+      val counted = o.join(broadcast(approx), Seq("o_orderstatus"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          cnt(col("o_totalprice") < col("med")).as("lt_med"),
+          cnt(col("o_totalprice") <= col("med")).as("le_med"),
+          cnt(col("o_totalprice") < col("p90")).as("lt_p90"),
+          cnt(col("o_totalprice") <= col("p90")).as("le_p90"))
+      val err = col("n") / acc + 1
+      def ok(lt: String, le: String, p: Double) =
+        (col(lt) <= lit(p) * col("n") + err) && (col(le) >= lit(p) * col("n") - err)
+      counted.select(col("o_orderstatus"), col("n"),
+          ok("lt_med", "le_med", 0.5).as("med_ok"),
+          ok("lt_p90", "le_p90", 0.9).as("p90_ok"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q3_topk" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)
@@ -578,6 +608,10 @@ object CoreQueries {
     "q_stats_quantiles" ->
       ("SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med_total, " +
        "quantile_cont(o_totalprice, 0.9) AS p90_total, COUNT(*) AS n " +
+       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // the booleans are the assertion: the oracle says they must be true
+    "q_stats_quantiles_approx_check" ->
+      ("SELECT o_orderstatus, COUNT(*) AS n, TRUE AS med_ok, TRUE AS p90_ok " +
        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_topk_per_group" ->
       ("SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (" +

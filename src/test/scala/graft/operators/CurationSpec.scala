@@ -44,6 +44,24 @@ class CurationSpec extends SparkSpec {
       "anti-join fell back to sort-merge")
   }
 
+  test("broadcast size-gate: oversized loser sets drop the broadcast HINT") {
+    val docs = Tables.documents(spark, sf())
+    // threshold 0 forces the fallback: no hint in the plan, so the
+    // size-based planner/AQE decides (it may still pick broadcast for a
+    // genuinely small side — the point is the FORCED hint is gone and a
+    // huge loser set can degrade to SMJ instead of an OOM)
+    val gated = Curation.curate(docs, "doc_id", "text", maxBroadcastLosers = 0L)
+    assert(!gated.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "size gate ignored — broadcast hint still present")
+    assert(Curation.curate(docs, "doc_id", "text")
+      .queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "default path lost its broadcast hint")
+    val kept = gated.select("doc_id").as[Long].collect().toSet
+    val keptBroadcast = Curation.curate(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == keptBroadcast, "join strategy changed the result")
+  }
+
   test("frameSample bounds fan-out and preserves bytes") {
     val docs = Tables.documents(spark, sf()).limit(10)
     val media = Multimodal.asBinary(docs, "doc_id", "text")
