@@ -142,10 +142,19 @@ final case class Table(df: DataFrame, name: String) {
   def containsValue(colName: String, value: Any): Boolean =
     !df.filter(df(colName) === lit(value)).limit(1).isEmpty
 
+  /** `Table.to_frame` (base.py:1605): the whole table as a DataFrame. In
+    * the reference this is a download; here the table IS a (lazy) frame,
+    * so this is a zero-cost accessor. */
+  def toFrame: DataFrame = df
+
   // --------------------------------------------------------------- writes
   // The reference's write path batch-uploads row patches over HTTP
   // (batch_upload, base.py:2588). The Spark-native analog is a plan rewrite
   // producing a new immutable table (persist via .write).
+  // `BundleEdits` (base.py:2629) — the reference's context manager that
+  // batches mutations into one upload — needs no analog: every mutation
+  // here is a lazy plan rewrite, so chained writes already collapse into
+  // one job at materialization ([[save]]).
 
   /** `table['col'] = value` (Table.__setitem__, base.py:232). */
   def set(colName: String, value: Column): Table =
