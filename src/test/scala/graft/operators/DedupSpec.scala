@@ -75,6 +75,36 @@ class DedupSpec extends SparkSpec {
     assert(out.get((1L, 2L)).exists(_ <= 10))
   }
 
+  test("simhash at maxHamming=3 is pigeonhole-complete: equals all-pairs") {
+    // 200 docs from a seeded generator with mutation bursts, so true
+    // pairwise Hamming distances cover 0..64; the 4x16-bit chunk join
+    // must find EXACTLY the pairs an exact all-pairs scan finds at <= 3
+    // (distance < #chunks guarantees a shared chunk) — the property the
+    // q_dedup_simhash DuckDB oracle relies on
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 60).map(_ => s"w${rnd.nextInt(40)}")
+    val corpus = (0 until 200).map { i =>
+      val toks = base.toArray
+      val muts = rnd.nextInt(4) // 0..3 token replacements
+      (0 until muts).foreach(_ => toks(rnd.nextInt(toks.length)) = s"m${rnd.nextInt(40)}")
+      (i.toLong, toks.mkString(" "))
+    }
+    val docsDf = corpus.toDF("doc_id", "text")
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def sig(t: String): Long = graft.functions.SimHash64Impl.compute(
+      new GenericArrayData(t.split(" ", -1).map(UTF8String.fromString(_): Any)))
+    val sigs = corpus.map { case (id, t) => id -> sig(t) }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(expected.nonEmpty, "generator produced no close pairs")
+    val got = Dedup.simhashPairs(docsDf, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
   test("embedding pairs find high-cosine vectors") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
