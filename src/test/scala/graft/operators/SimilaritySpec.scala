@@ -25,6 +25,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sortBy(_._1).map(_._2).toSeq == expect)
   }
 
+  test("planted corpus: lsh == ivf == brute force (the oracle operating point)") {
+    import org.apache.spark.sql.functions._
+    // same construction as PipelineQueries.plantedAnnCorpus: 10 scaled
+    // copies of each query vector — LSH signatures and IVF cell argmax
+    // are scale-invariant, so both must return exactly the brute top-10
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val scales = Seq(1.1, 1.2, 1.3, 1.4, 1.5, 1.6, 1.7, 1.8, 1.9, 2.1)
+    val planted = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array(scales.map(lit): _*)).as(Seq("j", "sc")))
+      .select((lit(100000L) + col("vec_id") * 100 + col("j")).as("vec_id"),
+        transform(col("embedding"), x => x * col("sc")).as("embedding"))
+    val corpus = e.unionByName(planted)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val brute = rows(Similarity.annTopK(corpus, "vec_id", "embedding", qids, 10))
+    assert(rows(Similarity.annLsh(corpus, "vec_id", "embedding", qids, 10)) == brute)
+    assert(rows(Similarity.annIvf(corpus, "vec_id", "embedding", qids, 10)) == brute)
+    // and every returned neighbor is a planted copy of its query
+    val got = Similarity.annLsh(corpus, "vec_id", "embedding", qids, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall { case (q, n) => n >= 100000L + q * 100 && n < 100000L + q * 100 + 10 })
+  }
+
   test("annIvf probes cells and returns ranked candidates") {
     val emb = Tables.embeddings(spark, sf())
     val out = Similarity.annIvf(emb, "vec_id", "embedding", Seq(0L, 1L), k = 5)
