@@ -11,9 +11,14 @@ import org.apache.spark.sql.execution.FormattedMode
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // default: the heaviest bench queries plus the joins whose strategy
+    // past verdicts asked to prove (PLANS_r{N}.txt source of truth)
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q1_agg", "q3_topk", "q_filter_cmp", "q_link_join",
-        "q_linked_rollup_sum", "q_dedup_minhash", "q_ann_topk",
+        "q_linked_rollup_sum", "q_text_langid", "q_stats_quantiles",
+        "q_query_sql", "q_curation_pipeline", "q_dedup_ngram",
+        "q_dedup_minhash", "q_dedup_embed_lsh", "q_ann_topk", "q_ann_ivf",
+        "q_ann_lsh", "q_asof_join", "q_range_join", "q_multimodal_decode",
         "q_events_sessionize")
     val spark = SparkSession.builder()
       .master("local[4]")
