@@ -309,6 +309,12 @@ object TableIO {
     * columns written by `partitionBy` come back prunable. */
   def fromParquet(spark: SparkSession, path: String, name: String): Table =
     Table(spark.read.parquet(path), name)
+
+  /** Load an ORC directory/file — same columnar pushdown/pruning story as
+    * parquet (predicate pushdown, column pruning, partition pruning), for
+    * estates whose lake is ORC. */
+  def fromOrc(spark: SparkSession, path: String, name: String): Table =
+    Table(spark.read.orc(path), name)
 }
 
 /** Thin column handle mirroring the reference `Column` (base.py:1704).

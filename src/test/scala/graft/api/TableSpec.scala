@@ -75,6 +75,13 @@ class TableSpec extends SparkSpec {
     val back = TableIO.fromParquet(spark, s"$dir/pq", "t_back")
     assert(back.df.count() == t.df.count())
     assert(TableIO.fromFrame(t.df, "t2").name == "t2")
+    // ORC round-trip with pushdown intact
+    t.df.write.mode("overwrite").orc(s"$dir/orc")
+    val fromOrc = TableIO.fromOrc(spark, s"$dir/orc", "t_orc")
+    assert(fromOrc.df.count() == t.df.count())
+    val pushed = fromOrc.df.filter(col("id") > 2)
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters") && pushed.contains("id"))
   }
 
   test("containsValue: 'value in column' existence probe (base.py:1782)") {
