@@ -140,6 +140,13 @@ class TableSpec extends SparkSpec {
     assert(ids(t.ilocSlice(Some(-1000L), Some(3L), 1, col("id"))) == (0L until 3L))
     intercept[IllegalArgumentException] { t.ilocSlice(None, None, -1, col("id")) }
     intercept[IllegalArgumentException] { t.ilocSlice(None, None, 2) } // no order
+    // bounds past Int.MaxValue must fail loudly, not wrap through .toInt
+    intercept[IllegalArgumentException] {
+      t.ilocSlice(Some(Int.MaxValue + 1L), None, 1, col("id"))
+    }
+    intercept[IllegalArgumentException] {
+      t.ilocSlice(Some(0L), Some(Int.MaxValue + 10L), 1, col("id"))
+    }
   }
 
   test("astype errors policy: raise throws on bad values, ignore reverts") {

@@ -62,6 +62,21 @@ class CurationSpec extends SparkSpec {
     assert(kept == keptBroadcast, "join strategy changed the result")
   }
 
+  test("curateManaged: cleanup unpersists the loser cache after materialization") {
+    val docs = Tables.documents(spark, sf())
+    // earlier tests in this suite persist the same loser plan and leave it
+    // to LRU; clear so the lifecycle assertion sees only this call's cache
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (plan, cleanup) = Curation.curateManaged(docs, "doc_id", "text")
+    assert(plan.count() > 0) // materialize — the loser cache fills here
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "loser set was never persisted")
+    cleanup()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"cache leaked after cleanup: $after")
+  }
+
   test("frameSample bounds fan-out and preserves bytes") {
     val docs = Tables.documents(spark, sf()).limit(10)
     val media = Multimodal.asBinary(docs, "doc_id", "text")
