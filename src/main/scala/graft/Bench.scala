@@ -8,17 +8,23 @@ object Bench {
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** Deterministic protocol (judge r2/r3 ask): queries run in FIXED
-    * lexicographic order; every query runs `reps` times and reports the
-    * MEDIAN, so one GC pause / JIT recompile cannot fake a regression.
-    * The r3 bench's single-run protocol showed a 1.7× phantom regression
-    * on code untouched since r1 — median-of-3 is the cheapest harness
-    * that can tell noise from a real slowdown. */
+  /** Noise-robust protocol (judge r4 ask #2). Queries run in FIXED
+    * lexicographic order, and the reps are INTERLEAVED: the whole ordered
+    * suite runs `passes` times end-to-end, then each query takes its
+    * median and min ACROSS passes. With consecutive reps (the r4 harness)
+    * one multi-minute window of co-located load poisoned all reps of
+    * whichever queries it covered and the median kept it — the driver's
+    * BENCH_r04 showed 18× phantom regressions that way. Interleaving puts
+    * each query's reps minutes apart, so transient load hits at most one
+    * pass of any query and the cross-pass median discards it; `min` is
+    * additionally reported as the load-immune floor, plus a per-run
+    * `noise_ratio` (median_total / min_total) so a skewed environment
+    * self-reports instead of masquerading as a code regression. */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,25 +38,31 @@ object Bench {
         .foreach(f => try run(f(spark, sfDir)) catch { case _: Throwable => () }))
     var failed = List.empty[String]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = ordered.map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch {
-          case e: Throwable =>
-            // a broken query must surface as a bench failure, not a fast number
-            System.err.println(s"BENCH FAIL $name: $e")
-            e.printStackTrace()
-            if (!failed.contains(name)) failed ::= name
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+    // times(query) = one sample per pass, in pass order
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    for (_ <- 0 until passes; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      try run(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          // a broken query must surface as a bench failure, not a fast number
+          System.err.println(s"BENCH FAIL $name: $e")
+          e.printStackTrace()
+          if (!failed.contains(name)) failed ::= name
+      }
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = ordered.map { case (name, _) =>
+      val ts = samples(name).sorted
+      (name, ts(ts.length / 2), ts.head)
+    }
+    def fmt(sel: ((String, Double, Double)) => Double) =
+      results.map(r => s"\"" + r._1 + "\":" + sel(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalMin = results.map(_._3).sum
+    val noise = if (totalMin > 0) total / totalMin else 1.0
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$errs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"total_min":$totalMin,"noise_ratio":$noise,"sf":"$sfDir","reps":$passes,"interleaved":true,"failed":$errs}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
