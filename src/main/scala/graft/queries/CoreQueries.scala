@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.api.{Table, ViewCompiler, ViewDef, ViewFilter}
+import graft.api.{Table, ViewCompiler, ViewDef, ViewFilter, ViewRegistry}
 import graft.operators.ChangeLog
 import graft.tables.Tables
 
@@ -222,6 +222,10 @@ object CoreQueries {
           "o_totalprice", "findmin", "min_total")
         .select("c_custkey", "min_total").df.orderBy("c_custkey")),
 
+    // get_view BY NAME through the stored-view registry (reference
+    // base.py:1359 compiles a server-stored definition): the definition
+    // round-trips through the JSON store and is compiled from the loaded
+    // copy, so the query exercises save → load-by-name → compile.
     "q_get_view" -> ((s, d) => {
       val view = ViewDef("high-value",
         filters = Seq(
@@ -230,7 +234,10 @@ object CoreQueries {
           ViewFilter("c_acctbal", "greater", Seq(1000))),
         sorts = Seq(("c_acctbal", false), ("c_custkey", true)),
         hiddenCols = Seq("c_nationkey"))
-      ViewCompiler.getView(t(s, d, "customer"), view)
+      val reg = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_views").toString
+      ViewRegistry.save(reg, "customer", view)
+      ViewRegistry.getView(t(s, d, "customer"), reg, "high-value")
     }),
 
     // OR-conjunction view (reference filter_conjunction, base.py:1453):

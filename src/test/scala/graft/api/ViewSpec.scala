@@ -63,4 +63,41 @@ class ViewSpec extends SparkSpec {
     val ids = ViewCompiler.getView(tbl, v).select("id").as[Long].collect().toSet
     assert(ids == Set(1L, 2L)) // is + is merges to is_any_of (OR), per reference
   }
+
+  test("registry round-trips definitions and compiles get_view by name") {
+    val reg = java.nio.file.Files.createTempDirectory("graft_views").toString
+    val v = ViewDef("cheap-red",
+      filters = Seq(
+        ViewFilter("name", "contains", Seq("red")),
+        ViewFilter("price", "less", Seq(100)),
+        ViewFilter("id", "is_none_of", Seq(2L, 99L))),
+      sorts = Seq(("price", false)),
+      hiddenCols = Seq("name"))
+    ViewRegistry.save(reg, "parts", v)
+    ViewRegistry.save(reg, "parts", ViewDef("all", Nil, Nil, Nil, "Or"))
+    // enumeration (reference Table.views) is sorted and per-table
+    assert(ViewRegistry.views(reg, "parts") == Seq("all", "cheap-red"))
+    assert(ViewRegistry.views(reg, "nope").isEmpty)
+    // the loaded definition is structurally identical (terms keep their
+    // scalar kinds: Int arrives back as Long, which compiles identically)
+    val loaded = ViewRegistry.load(reg, "parts", "cheap-red")
+    assert(loaded.name == v.name && loaded.conjunction == v.conjunction)
+    assert(loaded.sorts == v.sorts && loaded.hiddenCols == v.hiddenCols)
+    assert(loaded.filters.map(f => (f.column, f.predicate)) ==
+      v.filters.map(f => (f.column, f.predicate)))
+    // get_view BY NAME equals compiling the in-memory definition
+    val byName = ViewRegistry.getView(tbl, reg, "cheap-red")
+    val direct = ViewCompiler.getView(tbl, v)
+    assert(byName.columns.toSeq == Seq("id", "price"))
+    assert(byName.collect().toSeq == direct.collect().toSeq)
+    // overwrite is an update, not a duplicate
+    ViewRegistry.save(reg, "parts", v.copy(hiddenCols = Nil))
+    assert(ViewRegistry.load(reg, "parts", "cheap-red").hiddenCols.isEmpty)
+    assert(ViewRegistry.views(reg, "parts") == Seq("all", "cheap-red"))
+    // names that would escape the registry directory are rejected
+    intercept[IllegalArgumentException] {
+      ViewRegistry.save(reg, "parts", v.copy(name = "../evil"))
+    }
+    intercept[IllegalArgumentException] { ViewRegistry.load(reg, "parts", "ghost") }
+  }
 }
