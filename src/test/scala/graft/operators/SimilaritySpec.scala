@@ -64,6 +64,40 @@ class SimilaritySpec extends SparkSpec {
       rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5)))
   }
 
+  test("k-means codebook: deterministic, and recall@10 on a NON-planted " +
+       "corpus is >= the seeded-sample codebook's") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf())
+    val e = emb.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("v"))
+    // bit-identical across invocations (seeded init + exact-decimal sums)
+    val cb1 = Similarity.kmeansCodebook(e, nlist = 16, iters = 2)
+    val cb2 = Similarity.kmeansCodebook(e, nlist = 16, iters = 2)
+    assert(cb1.map(_.toSeq).toSeq == cb2.map(_.toSeq).toSeq)
+    // Lloyd iterations moved the centroids off the raw sample
+    val cb0 = Similarity.kmeansCodebook(e, nlist = 16, iters = 0)
+    assert(cb1.map(_.toSeq).toSeq != cb0.map(_.toSeq).toSeq)
+
+    val qids = (0L until 20L).toSeq
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val truth = neighbors(Similarity.annTopK(emb, "vec_id", "embedding", qids, 10))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = neighbors(df)
+      qids.map(q => got.getOrElse(q, Set.empty).intersect(truth(q)).size).sum /
+        (10.0 * qids.size)
+    }
+    val rSample = recall(Similarity.annIvf(emb, "vec_id", "embedding", qids, 10,
+      kmeansIters = 0))
+    val rKmeans = recall(Similarity.annIvf(emb, "vec_id", "embedding", qids, 10,
+      kmeansIters = 2))
+    info(s"recall@10 sampled=$rSample kmeans=$rKmeans")
+    assert(rKmeans >= rSample,
+      s"k-means codebook recall $rKmeans fell below sampled-codebook $rSample")
+  }
+
   test("annLsh returns k ranked candidates with valid cosines") {
     val emb = Tables.embeddings(spark, sf())
     val out = Similarity.annLsh(emb, "vec_id", "embedding", Seq(0L, 1L), k = 5)
