@@ -246,6 +246,25 @@ object PipelineQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // the hot-key-proof variant: same semantics (shares the DuckDB ASOF
+    // oracle), but the carry window partitions by (key, time-range shard)
+    // with a compact cross-shard state pass — one hot key runs as `shards`
+    // parallel tasks instead of one
+    "q_asof_join_sharded" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("rid"), max_by(col("value"), col("event_id")).as("rval"))
+      TemporalJoins.asOfJoinSharded(clicks, purchases, "user_id", "ts",
+          Seq("rid", "rval"), shards = 8)
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("asof_rid"), col("asof_rval"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "q_range_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val a = ev.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
@@ -417,6 +436,19 @@ object PipelineQueries {
        "FROM se GROUP BY user_id, session ORDER BY user_id, session"),
 
     "q_asof_join" ->
+      ("WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t " +
+       "FROM events WHERE event_type = 'click'), " +
+       "r0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(event_id) AS rid, " +
+       "max_by(value, event_id) AS rval FROM events WHERE event_type = 'purchase' " +
+       "GROUP BY 1, 2) " +
+       "SELECT l.user_id, event_id, strftime(l.t, '%Y-%m-%d %H:%M:%S') AS ts_s, " +
+       "rid AS asof_rid, rval AS asof_rval " +
+       "FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.t >= r0.t " +
+       "ORDER BY l.user_id, event_id"),
+
+    // identical semantics by construction — boundary placement can't
+    // change results — so the sharded variant shares the ASOF oracle
+    "q_asof_join_sharded" ->
       ("WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t " +
        "FROM events WHERE event_type = 'click'), " +
        "r0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(event_id) AS rid, " +

@@ -46,6 +46,51 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.count() == n.toLong)
   }
 
+  test("asOfJoinSharded == asOfJoin on the 10^6-row hot key, without the " +
+       "single-partition window") {
+    val n = 1000000
+    val left = spark.range(n).select(lit(1L).as("k"),
+      timestamp_micros(col("id") * 2000000L + 1000000L).as("ts"),
+      col("id").as("lid"))
+    val right = spark.range(n / 100).select(lit(1L).as("k"),
+      timestamp_micros(col("id") * 200000000L).as("ts"),
+      (col("id") * 100L).as("rv"))
+    val out = TemporalJoins.asOfJoinSharded(left, right, "k", "ts", Seq("rv"),
+      shards = 32)
+    // same closed-form truth as the plain asOfJoin spec above — including
+    // the cross-shard carries (a shard whose first right row comes late
+    // must serve its early left rows from the previous shard's state)
+    val bad = out.filter(
+      col("asof_rv") =!= floor((col("lid") * 2L + 1L) / 200L) * 100L).count()
+    assert(bad == 0L)
+    assert(out.count() == n.toLong)
+    // the hot path's big window partitions by (k, __shard) — the hot key
+    // fans out over the shard dimension instead of one task
+    val plan = out.queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.exists(l => l.contains("__shard") && l.contains("__rpayload")),
+      s"carry window is not sharded:\n$plan")
+  }
+
+  test("asOfJoinSharded: boundary placement cannot change results " +
+       "(multi-key, nulls before first right row)") {
+    val left = Seq(
+      (1L, ts(10), 100L), (1L, ts(20), 101L), (1L, ts(3), 102L),
+      (2L, ts(30), 103L)
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts(5), "r5"), (1L, ts(20), "r20"), (1L, ts(25), "r25")
+    ).toDF("k", "ts", "rv")
+    val expect = TemporalJoins.asOfJoin(left, right, "k", "ts", Seq("rv"))
+      .select("lid", "asof_rv").as[(Long, Option[String])].collect().toMap
+    for (shards <- Seq(1, 2, 3, 7, 64)) {
+      val got = TemporalJoins.asOfJoinSharded(left, right, "k", "ts", Seq("rv"),
+          shards = shards)
+        .select("lid", "asof_rv").as[(Long, Option[String])].collect().toMap
+      assert(got == expect, s"shards=$shards diverged")
+    }
+  }
+
   test("bandedRangeJoin matches each in-band pair exactly once") {
     val a = Seq((1L, 1L, ts(0)), (1L, 2L, ts(59)), (1L, 3L, ts(200)))
       .toDF("k", "a_id", "a_ts")
