@@ -28,6 +28,8 @@ object GraftExtensions {
         (es: Seq[Expression]) => RollingHash(es.head)),
       (FunctionIdentifier("simhash64"), info(classOf[SimHash64], "simhash64"),
         (es: Seq[Expression]) => SimHash64(es.head)),
+      (FunctionIdentifier("simhash_wide"), info(classOf[SimHashWide], "simhash_wide"),
+        (es: Seq[Expression]) => SimHashWide(es.head, es(1).eval().asInstanceOf[Int])),
       (FunctionIdentifier("vec_dot"), info(classOf[VecDot], "vec_dot"),
         (es: Seq[Expression]) => VecDot(es.head, es(1))),
       (FunctionIdentifier("minhash_bands"), info(classOf[MinHashBands], "minhash_bands"),
@@ -74,6 +76,8 @@ object GraftFunctions {
   // Column-API handles (functions must be registered on the active session).
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
+  def simhash_wide(c: Column, parts: Int): Column =
+    call_function("simhash_wide", c, org.apache.spark.sql.functions.lit(parts))
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def minhash_bands(shingles: Column, numPerm: Int, bands: Int): Column =
     call_function("minhash_bands", shingles,

@@ -96,12 +96,29 @@ object PipelineQueries {
 
   /** DuckDB reproduction of the FNV-1a-64 token hash (HUGEINT arithmetic
     * mod 2^64, fold over chars — ASCII corpus, so ascii(c) == the UTF-8
-    * byte). `t` must be the token column in scope. */
-  private def fnv1a64Sql: String =
-    ("list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+    * byte). `t` must be the token column in scope; `basis` is the offset
+    * basis (part p of the wide simhash re-seeds with basis ^ p·golden —
+    * SimHash64Impl.Basis/Golden). */
+  private def fnv1a64Sql(basis: BigInt): String =
+    (s"list_reduce(list_prepend(CAST($basis AS HUGEINT), " +
      "[CAST(ascii(c) AS HUGEINT) for c in string_split(t, '') if c != '']), " +
      "(acc, c) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT) " +
      "* 1099511628211) % 18446744073709551616)")
+
+  private def fnv1a64Sql: String = fnv1a64Sql(BigInt("14695981039346656037"))
+
+  /** The 64-bit majority vote over a list column `h` of token hashes →
+    * unsigned signature as HUGEINT (bit j set iff more than half the
+    * hashes have bit j set — exactly SimHash64Impl.compute). */
+  private def simhashVoteSql(h: String): String =
+    (s"list_sum([CASE WHEN 2 * len(list_filter($h, " +
+     "x -> ((CAST(x AS UBIGINT) >> j) & 1) = 1)) > len(" + h + ") " +
+     "THEN CAST((CAST(1 AS UBIGINT) << j) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END " +
+     "for j in range(0, 64)])")
+
+  private def toSignedSql(u: String): String =
+    (s"CASE WHEN $u >= 9223372036854775808 " +
+     s"THEN CAST($u - 18446744073709551616 AS BIGINT) ELSE CAST($u AS BIGINT) END")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) =>
@@ -118,11 +135,14 @@ object PipelineQueries {
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", tau = 0.5)),
 
     // maxHamming = 3 is the PIGEONHOLE-COMPLETE operating point: the
-    // 64-bit signature splits into 4 chunks of 16, so any pair within
-    // Hamming distance 3 shares at least one exact chunk and MUST surface
-    // from the chunk equi-join — recall is provably 1, precision is the
-    // exact bit_count verify, and the result is hard-oracle-checkable
-    // (DuckDB reproduces the FNV-1a/simhash fold in SQL).
+    // default geometry for maxHamming 3 is a 128-bit simhash_wide
+    // fingerprint in 4 chunks of 32 bits, so any pair within Hamming
+    // distance 3 shares at least one exact chunk and MUST surface from
+    // the chunk equi-join — recall is provably 1, precision is the exact
+    // bit_count verify, and the result is hard-oracle-checkable (DuckDB
+    // reproduces both re-seeded FNV-1a folds + majority votes in SQL).
+    // The 32-bit chunk space is the r5 scale fix: random chunk collisions
+    // carry a 1/2^32 constant instead of r4's fixed 4x16-bit 1/65536.
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
 
@@ -288,25 +308,26 @@ object PipelineQueries {
     // banding recall + exact verify — see the query comment)
     "q_dedup_minhash" -> jaccardPairsOracleSql(0.5),
 
-    // simhash: DuckDB recomputes the FNV-1a-64 token hashes, the 64-bit
-    // majority-vote signature, and all-pairs bit_count(xor) ≤ 3 — the
-    // pigeonhole-complete point of the 4×16-bit chunk join
+    // simhash: DuckDB recomputes BOTH re-seeded FNV-1a-64 token hash
+    // folds (part 1's offset basis = basis ^ golden, the simhash_wide
+    // derivation), both 64-bit majority-vote signatures, and all-pairs
+    // 128-bit bit_count(xor) ≤ 3 — the pigeonhole-complete point of the
+    // 4×32-bit chunk join
     "q_dedup_simhash" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t " +
        "FROM documents WHERE text IS NOT NULL), " +
-       s"th AS (SELECT doc_id, $fnv1a64Sql AS h FROM toks), " +
-       "hl AS (SELECT doc_id, list(h) AS hs FROM th GROUP BY doc_id), " +
-       "su AS (SELECT doc_id, list_sum([CASE WHEN 2 * len(list_filter(hs, " +
-       "h -> ((CAST(h AS UBIGINT) >> j) & 1) = 1)) > len(hs) " +
-       "THEN CAST((CAST(1 AS UBIGINT) << j) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END " +
-       "for j in range(0, 64)]) AS u FROM hl), " +
-       "sigs AS (SELECT doc_id, CASE WHEN u >= 9223372036854775808 " +
-       "THEN CAST(u - 18446744073709551616 AS BIGINT) ELSE CAST(u AS BIGINT) END AS sig " +
-       "FROM su) " +
+       s"th AS (SELECT doc_id, $fnv1a64Sql AS h, " +
+       s"${fnv1a64Sql(BigInt("14695981039346656037") ^ BigInt("11400714819323198485"))} AS h2 FROM toks), " +
+       "hl AS (SELECT doc_id, list(h) AS hs, list(h2) AS hs2 FROM th GROUP BY doc_id), " +
+       s"su AS (SELECT doc_id, ${simhashVoteSql("hs")} AS u, " +
+       s"${simhashVoteSql("hs2")} AS u2 FROM hl), " +
+       s"sigs AS (SELECT doc_id, ${toSignedSql("u")} AS sig, " +
+       s"${toSignedSql("u2")} AS sig2 FROM su) " +
        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-       "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming " +
+       "CAST(bit_count(xor(a.sig, b.sig)) + bit_count(xor(a.sig2, b.sig2)) AS BIGINT) AS hamming " +
        "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id " +
-       "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY doc_a, doc_b"),
+       "WHERE bit_count(xor(a.sig, b.sig)) + bit_count(xor(a.sig2, b.sig2)) <= 3 " +
+       "ORDER BY doc_a, doc_b"),
 
     "q_ann_lsh" -> plantedAnnOracleSql,
     "q_ann_ivf" -> plantedAnnOracleSql,

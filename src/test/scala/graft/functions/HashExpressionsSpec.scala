@@ -61,6 +61,27 @@ class HashExpressionsSpec extends SparkSpec {
     assert(m(1L) != m(3L))
   }
 
+  test("simhash_wide: part 0 == simhash64, parts independent, through codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(13)
+    val toksSeq = Seq.fill(50)(Seq.fill(40)(s"w${rnd.nextInt(60)}"))
+    val df = toksSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "toks")
+    val out = df.select(col("id"),
+        GraftFunctions.simhash64(col("toks")).as("h64"),
+        GraftFunctions.simhash_wide(col("toks"), 2).as("hw"))
+      .as[(Long, Long, Seq[Long])].collect()
+    // part 0 is exactly the classic simhash (basis ^ 0 = basis)
+    assert(out.forall { case (_, h64, hw) => hw.length == 2 && hw.head == h64 })
+    // part 1 is an independent re-seeded fingerprint, not a copy
+    assert(out.count { case (_, _, hw) => hw.head == hw(1) } < 5)
+    // codegen result == direct impl (interpreted path)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val direct = toksSeq.map(t => SimHashWideImpl.compute(
+      new GenericArrayData(t.map(s => UTF8String.fromString(s): Any).toArray),
+      2).toLongArray().toSeq)
+    assert(out.sortBy(_._1).map(_._3).toSeq == direct)
+  }
+
   test("simhash hamming distance grows with token divergence") {
     val base = (1 to 40).map(i => s"tok$i")
     def sig(toks: Seq[String]): Long = {

@@ -68,41 +68,80 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash pairs rank the near-dup closest") {
-    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 20)
       .select("doc_a", "doc_b", "hamming").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(out((1L, 6L)) == 0)
-    assert(out.get((1L, 2L)).exists(_ <= 10))
+    assert(out.get((1L, 2L)).isDefined)
+    assert(out((1L, 2L)) < out.getOrElse((1L, 3L), Int.MaxValue))
   }
 
-  test("simhash at maxHamming=3 is pigeonhole-complete: equals all-pairs") {
-    // 200 docs from a seeded generator with mutation bursts, so true
-    // pairwise Hamming distances cover 0..64; the 4x16-bit chunk join
-    // must find EXACTLY the pairs an exact all-pairs scan finds at <= 3
-    // (distance < #chunks guarantees a shared chunk) — the property the
-    // q_dedup_simhash DuckDB oracle relies on
+  /** Seeded mutation-burst corpus shared by the pigeonhole specs: true
+    * pairwise distances cover everything from 0 to unrelated. */
+  private def mutationCorpus(n: Int = 200): Seq[(Long, String)] = {
     val rnd = new scala.util.Random(7)
     val base = (1 to 60).map(_ => s"w${rnd.nextInt(40)}")
-    val corpus = (0 until 200).map { i =>
+    (0 until n).map { i =>
       val toks = base.toArray
       val muts = rnd.nextInt(4) // 0..3 token replacements
       (0 until muts).foreach(_ => toks(rnd.nextInt(toks.length)) = s"m${rnd.nextInt(40)}")
       (i.toLong, toks.mkString(" "))
     }
-    val docsDf = corpus.toDF("doc_id", "text")
+  }
+
+  /** Driver-side exact all-pairs over the `parts`-wide signature. */
+  private def exactWidePairs(corpus: Seq[(Long, String)], parts: Int,
+                             maxHamming: Int): Set[(Long, Long, Int)] = {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
-    def sig(t: String): Long = graft.functions.SimHash64Impl.compute(
-      new GenericArrayData(t.split(" ", -1).map(UTF8String.fromString(_): Any)))
+    def sig(t: String): Array[Long] =
+      graft.functions.SimHashWideImpl.compute(
+        new GenericArrayData(t.split(" ", -1).map(UTF8String.fromString(_): Any)),
+        parts).toLongArray()
     val sigs = corpus.map { case (id, t) => id -> sig(t) }
-    val expected = (for {
+    (for {
       (a, sa) <- sigs; (b, sb) <- sigs if a < b
-      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+      h = sa.zip(sb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if h <= maxHamming
     } yield (a, b, h)).toSet
+  }
+
+  test("simhash maxHamming=3 (default 4x32-bit chunks over 128 bits) is " +
+       "pigeonhole-complete: equals all-pairs") {
+    // the chunk join must find EXACTLY the pairs an exact all-pairs scan
+    // finds at <= 3 (distance < #chunks guarantees a shared chunk) — the
+    // property the q_dedup_simhash DuckDB oracle relies on
+    val corpus = mutationCorpus()
+    val expected = exactWidePairs(corpus, parts = 2, maxHamming = 3)
     assert(expected.nonEmpty, "generator produced no close pairs")
-    val got = Dedup.simhashPairs(docsDf, "doc_id", "text", maxHamming = 3)
+    val got = Dedup.simhashPairs(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == expected)
+  }
+
+  test("simhash widened geometries stay pigeonhole-complete " +
+       "(8x16 at mh=7, legacy 4x16/64-bit at mh=3, part 0 == simhash64)") {
+    val corpus = mutationCorpus()
+    val docsDf = corpus.toDF("doc_id", "text")
+    // default geometry for maxHamming=7: 8 chunks x 16 bits over 128 bits
+    val exp7 = exactWidePairs(corpus, parts = 2, maxHamming = 7)
+    assert(exp7.size > exactWidePairs(corpus, 2, 3).size, "mh=7 adds no pairs")
+    val got7 = Dedup.simhashPairs(docsDf, "doc_id", "text", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got7 == exp7)
+    // the r4 legacy geometry stays reachable: 4x16-bit chunks of the
+    // 64-bit part-0 signature (simhash_wide part 0 == simhash64)
+    val exp64 = exactWidePairs(corpus, parts = 1, maxHamming = 3)
+    val got64 = Dedup.simhashPairs(docsDf, "doc_id", "text", maxHamming = 3,
+        chunks = 4, chunkBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got64 == exp64)
+    // pigeonhole precondition is enforced
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docsDf, "doc_id", "text", maxHamming = 4,
+        chunks = 4, chunkBits = 16)
+    }
   }
 
   test("embedding pairs find high-cosine vectors") {
