@@ -17,8 +17,8 @@ object PlanAudit {
       else Seq("q1_agg", "q3_topk", "q_filter_cmp", "q_link_join",
         "q_linked_rollup_sum", "q_text_langid", "q_stats_quantiles",
         "q_query_sql", "q_curation_pipeline", "q_dedup_ngram",
-        "q_dedup_minhash", "q_dedup_embed_lsh", "q_ann_topk", "q_ann_ivf",
-        "q_ann_lsh", "q_asof_join", "q_range_join", "q_multimodal_decode",
+        "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed_lsh", "q_ann_topk", "q_ann_ivf",
+        "q_ann_lsh", "q_asof_join", "q_asof_join_sharded", "q_range_join", "q_multimodal_decode",
         "q_events_sessionize")
     val spark = SparkSession.builder()
       .master("local[4]")
