@@ -8,6 +8,26 @@ object Bench {
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Fixed pure-JVM calibration workload (single-threaded FNV-1a fold over
+    * a deterministic buffer): its wall time depends only on how fast this
+    * box currently is, never on the query code. `noise_ratio` catches
+    * transient within-run load; this catches the case it can't — a
+    * UNIFORMLY slower session than the one that recorded BASELINE.md.
+    * Divide a run's query times by (calib_sec / baseline calib_sec) to
+    * compare across sessions. */
+  private def calibrate(): Double = {
+    val buf = Array.tabulate[Byte](1 << 20)(i => (i * 31).toByte)
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var r = 0
+    while (r < 400) {
+      acc ^= graft.functions.SimHash64Impl.fnv1a64(buf)
+      r += 1
+    }
+    if (acc == 42L) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Noise-robust protocol (judge r4 ask #2). Queries run in FIXED
     * lexicographic order, and the reps are INTERLEAVED: the whole ordered
     * suite runs `passes` times end-to-end, then each query takes its
@@ -61,8 +81,11 @@ object Bench {
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
     val noise = if (totalMin > 0) total / totalMin else 1.0
+    // median-of-3 calibration, measured after the suite (box state the
+    // queries actually saw); first call warms the JIT
+    val calib = { calibrate(); Seq(calibrate(), calibrate(), calibrate()).sorted.apply(1) }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"total_min":$totalMin,"noise_ratio":$noise,"sf":"$sfDir","reps":$passes,"interleaved":true,"failed":$errs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"total_min":$totalMin,"noise_ratio":$noise,"calib_sec":$calib,"sf":"$sfDir","reps":$passes,"interleaved":true,"failed":$errs}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
