@@ -72,6 +72,9 @@ object Similarity {
     * iteration + the final assignment each execute the plan once. */
   def kmeansCodebook(e: DataFrame, nlist: Int, iters: Int,
                      seed: Long = 42L): Array[Array[Double]] = {
+    require(e.columns.contains("vid") && e.columns.contains("v"),
+      s"kmeansCodebook expects columns (vid, v: array<double>), got " +
+      e.columns.mkString("(", ", ", ")"))
     graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
     val init: Array[Array[Double]] = e
       .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
