@@ -88,10 +88,14 @@ object TemporalJoins {
     * balance.
     *
     * Cost shape: one pass to sample boundaries (approx quantiles,
-    * driver-bounded at shards-1 longs), the same single (key, shard)
-    * window shuffle the plain version pays on `key`, plus the compact
-    * pass — a partial-aggregated groupBy down to ≤ |keys|·shards rows
-    * whose own carry window runs on ≤ `shards` rows per key. The final
+    * driver-bounded at shards-1 longs) — note this makes CONSTRUCTION
+    * eager (the quantile job runs at call time, and executes the
+    * left/right upstream plans once before the returned plan runs them
+    * again; callers composing expensive inputs should persist them
+    * first) — then the same single (key, shard) window shuffle the plain
+    * version pays on `key`, plus the compact pass — a partial-aggregated
+    * groupBy down to ≤ |keys|·shards rows whose own carry window runs on
+    * ≤ `shards` rows per key. The final
     * stitch joins on (key, shard), reusing the window's partitioning on
     * the big side (no extra exchange of the data; the compact side
     * broadcasts under AQE). Use the plain [[asOfJoin]] when no key owns
