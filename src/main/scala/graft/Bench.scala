@@ -49,6 +49,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the default 100-entry generated-class cache thrashes when ~67
+      // queries' codegen units cycle through it once per interleaved
+      // pass, re-paying Janino compilation (~0.1-0.2 s/query/pass) that
+      // the consecutive-reps protocol never saw; size it to hold the
+      // whole suite so passes 2+ measure execution, not compilation
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JIT/codegen caches + first-touch parquet footers, so the
