@@ -238,6 +238,102 @@ object Dedup {
     }
   }
 
+  // ----------------------------------------------------------- clustering
+
+  /** Connected components over an undirected near-dup pair graph — the
+    * dedup-family capstone: pair lists alone can't answer "keep ONE doc
+    * per duplicate cluster" (pairwise loser-dropping is not transitive:
+    * a–b, b–c without a–c drops b and c, or keeps c, depending on pair
+    * order). Returns (idCol, cluster_id) for every id appearing in
+    * `pairs`, where cluster_id is the MINIMUM id reachable through the
+    * pair graph — a canonical, deterministic cluster representative
+    * (the unique fixpoint of min-label propagation, independent of
+    * iteration or partition order).
+    *
+    * Algorithm: iterative min-label propagation as DataFrame joins —
+    * each round every node takes min(own label, neighbours' labels);
+    * converged when no label changes. Rounds needed = graph diameter,
+    * which for near-dup clusters (cliques plus thin chains) is small;
+    * `maxIter` bounds the worst case and the operator FAILS (rather than
+    * silently returning a partial clustering) if it hasn't converged.
+    * Scale posture per round: one shuffle join of (edges × labels) +
+    * one min-aggregation — both partial-aggregated equi-shuffles on id;
+    * each round is `localCheckpoint`ed — persist() alone would cache the
+    * DATA but leave the logical plan doubling every round (labels appears
+    * twice in the round expression), and a 2^rounds-node plan OOMs plan
+    * stringification long before execution; the checkpoint truncates
+    * lineage so every round's plan is flat — and the previous round's
+    * checkpoint blocks are released as soon as the next round
+    * materializes, so at most two rounds of labels are ever live. The
+    * convergence count is the same action that materializes the round;
+    * the driver sees only that count. Local checkpoints don't survive
+    * executor loss (Spark's documented trade-off) — a failed job reruns
+    * the operator, which is the right recovery for a bounded loop.
+    * NOTE construction is EAGER — the propagation loop runs when you
+    * call this (iteration needs actions); the returned relation reads
+    * the final round's checkpoint. The edge relation derives from
+    * `pairs` exactly once, at loop entry. */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+               outCol: String = "doc_id", maxIter: Int = 20): DataFrame =
+    clustersManaged(pairs, aCol, bCol, outCol, maxIter)._1
+
+  /** [[clusters]] plus the cache-lifecycle handle (same discipline as
+    * [[Curation.curateManaged]]): the returned labels relation is ALREADY
+    * materialized in the final round's cache — read it, then `cleanup()`
+    * to release the cache (recomputing after cleanup would re-run the
+    * whole propagation loop). */
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * DataFrame (Dataset.unpersist only talks to the SQL cache manager,
+    * not to the checkpoint's underlying RDD). No-op if the plan isn't a
+    * checkpoint scan. */
+  private def unpersistCheckpoint(df: DataFrame, blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking))
+
+  def clustersManaged(pairs: DataFrame, aCol: String, bCol: String,
+                      outCol: String = "doc_id",
+                      maxIter: Int = 20): (DataFrame, () => Unit) = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    // symmetrize in ONE pass over `pairs` (a union of two selects would
+    // execute the — typically expensive — pair-join subtree twice)
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("lab", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // neighbour labels flow along edges; keep the min of (own, inbound)
+      val inbound = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("lab"))
+      val next = labels.select(col("id"), col("lab"))
+        .union(inbound)
+        .groupBy("id").agg(min("lab").as("lab"))
+        .localCheckpoint() // eager: materializes the round, flattens lineage
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.lab") =!= col("o.lab")).count()
+      unpersistCheckpoint(labels)
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    unpersistCheckpoint(edges)
+    if (!converged) {
+      unpersistCheckpoint(labels) // no dangling blocks on the failure path
+      throw new IllegalArgumentException(
+        s"label propagation did not converge in $maxIter rounds — the pair " +
+        "graph has a component with diameter > maxIter; raise maxIter")
+    }
+    val out = labels.select(col("id").as(outCol), col("lab").as("cluster_id"))
+    val finalLabels = labels
+    (out, () => unpersistCheckpoint(finalLabels, blocking = true))
+  }
+
   // --------------------------------------------------------- embedding dup
 
   /** Guard ceiling for [[embedPairs]]: the exact all-pairs path compares

@@ -154,6 +154,18 @@ object PipelineQueries {
         Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
         "doc_id", "text", w = 3, tau = 0.5, prefixFilter = false)),
 
+    // the dedup capstone: connected components over the exact tau-0.5
+    // near-dup pair graph — "keep one doc per duplicate CLUSTER" needs
+    // the transitive closure, not pairs; cluster_id = min reachable id
+    // (deterministic fixpoint), DuckDB oracle = recursive CTE over the
+    // same exact pair SQL
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(
+        Dedup.ngramJaccardPairs(
+          Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
+          "doc_id", "text", w = 3, tau = 0.5, prefixFilter = false),
+        "doc_a", "doc_b").orderBy("doc_id")),
+
     "q_dedup_embed" -> ((s, d) =>
       Dedup.embedPairs(Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4)),
 
@@ -303,6 +315,19 @@ object PipelineQueries {
        "FROM documents GROUP BY md5(text) ORDER BY h"),
 
     "q_dedup_ngram" -> jaccardPairsOracleSql(0.5),
+
+    // transitive closure of the same exact pair graph: recursive CTE
+    // accumulates (node, reachable-node) pairs, min over reachable = the
+    // min-label fixpoint the Spark propagation loop converges to
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE pr AS (" + jaccardPairsOracleSql(0.5) + "), " +
+       "edges AS (SELECT doc_a AS s, doc_b AS d FROM pr " +
+       "UNION ALL SELECT doc_b, doc_a FROM pr), " +
+       "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+       "r AS (SELECT id, id AS lab FROM nodes " +
+       "UNION SELECT e.s, r.lab FROM edges e JOIN r ON r.id = e.d) " +
+       "SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id " +
+       "ORDER BY doc_id"),
 
     // identical output to the exact path at this operating point (complete
     // banding recall + exact verify — see the query comment)

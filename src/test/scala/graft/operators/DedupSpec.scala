@@ -144,6 +144,48 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clusters == driver union-find on a random pair graph; " +
+       "chains close transitively; non-convergence fails loudly") {
+    val rnd = new scala.util.Random(21)
+    // random sparse graph + a deliberate 12-node chain (diameter 11)
+    val randomPairs = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).map(p => (p._1 min p._2, p._1 max p._2)).distinct
+    val chain = (100L until 111L).map(i => (i, i + 1))
+    val pairs = (randomPairs ++ chain).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (randomPairs ++ chain).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    // canonicalize union-find roots to min-of-component
+    val members = parent.keys.toSeq.groupBy(find)
+    val expect = members.flatMap { case (_, ms) =>
+      val m = ms.min; ms.map(_ -> m)
+    }.toMap
+    assert(got == expect)
+    // the whole chain collapsed to one cluster rooted at its min id
+    assert((100L to 111L).forall(got(_) == 100L))
+    // ids never seen in pairs are absent (no fabricated singletons)
+    assert(!got.contains(99L))
+    // a component with diameter > maxIter must fail, not return partial labels
+    intercept[IllegalArgumentException] {
+      Dedup.clusters(chain.toDF("doc_a", "doc_b"), "doc_a", "doc_b", maxIter = 3)
+    }
+    // cache lifecycle: cleanup releases the final labels cache
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (out, cleanup) = Dedup.clustersManaged(pairs, "doc_a", "doc_b")
+    assert(out.count() > 0)
+    cleanup()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("embedding pairs find high-cosine vectors") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
