@@ -173,9 +173,17 @@ class DedupSpec extends SparkSpec {
     assert((100L to 111L).forall(got(_) == 100L))
     // ids never seen in pairs are absent (no fabricated singletons)
     assert(!got.contains(99L))
-    // a component with diameter > maxIter must fail, not return partial labels
+    // pointer jumping: a 200-node chain (diameter 199) converges within
+    // ~log2 rounds — plain propagation would need 199
+    val longChain = (1000L until 1199L).map(i => (i, i + 1))
+    val chained = Dedup.clusters(longChain.toDF("doc_a", "doc_b"),
+        "doc_a", "doc_b", maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chained.size == 200 && chained.values.forall(_ == 1000L))
+    // insufficient maxIter must fail, not return partial labels
     intercept[IllegalArgumentException] {
-      Dedup.clusters(chain.toDF("doc_a", "doc_b"), "doc_a", "doc_b", maxIter = 3)
+      Dedup.clusters(longChain.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+        maxIter = 2)
     }
     // cache lifecycle: cleanup releases the final labels cache
     spark.catalog.clearCache()
