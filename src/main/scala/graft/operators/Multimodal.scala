@@ -139,6 +139,57 @@ object Multimodal {
     docs.select(id, when(id % 2 === 0, png).otherwise(jpeg).as("payload"))
   }
 
+  /** Resize planning: aspect-preserving fit of each container's decoded
+    * dimensions into a `maxW`×`maxH` box — the metadata half of image
+    * resize, computed entirely from the header decode (no pixel codec
+    * needed, so it is REAL, scan-side and oracle-checkable; the pixel
+    * resample itself is codec territory and stays behind the
+    * mapPartitions plumbing above). All arithmetic is integer (`div`, no
+    * fp scale factor) so the planned dimensions are bit-identical across
+    * engines. Rows whose header does not parse keep null dims — the
+    * downstream filter decides their fate, not this operator. */
+  def resizePlan(df: DataFrame, idCol: String, payloadCol: String,
+                 maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"maxW/maxH must be positive, got ($maxW, $maxH)")
+    val d = decodeHeader(df, idCol, payloadCol)
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    // wider than the target box's aspect → pin width, else pin height
+    val wide = w * maxH >= h * maxW
+    d.withColumn("out_w",
+        when(wide, lit(maxW.toLong)).otherwise(greatest(expr(s"CAST(width AS BIGINT) * $maxH div height"), lit(1L))))
+      .withColumn("out_h",
+        when(wide, greatest(expr(s"CAST(height AS BIGINT) * $maxW div width"), lit(1L))).otherwise(lit(maxH.toLong)))
+  }
+
+  /** Declarative frame sampling over the binary payload: every `stride`-th
+    * offset yields a frame of up to `frameSize` bytes, capped at
+    * `maxFrames` per row, with the frame bytes surfaced as lowercase hex.
+    * The typed-Dataset variant above ([[frameSample]]) is the codec
+    * plumbing shape; THIS variant is the pure-plan equivalent — sequence +
+    * explode + binary substr, all codegen'd builtins, no lambda — so the
+    * fan-out stays inside whole-stage codegen and the extracted bytes are
+    * oracle-checkable against an independent byte-layout reconstruction. */
+  def frameOffsets(df: DataFrame, idCol: String, payloadCol: String,
+                   frameSize: Int, stride: Int, maxFrames: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0 && maxFrames > 0,
+      s"frameSize/stride/maxFrames must be positive, got ($frameSize, $stride, $maxFrames)")
+    val nBytes = octet_length(col(payloadCol)).cast("long")
+    val nFrames = least(lit(maxFrames.toLong), expr(
+      s"(CAST(octet_length($payloadCol) AS BIGINT) + ${stride - 1}) div $stride"))
+    // empty payload → no frames (a bare sequence(0, -1) would count DOWN)
+    val idxs = when(nFrames > 0, sequence(lit(0L), nFrames - 1))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(col(idCol), col(payloadCol).as("__payload"), nBytes.as("n_bytes"),
+        explode(idxs).as("frame_idx"))
+      .withColumn("offset", col("frame_idx") * stride)
+      .withColumn("frame_len",
+        least(lit(frameSize.toLong), col("n_bytes") - col("offset")))
+      .withColumn("frame_hex",
+        lower(hex(col("__payload").substr(col("offset") + 1, col("frame_len")))))
+      .drop("__payload")
+  }
+
   /** Oracle-checkable byte stats over the binary column: sizes, an 8-byte
     * header sample (hex), and a stub scalar feature. */
   def byteStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

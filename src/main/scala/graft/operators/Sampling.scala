@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (SURVEY.md §2.2).
+  *
+  * Spark's own `sample`/`sampleBy` are seeded per-partition and change
+  * results under repartitioning — useless for reproducible corpus cuts. A
+  * 100 TB pipeline wants CONTENT-keyed sampling: membership is a pure
+  * function of (seed, row id), so the same cut falls out on any cluster
+  * layout, survives re-runs, and composes with incremental ingestion (new
+  * rows join the sample iff their key hashes under the threshold —
+  * nothing resamples).
+  *
+  * Mechanics: key = md5(seed || "|" || id); a row is kept iff the first 4
+  * hex chars compare below a threshold derived from the fraction
+  * (granularity 1/65536 — exact for the power-of-two fractions pipelines
+  * actually use). Pure scan-side projection + filter: no shuffle, no
+  * state, pushes through whole-stage codegen, and the oracle reproduces
+  * it verbatim (DuckDB md5 emits the same lowercase hex).
+  *
+  * The reference has no sampling surface (it pages full tables,
+  * base.py:1472); this is part of the beyond-reference pipeline family.
+  */
+object Sampling {
+
+  /** Deterministic per-row hash key in [0, 1) represented as 4 hex chars
+    * of md5(seed|id) — uniform, engine-portable (lowercase hex on Spark
+    * and DuckDB), and stable under any partitioning. */
+  def hashKey(seed: String, id: Column): Column =
+    substring(md5(concat(lit(seed + "|"), id.cast("string"))), 1, 4)
+
+  /** 4-hex-char threshold encoding floor(frac · 2¹⁶); fractions ≥ 1 have
+    * no 4-char upper bound and are handled as keep-all. */
+  private def thresholdHex(frac: Double): String = {
+    require(frac >= 0, s"fraction must be >= 0, got $frac")
+    f"${math.min((frac * 65536).toLong, 65535L)}%04x"
+  }
+
+  private def keepCond(seed: String, id: Column, frac: Double): Column =
+    if (frac >= 1.0) lit(true)
+    else if (frac <= 0.0) lit(false)
+    else hashKey(seed, id) < lit(thresholdHex(frac))
+
+  /** Deterministic Bernoulli(frac) sample keyed on (seed, idCol). */
+  def bernoulli(df: DataFrame, idCol: String, frac: Double,
+                seed: String = "s42"): DataFrame =
+    df.filter(keepCond(seed, col(idCol), frac))
+
+  /** Stratified deterministic sample: per-stratum fractions (strata
+    * missing from the map use `defaultFrac`). Same scan-side shape as
+    * [[bernoulli]] — the stratum column only selects which threshold the
+    * row's hash key is compared against, so skewed strata cost nothing. */
+  def stratified(df: DataFrame, idCol: String, stratumCol: String,
+                 fractions: Map[String, Double], defaultFrac: Double = 0.0,
+                 seed: String = "s42"): DataFrame = {
+    val cond = fractions.toSeq.sortBy(_._1).foldRight(
+      keepCond(seed, col(idCol), defaultFrac)) { case ((stratum, f), rest) =>
+      when(col(stratumCol) === lit(stratum), keepCond(seed, col(idCol), f))
+        .otherwise(rest)
+    }
+    df.filter(cond)
+  }
+
+  /** Exactly min(n, |stratum|) rows per stratum, chosen by hash-key order
+    * (deterministic "random" without an RNG). This is the exact-n ANCHOR
+    * of the sampling pair: the row_number window sorts each stratum inside
+    * one task, so a 100 TB stratum serializes — use [[stratified]] with
+    * frac ≈ n/|stratum| at scale and this path when strata are bounded
+    * (e.g. per-source quotas over thousands of sources). */
+  def exactPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                      n: Int, seed: String = "s42"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashKey(seed, col(idCol)), col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+  }
+}

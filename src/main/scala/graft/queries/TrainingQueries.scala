@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontaminate, Multimodal, Packing, Sampling}
+import graft.tables.Tables
+
+/** SURVEY.md §2.2 additions (r6) — deterministic sampling, sequence
+  * packing, benchmark decontamination, and the declarative multimodal
+  * resize/frame-sampling stages. Same oracle-lockstep rules as
+  * PipelineQueries (§5): every column aliased identically, integer
+  * arithmetic only where layouts must match bit-for-bit, md5 hex
+  * lowercase on both engines.
+  */
+object TrainingQueries {
+
+  /** DuckDB twin of Sampling.hashKey. */
+  private def keySql(id: String, seed: String = "s42"): String =
+    s"substr(md5('$seed|' || CAST($id AS VARCHAR)), 1, 4)"
+
+  /** Per-language fractions for the stratified sample: distinct
+    * power-of-two rates (exact at the 1/2¹⁶ threshold granularity) plus a
+    * keep-all stratum (zh) so the ≥1.0 fast path is driver-visible. */
+  private val StratFractions: Seq[(String, Double)] = Seq(
+    "en" -> 0.0625, "de" -> 0.25, "fr" -> 0.5, "es" -> 0.125, "zh" -> 1.0)
+
+  private def stratCaseSql: String =
+    "CASE lang " + StratFractions.map { case (l, f) =>
+      if (f >= 1.0) s"WHEN '$l' THEN TRUE"
+      else f"WHEN '$l' THEN ${keySql("doc_id")} < '${(f * 65536).toLong}%04x'"
+    }.mkString(" ") + " ELSE FALSE END"
+
+  /** DuckDB rebuild of Multimodal.syntheticContainers as a lowercase hex
+    * string (2 hex chars ≡ 1 payload byte) — blob slicing isn't available,
+    * so the frame oracle slices this string instead; any byte-layout slip
+    * on either side breaks the frame hashes. */
+  private val PayloadHexSql: String =
+    ("CASE WHEN doc_id % 2 = 0 THEN " +
+     "'89504e470d0a1a0a' || '0000000d' || '49484452' || " +
+     "lpad(lower(hex(doc_id % 640 + 16)), 8, '0') || " +
+     "lpad(lower(hex(doc_id % 480 + 16)), 8, '0') || '0806000000' " +
+     "ELSE 'ffd8ffe000104a46494600010100000100010000' || 'fffe' || " +
+     "lpad(lower(hex(doc_id % 7 + 2)), 4, '0') || " +
+     "repeat('41', CAST(doc_id % 7 AS INT)) || " +
+     "'ffc00011' || '08' || lpad(lower(hex(doc_id % 480 + 16)), 4, '0') || " +
+     "lpad(lower(hex(doc_id % 640 + 16)), 4, '0') || '03' END")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_bernoulli" -> ((s, d) =>
+      Sampling.bernoulli(Tables.documents(s, d), "doc_id", frac = 0.125)
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
+
+    "q_sample_stratified" -> ((s, d) =>
+      Sampling.stratified(Tables.documents(s, d), "doc_id", "lang",
+          fractions = StratFractions.toMap)
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
+
+    // the exact-n anchor of the sampling pair (per-stratum window sort —
+    // bounded strata only; the threshold path above is the 100 TB path)
+    "q_sample_stratified_exact" -> ((s, d) =>
+      Sampling.exactPerStratum(Tables.documents(s, d), "doc_id", "lang", n = 20)
+        .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+        .orderBy("lang", "rk")),
+
+    "q_pack_sequences" -> ((s, d) =>
+      Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
+        budget = 512, buckets = 8).orderBy("doc_id")),
+
+    // benchmark = every 11th doc (a planted eval set), corpus = the rest;
+    // w=5 collisions on this corpus are exactly the true near-dups of
+    // benchmark docs — the operating point real decontamination targets
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("text", coalesce(col("text"), lit("")))
+      Decontaminate.report(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0),
+        "doc_id", "text", w = 5, minShared = 1).orderBy("doc_id")
+    }),
+
+    // aspect-preserving fit into a 256×160 box (non-square so both the
+    // pin-width and pin-height branches are driver-visible)
+    "q_multimodal_resize" -> ((s, d) =>
+      Multimodal.resizePlan(
+        Multimodal.syntheticContainers(Tables.documents(s, d), "doc_id"),
+        "doc_id", "payload", maxW = 256, maxH = 160).orderBy("doc_id")),
+
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.frameOffsets(
+        Multimodal.syntheticContainers(Tables.documents(s, d), "doc_id"),
+        "doc_id", "payload", frameSize = 16, stride = 11, maxFrames = 5)
+        .orderBy("doc_id", "frame_idx"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_bernoulli" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+       s"WHERE ${keySql("doc_id")} < '2000' ORDER BY doc_id"),
+
+    "q_sample_stratified" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+       s"WHERE $stratCaseSql ORDER BY doc_id"),
+
+    "q_sample_stratified_exact" ->
+      ("SELECT doc_id, lang, rk FROM (SELECT doc_id, lang, " +
+       s"row_number() OVER (PARTITION BY lang ORDER BY ${keySql("doc_id")}, doc_id) AS rk " +
+       "FROM documents) WHERE rk <= 20 ORDER BY lang, rk"),
+
+    "q_pack_sequences" ->
+      ("WITH d AS (SELECT doc_id, doc_id % 8 AS bucket, " +
+       "CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT) AS n_tokens " +
+       "FROM documents), " +
+       "c AS (SELECT doc_id, bucket, n_tokens, " +
+       "CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id " +
+       "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start " +
+       "FROM d WHERE n_tokens > 0) " +
+       "SELECT doc_id, bucket, n_tokens, tok_start, tok_start // 512 AS chunk_id, " +
+       "(tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS chunks_spanned " +
+       "FROM c ORDER BY doc_id"),
+
+    "q_decontaminate" ->
+      ("WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), " +
+       "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs), " +
+       "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ') " +
+       "for i in range(1, len(t)-3)]) AS s FROM toks), " +
+       "bench AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 11 = 0), " +
+       "corp AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 11 != 0) " +
+       "SELECT doc_id, count(*) AS n_shared FROM corp JOIN bench USING (sg) " +
+       "GROUP BY doc_id HAVING count(*) >= 1 ORDER BY doc_id"),
+
+    "q_multimodal_resize" ->
+      ("WITH dims AS (SELECT doc_id, " +
+       "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+       "CAST(doc_id % 640 + 16 AS INT) AS width, " +
+       "CAST(doc_id % 480 + 16 AS INT) AS height FROM documents) " +
+       "SELECT doc_id, format, width, height, " +
+       "CASE WHEN CAST(width AS BIGINT) * 160 >= CAST(height AS BIGINT) * 256 " +
+       "THEN 256 ELSE greatest(CAST(width AS BIGINT) * 160 // height, 1) END AS out_w, " +
+       "CASE WHEN CAST(width AS BIGINT) * 160 >= CAST(height AS BIGINT) * 256 " +
+       "THEN greatest(CAST(height AS BIGINT) * 256 // width, 1) ELSE 160 END AS out_h " +
+       "FROM dims ORDER BY doc_id"),
+
+    "q_multimodal_frames" ->
+      (s"WITH p AS (SELECT doc_id, $PayloadHexSql AS hx FROM documents), " +
+       "sz AS (SELECT doc_id, hx, CAST(length(hx) // 2 AS BIGINT) AS n_bytes FROM p) " +
+       "SELECT doc_id, n_bytes, i AS frame_idx, i * 11 AS offset, " +
+       "least(16, n_bytes - i * 11) AS frame_len, " +
+       "substr(hx, CAST(i * 22 + 1 AS INT), CAST(least(16, n_bytes - i * 11) * 2 AS INT)) AS frame_hex " +
+       "FROM sz CROSS JOIN range(0, 5) r(i) WHERE i * 11 < n_bytes " +
+       "ORDER BY doc_id, frame_idx")
+  )
+}

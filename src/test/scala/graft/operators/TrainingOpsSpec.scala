@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Specs for the r6 training-pipeline operators: deterministic sampling,
+  * sequence packing, benchmark decontamination, and the declarative
+  * multimodal resize/frame stages. */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf())
+    .withColumn("text", coalesce(col("text"), lit("")))
+
+  // ------------------------------------------------------------- sampling
+
+  test("bernoulli sample is deterministic and partitioning-invariant") {
+    val a = Sampling.bernoulli(docs, "doc_id", 0.25).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val b = Sampling.bernoulli(docs.repartition(13), "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "sample membership must not depend on partitioning")
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+
+  test("bernoulli fraction lands near the target and seeds are independent") {
+    val n = docs.count().toDouble
+    val k = Sampling.bernoulli(docs, "doc_id", 0.5).count().toDouble
+    assert(math.abs(k / n - 0.5) < 0.15, s"got ${k / n}, wanted ~0.5")
+    val s1 = Sampling.bernoulli(docs, "doc_id", 0.5, seed = "a")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.bernoulli(docs, "doc_id", 0.5, seed = "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 != s2, "different seeds must draw different samples")
+  }
+
+  test("bernoulli sample is monotone in the fraction (nested samples)") {
+    val small = Sampling.bernoulli(docs, "doc_id", 0.125)
+      .select("doc_id").as[Long].collect().toSet
+    val big = Sampling.bernoulli(docs, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big),
+      "threshold sampling must nest: frac f ⊆ frac g for f <= g")
+  }
+
+  test("stratified sampling applies per-stratum fractions") {
+    val out = Sampling.stratified(docs, "doc_id", "lang",
+      fractions = Map("en" -> 1.0, "de" -> 0.0), defaultFrac = 0.0)
+    val langs = out.select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("en"), s"keep-all en, drop rest; got $langs")
+    assert(out.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("exactPerStratum returns min(n, stratum size) rows per stratum") {
+    val n = 5
+    val out = Sampling.exactPerStratum(docs, "doc_id", "lang", n)
+    val got = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val want = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+      .map { case (l, c) => l -> math.min(c, n.toLong) }
+    assert(got == want)
+    // deterministic: same cut twice
+    val again = Sampling.exactPerStratum(docs, "doc_id", "lang", n)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == out.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  // -------------------------------------------------------------- packing
+
+  test("packSequences lays out contiguous per-bucket token streams") {
+    val out = Packing.packSequences(docs, "doc_id", "text",
+      budget = 512, buckets = 8).cache()
+    try {
+      // every non-empty doc appears exactly once
+      val nonEmpty = docs.filter(regexp_count(col("text"), lit("\\S+")) > 0).count()
+      assert(out.count() == nonEmpty)
+      // contiguity: within a bucket, tok_start == sum of preceding n_tokens
+      val rows = out.select("bucket", "doc_id", "n_tokens", "tok_start")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).values
+      rows.foreach { bucket =>
+        var expected = 0L
+        bucket.sortBy(_._2).foreach { case (_, _, n, start) =>
+          assert(start == expected, s"gap/overlap at tok_start $start")
+          expected = start + n
+        }
+      }
+      // chunk accounting: a doc spans exactly the windows its span covers
+      val bad = out.filter(
+        col("chunks_spanned") =!=
+          expr("(tok_start + n_tokens - 1) div 512") - col("chunk_id") + 1)
+        .count()
+      assert(bad == 0)
+    } finally out.unpersist()
+  }
+
+  test("packSequences chunk ids cover the stream with no empty windows") {
+    val out = Packing.packSequences(docs, "doc_id", "text",
+      budget = 128, buckets = 4)
+    // per bucket: union of [chunk_id, chunk_id + spanned) must be a
+    // contiguous 0..max range — no window can be skipped by construction
+    val perBucket = out.groupBy("bucket")
+      .agg(max(col("chunk_id") + col("chunks_spanned") - 1).as("hi"),
+        sum(col("n_tokens")).as("toks")).as[(Long, Long, Long)].collect()
+    perBucket.foreach { case (_, hi, toks) =>
+      assert(hi == (toks - 1) / 128, "last window index must match total tokens")
+    }
+  }
+
+  // ------------------------------------------------------- decontaminate
+
+  test("decontaminate flags a planted benchmark copy and clean() drops it") {
+    val corpus = docs.filter(col("doc_id") % 11 =!= 0)
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+    // plant: a corpus doc that IS a benchmark doc (verbatim leak)
+    val leaked = bench.limit(1).select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars"))
+    val corpusLeaky = corpus.unionByName(leaked)
+    val rep = Decontaminate.report(corpusLeaky, bench, "doc_id", "text",
+      w = 5, minShared = 1).cache()
+    try {
+      val flagged = rep.select("doc_id").as[Long].collect().toSet
+      assert(flagged.exists(_ >= 1000000L), "verbatim leak must be flagged")
+      val cleaned = Decontaminate.clean(corpusLeaky, bench, "doc_id", "text",
+        w = 5, minShared = 1)
+      assert(cleaned.filter(col("doc_id") >= 1000000L).count() == 0)
+      assert(cleaned.count() == corpusLeaky.count() - rep.count())
+    } finally rep.unpersist()
+  }
+
+  test("decontaminate minShared is monotone and respects the threshold") {
+    val corpus = docs.filter(col("doc_id") % 11 =!= 0)
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+    val r1 = Decontaminate.report(corpus, bench, "doc_id", "text", w = 3, minShared = 3)
+    val r2 = Decontaminate.report(corpus, bench, "doc_id", "text", w = 3, minShared = 8)
+    val ids1 = r1.select("doc_id").as[Long].collect().toSet
+    val ids2 = r2.select("doc_id").as[Long].collect().toSet
+    assert(ids2.subsetOf(ids1))
+    assert(r1.filter(col("n_shared") < 3).count() == 0)
+  }
+
+  // ----------------------------------------------------------- multimodal
+
+  test("resizePlan fits dims inside the box preserving aspect (integer)") {
+    val out = Multimodal.resizePlan(
+      Multimodal.syntheticContainers(docs, "doc_id"),
+      "doc_id", "payload", maxW = 256, maxH = 160)
+    assert(out.filter(col("out_w") > 256 || col("out_h") > 160 ||
+      col("out_w") < 1 || col("out_h") < 1).count() == 0)
+    // one side is always pinned to the box
+    assert(out.filter(col("out_w") =!= 256 && col("out_h") =!= 160).count() == 0)
+    // integer aspect bound: |out_w/out_h - w/h| shrinks as floor error only
+    val bad = out.filter(
+      abs(col("out_w") * col("height") - col("out_h") * col("width"))
+        > greatest(col("width"), col("height"))).count()
+    assert(bad == 0, "aspect drift beyond floor rounding")
+  }
+
+  test("frameOffsets slices reassemble to the payload when stride == frameSize") {
+    val cont = Multimodal.syntheticContainers(docs.limit(100), "doc_id")
+    val out = Multimodal.frameOffsets(cont, "doc_id", "payload",
+      frameSize = 8, stride = 8, maxFrames = 1000)
+    // sort INSIDE the aggregate — collect_list order is not defined by a
+    // pre-groupBy orderBy
+    val rebuilt = out.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("frame_hex")))),
+        x => x("frame_hex")), "").as("hx"))
+    val direct = cont.select(col("doc_id"), lower(hex(col("payload"))).as("hx"))
+    assert(rebuilt.join(direct, "doc_id")
+      .filter(rebuilt("hx") =!= direct("hx")).count() == 0,
+      "concatenated frames must equal the original payload")
+  }
+
+  test("frameOffsets respects maxFrames and emits correct lengths") {
+    val cont = Multimodal.syntheticContainers(docs, "doc_id")
+    val out = Multimodal.frameOffsets(cont, "doc_id", "payload",
+      frameSize = 16, stride = 11, maxFrames = 2)
+    assert(out.groupBy("doc_id").count().filter(col("count") > 2).count() == 0)
+    assert(out.filter(length(col("frame_hex")) =!= col("frame_len") * 2).count() == 0)
+    assert(out.filter(col("frame_len") <= 0 || col("frame_len") > 16).count() == 0)
+  }
+}
