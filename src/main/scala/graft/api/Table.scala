@@ -274,9 +274,13 @@ final case class Table(df: DataFrame, name: String) {
     * `partitionBy` columns become directory partitions, so downstream
     * readers get partition pruning for free. */
   def save(path: String, partitionBy: Seq[String] = Nil,
-           mode: String = "overwrite"): Unit = {
-    val w = df.write.mode(mode)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+           mode: String = "overwrite", format: String = "parquet"): Unit = {
+    require(Set("parquet", "orc", "csv", "json").contains(format),
+      s"unsupported format '$format'")
+    val w0 = df.write.mode(mode)
+    val w1 = if (format == "csv") w0.option("header", "true") else w0
+    val w = if (partitionBy.nonEmpty) w1.partitionBy(partitionBy: _*) else w1
+    w.format(format).save(path)
   }
 
   // ------------------------------------------------------------------ sql

@@ -264,6 +264,23 @@ object PipelineQueries {
           sum(col("n_tokens")).as("total_tokens"))
         .orderBy("lang_detected")),
 
+    // driver-visible KMV bound check (same pattern as
+    // q_stats_quantiles_approx_check): the sketch estimate itself is not
+    // SQL-reproducible, so emit the EXACT distinct count plus a boolean
+    // asserting the deterministic estimate sits within the 0.15 relative
+    // bound (k=1024 → σ ≈ 3.1%; 0.15 ≈ 5σ). A drifting estimator flips
+    // the boolean and breaks the oracle hash.
+    "q_distinct_sketch_check" -> ((s, d) => {
+      val est = graft.functions.KmvSketch.kmvDistinct(1024)(col("l_partkey"))
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"),
+          est.as("__est"))
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(col("__est") / col("exact_distinct") - 1) <= 0.15)
+            .as("within_bound"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -356,6 +373,10 @@ object PipelineQueries {
 
     "q_ann_lsh" -> plantedAnnOracleSql,
     "q_ann_ivf" -> plantedAnnOracleSql,
+
+    "q_distinct_sketch_check" ->
+      ("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct, " +
+       "TRUE AS within_bound FROM lineitem GROUP BY 1 ORDER BY 1"),
 
     // the full composition re-run in SQL: scan-side gates → md5 exact
     // dedup (keep min id) → exact-Jaccard tau-0.8 near-dup anti-join

@@ -123,6 +123,20 @@ class TableSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") || back.inputFiles.forall(_.contains("tag=A")))
   }
 
+  test("save format parity: orc/csv/json round-trip through TableIO") {
+    val t = tbl
+    val base = s"/tmp/graft-fmt-${java.util.UUID.randomUUID()}"
+    t.save(s"$base/orc", format = "orc")
+    assert(TableIO.fromOrc(spark, s"$base/orc", "t").df.count() == 4)
+    t.save(s"$base/csv", format = "csv")
+    val csvBack = TableIO.fromCsv(spark, s"$base/csv", "t")
+    assert(csvBack.df.count() == 4 &&
+      csvBack.columnNames.toSet == t.columnNames.toSet)
+    t.save(s"$base/json", format = "json")
+    assert(TableIO.fromJson(spark, s"$base/json", "t").df.count() == 4)
+    intercept[IllegalArgumentException](t.save(s"$base/x", format = "avro"))
+  }
+
   test("ilocSlice: negative bounds map through row count, step post-slices") {
     val df = (0L until 100L).toDF("id")
     val t = Table(df, "seq")
