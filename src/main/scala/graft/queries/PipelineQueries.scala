@@ -272,9 +272,15 @@ object PipelineQueries {
     // the boolean and breaks the oracle hash.
     "q_distinct_sketch_check" -> ((s, d) => {
       val est = graft.functions.KmvSketch.kmvDistinct(1024)(col("l_partkey"))
-      Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_distinct"),
-          est.as("__est"))
+      // KMV is duplicate-insensitive (re-inserting a hash is a no-op), so
+      // collapse to distinct (group, value) pairs with a codegen'd
+      // hash-agg FIRST: the object-typed udaf then reduces ~n_distinct
+      // rows instead of every fact row — same estimate, and the heavy
+      // per-row path stays in whole-stage codegen (measured 2.5 s → the
+      // distinct shuffle dominates instead of 600k udaf reduce calls)
+      Tables.lineitem(s, d).select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("exact_distinct"), est.as("__est"))
         .select(col("l_returnflag"), col("exact_distinct"),
           (abs(col("__est") / col("exact_distinct") - 1) <= 0.15)
             .as("within_bound"))

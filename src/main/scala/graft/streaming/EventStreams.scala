@@ -97,6 +97,16 @@ object EventStreams {
              how: String = "left"): DataFrame =
     stream.join(broadcast(dim), Seq(key), how)
 
+  /** Deterministic stream sampling: the streaming shape of
+    * Sampling.bernoulli — membership is a pure function of (seed, id), so
+    * it is STATELESS (no watermark, no state store), keeps the same rows
+    * a batch backfill over the same data would keep, and a restarted
+    * query re-admits exactly the same ids. That batch/stream agreement is
+    * what makes hash sampling the right primitive for sampled ingest. */
+  def sampleStream(stream: DataFrame, idCol: String, frac: Double,
+                   seed: String = "s42"): DataFrame =
+    graft.operators.Sampling.bernoulli(stream, idCol, frac, seed)
+
   /** Streaming ingest curation — the admission filter of Curation.curate
     * for a document stream: the stateless scan-side gates (language ID +
     * quality signals, pure per-row projections) run per micro-batch, then

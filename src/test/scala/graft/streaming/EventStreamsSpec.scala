@@ -32,6 +32,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sampleStream admits exactly the batch sample, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sampleStream(mem.toDF(), "event_id", frac = 0.5)
+      .select($"event_id")
+      .writeStream.format("memory").queryName("ss").outputMode(OutputMode.Append).start()
+    try {
+      val events = (1L to 200L).map(i => Event(i, ts(i), i % 7, "click", 1.0))
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ss").as[Long].collect().toSet
+      val batch = graft.operators.Sampling
+        .bernoulli(events.toDF(), "event_id", 0.5)
+        .select($"event_id").as[Long].collect().toSet
+      assert(streamed == batch,
+        "stream sample must equal the batch sample over the same rows")
+      assert(streamed.nonEmpty && streamed.size < 200)
+      // stateless: the query runs with zero state-store operators
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("intervalJoin matches right events within the lookback window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
