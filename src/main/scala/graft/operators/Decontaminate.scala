@@ -7,7 +7,8 @@ import graft.functions.GraftFunctions
 /** Benchmark decontamination (SURVEY.md §2.2): remove training documents
   * that overlap an evaluation set by shared word n-grams — the standard
   * "n-gram collision" decontamination pass every serious pretraining
-  * pipeline runs (GPT-3 used 13-gram collisions; the width is a knob
+  * pipeline runs (Brown et al. 2020, "Language Models are Few-Shot
+  * Learners", appendix C, used 13-gram collisions; the width is a knob
   * here).
   *
   * Scale design: the benchmark side is an EVAL set — thousands to a few
