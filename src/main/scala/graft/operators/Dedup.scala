@@ -282,6 +282,31 @@ object Dedup {
                outCol: String = "doc_id", maxIter: Int = 20): DataFrame =
     clustersManaged(pairs, aCol, bCol, outCol, maxIter)._1
 
+  /** Cluster-representative selection: keep the BEST member of each
+    * near-dup cluster by a caller-supplied quality column (ties resolve
+    * to the minimum id — fully deterministic). "Keep one doc per
+    * duplicate cluster" pipelines want the highest-QUALITY survivor, not
+    * the arbitrary min-id one; this is the step that uses the
+    * [[clusters]] output. One equi-join labels→quality (AQE broadcasts
+    * the small side) and ONE window partitioned by cluster — rank and
+    * member count share the same hash partitioning, so it is a single
+    * shuffle over cluster-member rows (cluster count ≪ corpus size). */
+  def bestPerCluster(labels: DataFrame, idCol: String, clusterCol: String,
+                     quality: DataFrame, qIdCol: String,
+                     qualityCol: String): DataFrame = {
+    val joined = labels.join(quality,
+      labels(idCol) === quality(qIdCol)).drop(quality(qIdCol))
+    val byCluster = Window.partitionBy(col(clusterCol))
+    val rk = row_number().over(
+      byCluster.orderBy(col(qualityCol).desc, col(idCol)))
+    joined
+      .withColumn("__rk", rk)
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("__rk") === 1)
+      .select(col(clusterCol), col(idCol).as("rep_id"),
+        col(qualityCol).as("rep_quality"), col("n_members"))
+  }
+
   /** [[clusters]] plus the cache-lifecycle handle (same discipline as
     * [[Curation.curateManaged]]): the returned labels relation is ALREADY
     * materialized in the final round's cache — read it, then `cleanup()`

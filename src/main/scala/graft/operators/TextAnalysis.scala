@@ -86,6 +86,24 @@ object TextAnalysis {
         .as("bpe_tokens"),
       length(col(textCol)).as("n_chars_m"))
 
+  /** Data-mixture report: per-stratum document/token counts plus each
+    * stratum's share of total tokens — the numbers a training run's
+    * sampling weights come from. The global-share window runs over the
+    * GROUPED rows (one per stratum), so its single partition holds
+    * |strata| rows regardless of corpus size — cardinality-bounded, not
+    * data-bounded. Weights are rounded to 6 dp on both engines. */
+  def mixtureWeights(docs: DataFrame, textCol: String,
+                     strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val nTok = regexp_count(coalesce(col(textCol), lit("")), lit("\\S+"))
+    docs.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(nTok.cast("long")).as("total_tokens"))
+      .withColumn("weight", round(
+        col("total_tokens") /
+          sum(col("total_tokens")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+  }
+
   /** Fingerprint columns (normalized text → md5 + polynomial rolling
     * hash) — composable into any single-scan projection, so pipelines can
     * ATTACH fingerprints without a self-join (a pure per-row fact never

@@ -82,7 +82,7 @@ object PipelineQueries {
     * oracle of q_dedup_ngram AND q_dedup_minhash (banding recall verified
     * complete at tau 0.5 on this corpus, verify step exact → identical
     * output). */
-  private def jaccardPairsOracleSql(tau: Double): String =
+  private[queries] def jaccardPairsOracleSql(tau: Double): String =
     ("WITH toks AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS t FROM documents), " +
      "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
      "for i in range(1, len(t)-1)]) AS s FROM toks), " +

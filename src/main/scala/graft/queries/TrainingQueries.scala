@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontaminate, Multimodal, Packing, Sampling}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, TextAnalysis}
 import graft.tables.Tables
 
 /** SURVEY.md §2.2 additions (r6) — deterministic sampling, sequence
@@ -89,7 +89,27 @@ object TrainingQueries {
       Multimodal.frameOffsets(
         Multimodal.syntheticContainers(Tables.documents(s, d), "doc_id"),
         "doc_id", "payload", frameSize = 16, stride = 11, maxFrames = 5)
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // the step that USES the cluster output: per near-dup cluster, keep
+    // the highest-token-count member (ties → min id) instead of the
+    // arbitrary min-id survivor
+    "q_dedup_cluster_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("text", coalesce(col("text"), lit("")))
+      val labels = Dedup.clusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          w = 3, tau = 0.5, prefixFilter = false),
+        "doc_a", "doc_b")
+      val quality = docs.select(col("doc_id").as("qid"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+      Dedup.bestPerCluster(labels, "doc_id", "cluster_id",
+        quality, "qid", "n_tokens").orderBy("cluster_id")
+    }),
+
+    "q_mixture_weights" -> ((s, d) =>
+      TextAnalysis.mixtureWeights(Tables.documents(s, d), "text",
+        Seq("lang", "source")).orderBy("lang", "source"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -147,6 +167,34 @@ object TrainingQueries {
        "least(16, n_bytes - i * 11) AS frame_len, " +
        "substr(hx, CAST(i * 22 + 1 AS INT), CAST(least(16, n_bytes - i * 11) * 2 AS INT)) AS frame_hex " +
        "FROM sz CROSS JOIN range(0, 5) r(i) WHERE i * 11 < n_bytes " +
-       "ORDER BY doc_id, frame_idx")
+       "ORDER BY doc_id, frame_idx"),
+
+    // transitive closure (same recursive CTE as q_dedup_clusters) +
+    // arg-max-by-quality per cluster
+    "q_dedup_cluster_best" ->
+      ("WITH RECURSIVE pr AS (" + PipelineQueries.jaccardPairsOracleSql(0.5) + "), " +
+       "edges AS (SELECT doc_a AS s, doc_b AS d FROM pr " +
+       "UNION ALL SELECT doc_b, doc_a FROM pr), " +
+       "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+       "r AS (SELECT id, id AS lab FROM nodes " +
+       "UNION SELECT e.s, r.lab FROM edges e JOIN r ON r.id = e.d), " +
+       "cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id), " +
+       "q AS (SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text, ''), " +
+       "'\\S+')) AS BIGINT) AS n_tokens FROM documents), " +
+       "j AS (SELECT cl.cluster_id, cl.doc_id, q.n_tokens, " +
+       "row_number() OVER (PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rk, " +
+       "count(*) OVER (PARTITION BY cluster_id) AS n_members " +
+       "FROM cl JOIN q USING (doc_id)) " +
+       "SELECT cluster_id, doc_id AS rep_id, n_tokens AS rep_quality, " +
+       "CAST(n_members AS BIGINT) AS n_members FROM j WHERE rk = 1 " +
+       "ORDER BY cluster_id"),
+
+    "q_mixture_weights" ->
+      ("WITH t AS (SELECT lang, source, " +
+       "CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT) AS ntok " +
+       "FROM documents) " +
+       "SELECT lang, source, count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens, " +
+       "round(CAST(SUM(ntok) AS DOUBLE) / CAST(SUM(SUM(ntok)) OVER () AS DOUBLE), 6) AS weight " +
+       "FROM t GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }

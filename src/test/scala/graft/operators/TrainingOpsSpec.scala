@@ -139,6 +139,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r1.filter(col("n_shared") < 3).count() == 0)
   }
 
+  // ------------------------------------------------- cluster best/mixture
+
+  test("bestPerCluster keeps the max-quality member, ties to min id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("qid", "q")
+    val out = Dedup.bestPerCluster(labels, "doc_id", "cluster_id",
+      quality, "qid", "q")
+      .select("cluster_id", "rep_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    // cluster 1: docs 2 and 3 tie at q=9 → min id 2; cluster 10: tie → 10
+    assert(out == Set((1L, 2L, 3L), (10L, 10L, 2L)))
+  }
+
+  test("mixtureWeights sums to ~1 and counts every doc") {
+    val out = TextAnalysis.mixtureWeights(docs, "text", Seq("lang")).cache()
+    try {
+      val wSum = out.agg(sum("weight")).as[Double].head()
+      assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+      assert(out.agg(sum("n_docs")).as[Long].head() == docs.count())
+    } finally out.unpersist()
+  }
+
   // ----------------------------------------------------------- multimodal
 
   test("resizePlan fits dims inside the box preserving aspect (integer)") {
