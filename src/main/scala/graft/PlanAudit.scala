@@ -20,7 +20,8 @@ object PlanAudit {
         "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed_lsh", "q_ann_topk", "q_ann_ivf",
         "q_ann_lsh", "q_asof_join", "q_asof_join_sharded", "q_range_join", "q_multimodal_decode",
         "q_events_sessionize", "q_decontaminate", "q_pack_sequences",
-        "q_sample_bernoulli", "q_multimodal_frames", "q_distinct_sketch_check")
+        "q_sample_bernoulli", "q_multimodal_frames", "q_distinct_sketch_check",
+        "q_dedup_cluster_best", "q_mixture_weights")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
