@@ -103,4 +103,37 @@ object Curation {
       TextAnalysis.fingerprintCols(col("text")): _*)
     (out, () => { losers.unpersist(blocking = true); () })
   }
+
+  /** The full pass a pretraining corpus actually gets: [[curate]]
+    * (gates → exact dedup → near-dup dedup) FOLLOWED by benchmark
+    * decontamination ([[Decontaminate.clean]]) against an eval set.
+    * Decontamination runs LAST on purpose — it is the most targeted
+    * filter (a broadcast semi-join against the eval set's n-grams), so
+    * it should see the smallest corpus, and eval n-grams must be removed
+    * regardless of how the earlier dedup stages resolved ties.
+    *
+    * The curated frame carries no text column (fingerprints only), so
+    * the decontamination shingles recompute from `docs` via an id
+    * semi-join — one extra scan of the kept rows' text, never a second
+    * execution of the dedup subtree. */
+  def curateDecontaminated(docs: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String,
+                           minTokens: Int = 10, maxStopwordRatio: Double = 1.0,
+                           nearDupTau: Double = 0.8, w: Int = 5,
+                           minShared: Int = 1): DataFrame = {
+    val curated = curate(docs, idCol, textCol, minTokens, maxStopwordRatio,
+      nearDupTau)
+    val keptText = docs.select(col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("__text"))
+      .join(curated.select("doc_id"), Seq("doc_id"), "left_semi")
+    // report() reads one text column name on both sides — align the
+    // benchmark frame to the corpus alias
+    val benchText = benchmark.select(
+      coalesce(col(textCol), lit("")).as("__text"))
+    val contaminated = Decontaminate.report(keptText, benchText,
+        "doc_id", "__text", w, minShared)
+      .select(col("doc_id").as("__contaminated_id"))
+    curated.join(contaminated,
+      curated("doc_id") === col("__contaminated_id"), "left_anti")
+  }
 }

@@ -82,6 +82,37 @@ object PipelineQueries {
     * oracle of q_dedup_ngram AND q_dedup_minhash (banding recall verified
     * complete at tau 0.5 on this corpus, verify step exact → identical
     * output). */
+  /** The curation pipeline's CTE chain up to and including `kept` (scan
+    * gates → exact dedup → tau-0.8 near-dup anti-join) — shared by the
+    * q_curation_pipeline summary and the r6 decontaminated composition. */
+  private[queries] def curationKeptCtesSql: String =
+    ("WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), " +
+     "sc AS (SELECT doc_id, t, " +
+     TextAnalysis.Markers.map { case (l, _) =>
+       s"len(list_filter(string_split(lower(t), ' '), x -> list_contains(${markersSql(l)}, x))) AS score_$l"
+     }.mkString(", ") + ", " +
+     "len(string_split(t, ' ')) AS n_tokens, " +
+     "len(list_filter(string_split(lower(t), ' '), x -> list_contains(" + markersSql("en") +
+     ", x))) / len(string_split(t, ' ')) AS stopword_ratio FROM base), " +
+     "gated AS (SELECT doc_id, t, n_tokens, " +
+     "CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en' " +
+     "WHEN score_de >= score_fr AND score_de >= score_es THEN 'de' " +
+     "WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS lang_detected " +
+     "FROM sc WHERE n_tokens >= 10 AND stopword_ratio <= 1.0), " +
+     "ded AS (SELECT doc_id, t, n_tokens, lang_detected FROM gated " +
+     "QUALIFY MIN(doc_id) OVER (PARTITION BY md5(t)) = doc_id), " +
+     "toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM ded), " +
+     "sh AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') " +
+     "for i in range(1, len(tk)-1)]) AS s FROM toks), " +
+     "inv AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+     "sizes AS (SELECT doc_id, len(s) AS n FROM sh), " +
+     "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared " +
+     "FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+     "losers AS (SELECT DISTINCT doc_b FROM pairs " +
+     "JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b " +
+     "WHERE shared / (na.n + nb.n - shared) >= 0.8), " +
+     "kept AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_b FROM losers))")
+
   private[queries] def jaccardPairsOracleSql(tau: Double): String =
     ("WITH toks AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS t FROM documents), " +
      "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
@@ -389,33 +420,8 @@ object PipelineQueries {
     // (minhash recall verified complete at this point) → per-language
     // summary
     "q_curation_pipeline" ->
-      ("WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), " +
-       "sc AS (SELECT doc_id, t, " +
-       TextAnalysis.Markers.map { case (l, _) =>
-         s"len(list_filter(string_split(lower(t), ' '), x -> list_contains(${markersSql(l)}, x))) AS score_$l"
-       }.mkString(", ") + ", " +
-       "len(string_split(t, ' ')) AS n_tokens, " +
-       "len(list_filter(string_split(lower(t), ' '), x -> list_contains(" + markersSql("en") +
-       ", x))) / len(string_split(t, ' ')) AS stopword_ratio FROM base), " +
-       "gated AS (SELECT doc_id, t, n_tokens, " +
-       "CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en' " +
-       "WHEN score_de >= score_fr AND score_de >= score_es THEN 'de' " +
-       "WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS lang_detected " +
-       "FROM sc WHERE n_tokens >= 10 AND stopword_ratio <= 1.0), " +
-       "ded AS (SELECT doc_id, t, n_tokens, lang_detected FROM gated " +
-       "QUALIFY MIN(doc_id) OVER (PARTITION BY md5(t)) = doc_id), " +
-       "toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM ded), " +
-       "sh AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ') " +
-       "for i in range(1, len(tk)-1)]) AS s FROM toks), " +
-       "inv AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
-       "sizes AS (SELECT doc_id, len(s) AS n FROM sh), " +
-       "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared " +
-       "FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-       "losers AS (SELECT DISTINCT doc_b FROM pairs " +
-       "JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b " +
-       "WHERE shared / (na.n + nb.n - shared) >= 0.8), " +
-       "kept AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_b FROM losers)) " +
-       "SELECT lang_detected, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
+      (PipelineQueries.curationKeptCtesSql +
+       " SELECT lang_detected, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
        "FROM kept GROUP BY lang_detected ORDER BY lang_detected"),
 
     "q_dedup_embed" ->

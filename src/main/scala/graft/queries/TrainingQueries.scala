@@ -109,7 +109,22 @@ object TrainingQueries {
 
     "q_mixture_weights" -> ((s, d) =>
       TextAnalysis.mixtureWeights(Tables.documents(s, d), "text",
-        Seq("lang", "source")).orderBy("lang", "source"))
+        Seq("lang", "source")).orderBy("lang", "source")),
+
+    // the END-TO-END pass: gates → exact dedup → near-dup dedup →
+    // benchmark decontamination (the eval set leaked verbatim into the
+    // corpus — every-11th doc — so decontamination must strip it), then
+    // the same per-language summary as q_curation_pipeline for a direct
+    // before/after read
+    "q_curation_decontaminated" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Curation.curateDecontaminated(
+          docs, docs.filter(col("doc_id") % 11 === 0), "doc_id", "text")
+        .groupBy("lang_detected")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("lang_detected")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -195,6 +210,25 @@ object TrainingQueries {
        "FROM documents) " +
        "SELECT lang, source, count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens, " +
        "round(CAST(SUM(ntok) AS DOUBLE) / CAST(SUM(SUM(ntok)) OVER () AS DOUBLE), 6) AS weight " +
-       "FROM t GROUP BY 1, 2 ORDER BY 1, 2")
+       "FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // curation CTE chain + w=5 decontamination of the kept set against
+    // the every-11th-doc benchmark, minShared=1
+    "q_curation_decontaminated" ->
+      (PipelineQueries.curationKeptCtesSql + ", " +
+       "k5 AS (SELECT doc_id, string_split(t, ' ') AS tk FROM kept), " +
+       "sh5 AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+4], ' ') " +
+       "for i in range(1, len(tk)-3)]) AS s FROM k5), " +
+       "btoks AS (SELECT string_split(coalesce(text, ''), ' ') AS t " +
+       "FROM documents WHERE doc_id % 11 = 0), " +
+       "bsh AS (SELECT DISTINCT unnest(list_distinct([array_to_string(t[i:i+4], ' ') " +
+       "for i in range(1, len(t)-3)])) AS sg FROM btoks), " +
+       "contaminated AS (SELECT DISTINCT doc_id FROM " +
+       "(SELECT doc_id, unnest(s) AS sg FROM sh5) c JOIN bsh USING (sg)), " +
+       "final AS (SELECT * FROM kept WHERE doc_id NOT IN " +
+       "(SELECT doc_id FROM contaminated)) " +
+       "SELECT lang_detected, COUNT(*) AS n_docs, " +
+       "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
+       "FROM final GROUP BY lang_detected ORDER BY lang_detected")
   )
 }

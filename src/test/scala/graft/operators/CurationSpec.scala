@@ -23,6 +23,25 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(1L, 5L))
   }
 
+  test("curateDecontaminated additionally strips eval-overlapping docs") {
+    val docs = Tables.documents(spark, sf())
+      .withColumn("text", coalesce(col("text"), lit("")))
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+    val curated = Curation.curate(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val decon = Curation.curateDecontaminated(docs, bench, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(decon.subsetOf(curated), "decontamination only removes rows")
+    // any kept benchmark doc with >= w tokens is a verbatim self-overlap
+    // and must be gone
+    val leakedKept = curated.filter(_ % 11 == 0)
+    val longBench = bench
+      .filter(regexp_count(col("text"), lit("\\S+")) >= 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(leakedKept.intersect(longBench).forall(!decon.contains(_)),
+      "curated docs that are verbatim benchmark docs must be stripped")
+  }
+
   test("curate on sf0.001 documents keeps a sane fraction with fingerprints") {
     val docs = Tables.documents(spark, sf())
     val out = Curation.curate(docs, "doc_id", "text")
