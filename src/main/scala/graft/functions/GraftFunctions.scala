@@ -51,6 +51,8 @@ object GraftExtensions {
           (0 until a.numElements()).map(i => a.getArray(i).toObjectArray(
             org.apache.spark.sql.types.StringType).map(_.toString).toSeq)
         })),
+      (FunctionIdentifier("byte_histogram"), info(classOf[ByteHistogram], "byte_histogram"),
+        (es: Seq[Expression]) => ByteHistogram(es.head, es(1).eval().asInstanceOf[Int])),
       (FunctionIdentifier("srp_signature"), info(classOf[SrpSignature], "srp_signature"),
         (es: Seq[Expression]) => SrpSignature(es.head, es(1).eval().asInstanceOf[Int],
           if (es.length > 2) es(2).eval() match {
@@ -92,6 +94,9 @@ object GraftFunctions {
   def vec_mat_cosines(v: Column, mat: Array[Array[Double]]): Column =
     call_function("vec_mat_cosines", v,
       org.apache.spark.sql.functions.typedLit(mat.map(_.toSeq).toSeq))
+  def byte_histogram(payload: Column, buckets: Int): Column =
+    call_function("byte_histogram", payload,
+      org.apache.spark.sql.functions.lit(buckets))
   def srp_signature(v: Column, numPlanes: Int, seed: Long = 0L): Column =
     call_function("srp_signature", v,
       org.apache.spark.sql.functions.lit(numPlanes),

@@ -486,3 +486,45 @@ object SrpSignatureImpl {
     sig
   }
 }
+
+/** Byte histogram over a binary payload: counts bytes into `buckets`
+  * equal-width bins (bucket = unsignedByte · buckets / 256) — the
+  * oracle-checkable half of multimodal feature extraction (the
+  * deterministic analog of an image's intensity histogram; a real codec
+  * feature replaces the byte read, the array shape and fold stay). A
+  * native codegen Expression: the per-byte loop stays in whole-stage
+  * codegen where `aggregate(sequence(...))` would run interpreted and
+  * allocate per row. */
+case class ByteHistogram(child: Expression, buckets: Int)
+  extends UnaryExpression {
+  require(buckets >= 1 && buckets <= 256 && 256 % buckets == 0,
+    s"buckets must divide 256, got $buckets")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"byte_histogram expects BINARY, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    ByteHistogramImpl.compute(input.asInstanceOf[Array[Byte]], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ByteHistogramImpl.compute($c, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+    copy(child = newChild)
+  override def prettyName: String = "byte_histogram"
+}
+
+object ByteHistogramImpl {
+  /** Callable from generated Java. */
+  def compute(payload: Array[Byte], buckets: Int): ArrayData = {
+    val out = new Array[Long](buckets)
+    val width = 256 / buckets
+    var i = 0
+    while (i < payload.length) {
+      out((payload(i) & 0xff) / width) += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

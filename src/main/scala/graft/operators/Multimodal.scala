@@ -190,6 +190,23 @@ object Multimodal {
       .drop("__payload")
   }
 
+  /** Feature extraction over the binary payload: a `buckets`-bin byte
+    * histogram per row via the native codegen `byte_histogram` Expression
+    * — the oracle-checkable stage of multimodal featurization (intensity
+    * histograms are the classic codec-free image feature; a real decoder
+    * swaps the byte read, the fold/array shape stays). Emitted as one
+    * column per bin so the DuckDB oracle compares plain integers. */
+  def byteFeatures(df: DataFrame, idCol: String, payloadCol: String,
+                   buckets: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val hist = graft.functions.GraftFunctions.byte_histogram(col(payloadCol), buckets)
+    df.select(col(idCol) +:
+      octet_length(col(payloadCol)).cast("long").as("n_bytes") +:
+      hist.as("__h") +: Nil: _*)
+      .select(col(idCol) +: col("n_bytes") +:
+        (0 until buckets).map(k => element_at(col("__h"), k + 1).as(s"h$k")): _*)
+  }
+
   /** Oracle-checkable byte stats over the binary column: sizes, an 8-byte
     * header sample (hex), and a stub scalar feature. */
   def byteStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -111,6 +111,15 @@ object TrainingQueries {
       TextAnalysis.mixtureWeights(Tables.documents(s, d), "text",
         Seq("lang", "source")).orderBy("lang", "source")),
 
+    // feature extraction over the synthesized containers: 8-bin byte
+    // histogram via the native byte_histogram Expression; the oracle
+    // re-derives every byte from the hex reconstruction — a histogram
+    // off by one anywhere breaks the hash
+    "q_multimodal_features" -> ((s, d) =>
+      Multimodal.byteFeatures(
+        Multimodal.syntheticContainers(Tables.documents(s, d), "doc_id"),
+        "doc_id", "payload", buckets = 8).orderBy("doc_id")),
+
     // the END-TO-END pass: gates → exact dedup → near-dup dedup →
     // benchmark decontamination (the eval set leaked verbatim into the
     // corpus — every-11th doc — so decontamination must strip it), then
@@ -211,6 +220,18 @@ object TrainingQueries {
        "SELECT lang, source, count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens, " +
        "round(CAST(SUM(ntok) AS DOUBLE) / CAST(SUM(SUM(ntok)) OVER () AS DOUBLE), 6) AS weight " +
        "FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q_multimodal_features" ->
+      (s"WITH p AS (SELECT doc_id, $PayloadHexSql AS hx FROM documents), " +
+       "b AS (SELECT doc_id, CAST(length(hx) // 2 AS BIGINT) AS n_bytes, " +
+       "[(strpos('0123456789abcdef', hx[2*i+1:2*i+1]) - 1) * 16 + " +
+       "(strpos('0123456789abcdef', hx[2*i+2:2*i+2]) - 1) " +
+       "for i in range(0, len(hx)//2)] AS bv FROM p) " +
+       "SELECT doc_id, n_bytes, " +
+       (0 until 8).map(k =>
+         s"CAST(len(list_filter(bv, v -> v // 32 = $k)) AS BIGINT) AS h$k")
+         .mkString(", ") +
+       " FROM b ORDER BY doc_id"),
 
     // curation CTE chain + w=5 decontamination of the kept set against
     // the every-11th-doc benchmark, minShared=1

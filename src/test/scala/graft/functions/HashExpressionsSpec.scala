@@ -19,6 +19,25 @@ class HashExpressionsSpec extends SparkSpec {
     assert(RollingHashImpl.compute(UTF8String.fromString("abc")) == ref("abc"))
   }
 
+  test("byte_histogram counts every byte into its bin, through codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    val payloads = Seq(
+      Array[Byte](0, 31, 32, -1, -128),        // bins 0,0,1,7,4 at width 32
+      Array.empty[Byte],
+      Array.tabulate[Byte](256)(_.toByte))     // uniform: 32 per bin
+    val out = payloads.toDF("p")
+      .select(GraftFunctions.byte_histogram(col("p"), 8)).as[Seq[Long]].collect()
+    assert(out(0) == Seq(2L, 1L, 0L, 0L, 1L, 0L, 0L, 1L))
+    assert(out(1) == Seq.fill(8)(0L))
+    assert(out(2) == Seq.fill(8)(32L))
+    assert(out.forall(h => h.sum == h.sum && h.forall(_ >= 0)))
+    // total preservation: every byte lands in exactly one bin
+    assert(out.zip(payloads).forall { case (h, p) => h.sum == p.length })
+    // direct impl agrees (interpreted path)
+    val direct = ByteHistogramImpl.compute(payloads(0), 8)
+    assert((0 until 8).map(direct.getLong) == out(0))
+  }
+
   test("marker_counts: one pass scores all vocabularies, through codegen") {
     GraftFunctions.ensureRegistered(spark)
     val vocabs = Seq(Seq("the", "a"), Seq("der", "die"), Seq("a", "der"))
