@@ -21,7 +21,8 @@ object PlanAudit {
         "q_ann_lsh", "q_asof_join", "q_asof_join_sharded", "q_range_join", "q_multimodal_decode",
         "q_events_sessionize", "q_decontaminate", "q_pack_sequences",
         "q_sample_bernoulli", "q_multimodal_frames", "q_distinct_sketch_check",
-        "q_dedup_cluster_best", "q_mixture_weights")
+        "q_dedup_cluster_best", "q_mixture_weights", "q_multimodal_features",
+        "q_curation_decontaminated")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
