@@ -238,6 +238,45 @@ object Dedup {
     }
   }
 
+  /** Exact shared-span pairs — substring-level duplication (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better",
+    * whose ExactSubstr pass flags training examples sharing any
+    * sufficiently-long verbatim span; suffix arrays there, distinct word
+    * w-shingles here — two docs share a w-token shingle iff they share a
+    * w-token verbatim span). Returns (doc_a, doc_b, n_spans): pairs
+    * sharing ≥ `minShared` distinct w-token spans.
+    *
+    * Unlike the Jaccard family this scores ABSOLUTE overlap, so a short
+    * quote copied into a long document is caught even when the Jaccard
+    * similarity is negligible.
+    *
+    * Scale posture: candidate pairs come from an equi-join on the shingle
+    * value (ids only — text never re-shuffles), and spans seen in more
+    * than `maxDf` docs are dropped BEFORE pairing (boilerplate stop-grams:
+    * licence headers, templates; each contributes O(df²) pairs of pure
+    * noise, and dropping them is what makes the pass subquadratic on
+    * corpora where it matters — the per-span pair fan-out is then ≤
+    * maxDf²). The df≥2 filter is result-neutral (singleton spans cannot
+    * pair) and keeps the pairing join's build side to genuinely shared
+    * spans. */
+  def sharedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int = 6, minShared: Long = 1,
+                      maxDf: Int = 16): DataFrame = {
+    require(w > 0 && minShared > 0 && maxDf >= 2,
+      s"w/minShared must be positive and maxDf >= 2, got ($w, $minShared, $maxDf)")
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val inv = docs.select(col(idCol).as("doc_id"),
+      explode(GraftFunctions.word_shingles(col(textCol), w)).as("s"))
+    val shared = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    bucketPairs(inv.join(shared.select("s"), "s"), Seq("s"), col("doc_id"))
+      .filter(col("__a") < col("__b"))
+      .groupBy(col("__a").as("doc_a"), col("__b").as("doc_b"))
+      .agg(count(lit(1)).as("n_spans"))
+      .filter(col("n_spans") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ----------------------------------------------------------- clustering
 
   /** Connected components over an undirected near-dup pair graph — the

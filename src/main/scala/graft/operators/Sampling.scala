@@ -64,6 +64,34 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Deterministic epoch shuffle: the global random order a training run
+    * reads the corpus in, produced without an RNG so any cluster layout
+    * and any re-run deals the SAME order. Each row gets a shard
+    * (`shards`-way split by its hash key's leading bits) and a position
+    * within the shard (rank by full hash key). Reading shards in index
+    * order, each ordered by `pos`, is one global md5-keyed permutation —
+    * exactly how shuffled training shards are laid out on object storage.
+    * A different `seed` deals a fresh permutation per epoch.
+    *
+    * Scale posture: the shard assignment is scan-side; the ONE shuffle is
+    * the per-shard rank window, hash-partitioned `shards` ways — pick
+    * shards so a shard's rows fit a task (10⁴–10⁵ at 100 TB). `shards`
+    * must divide 65536 (shard = leading-16-bit key space split evenly,
+    * which keeps the DuckDB oracle a pure string-arithmetic twin). */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String = "s42",
+                   shards: Int = 16): DataFrame = {
+    require(shards > 0 && 65536 % shards == 0,
+      s"shards must divide 65536, got $shards")
+    val key = md5(concat(lit(seed + "|"), col(idCol).cast("string")))
+    val shard = (conv(substring(key, 1, 4), 16, 10).cast("long") /
+      lit(65536 / shards)).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key).withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+
   /** Exactly min(n, |stratum|) rows per stratum, chosen by hash-key order
     * (deterministic "random" without an RNG). This is the exact-n ANCHOR
     * of the sampling pair: the row_number window sorts each stratum inside
