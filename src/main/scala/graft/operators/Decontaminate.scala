@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.GraftFunctions
 
 /** Benchmark decontamination (SURVEY.md §2.2): remove training documents
@@ -30,34 +31,102 @@ object Decontaminate {
     * join (same rationale/threshold shape as Curation.MaxBroadcastLosers). */
   val MaxBroadcastNgrams = 10000000L
 
-  /** Distinct benchmark n-grams (one column `sg`), size-gated broadcast. */
-  private def benchNgrams(benchmark: DataFrame, textCol: String, w: Int,
-                          maxBroadcast: Long): DataFrame = {
+  /** Distinct benchmark n-grams (one column `sg`), size-gated broadcast,
+    * PERSISTED so the size-gate count and the downstream join(s) share one
+    * execution of the benchmark-shingle subtree (advisor r6 — previously
+    * the count probe re-ran it uncached). Returns the gated relation plus
+    * a cleanup that unpersists it; call cleanup AFTER the report has been
+    * materialized (same contract as Curation.curateManaged). */
+  private def benchNgramsManaged(benchmark: DataFrame, textCol: String,
+                                 w: Int, maxBroadcast: Long)
+      : (DataFrame, Long, () => Unit) = {
     val sg = benchmark
       .select(explode(GraftFunctions.word_shingles(col(textCol), w)).as("sg"))
       .distinct()
-    // the count probe runs the (cheap: one text scan + distinct) subtree
-    // once extra — the price of never handing an unbounded set to the
-    // broadcast machinery
-    if (sg.count() <= maxBroadcast) broadcast(sg) else sg
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the count probe materializes the cache — the price of never handing
+    // an unbounded set to the broadcast machinery; the join below then
+    // reads the cached relation instead of re-running the subtree
+    val n = sg.count()
+    val gated = if (n <= maxBroadcast) broadcast(sg) else sg
+    (gated, n, () => { sg.unpersist(blocking = true); () })
   }
 
   /** Contamination report: corpus docs sharing ≥ `minShared` distinct
-    * w-grams with the benchmark set → (doc_id, n_shared). */
+    * w-grams with the benchmark set → (doc_id, n_shared). One-shot
+    * convenience over [[reportManaged]] — leaves the internal benchmark
+    * n-gram cache to LRU eviction. */
   def report(corpus: DataFrame, benchmark: DataFrame, idCol: String,
              textCol: String, w: Int = 5, minShared: Int = 1,
-             maxBroadcast: Long = MaxBroadcastNgrams): DataFrame = {
+             maxBroadcast: Long = MaxBroadcastNgrams): DataFrame =
+    reportManaged(corpus, benchmark, idCol, textCol, w, minShared,
+      maxBroadcast)._1
+
+  /** [[report]] plus the cache-lifecycle handle: (plan, cleanup). Invoke
+    * cleanup after materializing the plan; long-lived sessions running
+    * repeated decontamination passes should always use this variant. */
+  def reportManaged(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, w: Int = 5, minShared: Int = 1,
+                    maxBroadcast: Long = MaxBroadcastNgrams)
+      : (DataFrame, () => Unit) = {
     require(w > 0 && minShared > 0,
       s"w/minShared must be positive, got ($w, $minShared)")
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val corpusSg = corpus.select(col(idCol).as("doc_id"),
       explode(GraftFunctions.word_shingles(col(textCol), w)).as("sg"))
-    corpusSg
-      .join(benchNgrams(benchmark, textCol, w, maxBroadcast), "sg")
+    val (bench, _, cleanup) =
+      benchNgramsManaged(benchmark, textCol, w, maxBroadcast)
+    val out = corpusSg
+      .join(bench, "sg")
       // word_shingles emits per-doc DISTINCT n-grams, so a plain count is
       // already the distinct-collision count
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    (out, cleanup)
+  }
+
+  /** The 100 TB contamination path for benchmarks TOO LARGE to broadcast
+    * as strings: broadcast the 8-byte xxhash64 set of benchmark n-grams
+    * (~5× smaller than the average English 5-gram string, so a 5× bigger
+    * eval set still fits the broadcast budget), semi-join corpus n-grams
+    * against it SCAN-SIDE so non-colliding rows die before any string
+    * shuffle, then exact-string-join only the tiny survivor set so a hash
+    * collision can never flag a clean doc. The prefilter admits a
+    * superset and the exact join decides — the result is provably
+    * IDENTICAL to [[report]] and shares its DuckDB oracle; what changes
+    * is the shuffle volume (colliding rows only, instead of every corpus
+    * n-gram when the string set overflows the gate). */
+  def reportHashPrefiltered(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String, w: Int = 5,
+                            minShared: Int = 1,
+                            maxBroadcast: Long = MaxBroadcastNgrams): DataFrame =
+    reportHashPrefilteredManaged(corpus, benchmark, idCol, textCol, w,
+      minShared, maxBroadcast)._1
+
+  /** [[reportHashPrefiltered]] plus the cache-lifecycle handle. */
+  def reportHashPrefilteredManaged(corpus: DataFrame, benchmark: DataFrame,
+                                   idCol: String, textCol: String,
+                                   w: Int = 5, minShared: Int = 1,
+                                   maxBroadcast: Long = MaxBroadcastNgrams)
+      : (DataFrame, () => Unit) = {
+    require(w > 0 && minShared > 0,
+      s"w/minShared must be positive, got ($w, $minShared)")
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // persisted once, read twice: the hash-set build and the exact verify
+    val (bench, n, cleanup) =
+      benchNgramsManaged(benchmark, textCol, w, maxBroadcast)
+    val benchHashes = bench.select(xxhash64(col("sg")).as("__h")).distinct()
+    val gatedHashes =
+      if (n <= maxBroadcast) broadcast(benchHashes) else benchHashes
+    val corpusSg = corpus.select(col(idCol).as("doc_id"),
+      explode(GraftFunctions.word_shingles(col(textCol), w)).as("sg"))
+    val survivors = corpusSg.join(gatedHashes,
+      xxhash64(col("sg")) === col("__h"), "left_semi")
+    val out = survivors
+      .join(bench, "sg")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    (out, cleanup)
   }
 
   /** Decontaminated corpus: drop every doc flagged by [[report]]. The

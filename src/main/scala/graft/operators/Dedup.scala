@@ -277,6 +277,53 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Paragraph-level exact dedup with document reassembly — the CCNet
+    * pass (Wenzek et al. 2020, "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", §3: web text is deduped
+    * at PARAGRAPH granularity because boilerplate repeats across pages
+    * whose full texts differ). The corpus-wide FIRST occurrence of each
+    * distinct paragraph (minimum (doc id, paragraph index)) survives;
+    * every later copy is dropped, and each document is reassembled from
+    * its surviving paragraphs in original order. Documents whose every
+    * paragraph is a repeat vanish from the output — exactly CCNet's
+    * behavior.
+    *
+    * Scale posture: the winner per paragraph class is a `min(struct)`
+    * aggregation on the paragraph's md5 — partial aggregation combines
+    * map-side, so a boilerplate paragraph repeated 10⁹ times (cookie
+    * banners, licence headers — GUARANTEED at 100 TB) collapses inside
+    * each task instead of serializing one giant window partition (a
+    * row_number-over-hash formulation would put every copy of the hot
+    * paragraph in one task). The keep-join shuffles on (hash, doc, idx),
+    * so hot classes spread across partitions; reassembly sorts INSIDE the
+    * collect (array_sort of (idx, para) structs — collect_list order is
+    * not defined) and is one ordinary groupBy. Text crosses the wire only
+    * as (hash, winner-coords) + the kept rows — losers never re-shuffle
+    * their text. */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val paras = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))).cast("long").as("n_paras"),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))).as(Seq("para_idx", "para")))
+    val winners = paras
+      .groupBy(md5(col("para")).as("__ph"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("__w"))
+      .select(col("__ph"), col("__w.doc_id").as("__wd"),
+        col("__w.para_idx").as("__wi"))
+    paras.join(winners,
+        md5(col("para")) === col("__ph") && col("doc_id") === col("__wd") &&
+          col("para_idx") === col("__wi"))
+      .groupBy("doc_id")
+      .agg(first(col("n_paras")).as("n_paras"),
+        count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para")))),
+          x => x.getField("para"))).as("text_deduped"))
+  }
+
   // ----------------------------------------------------------- clustering
 
   /** Connected components over an undirected near-dup pair graph — the

@@ -133,7 +133,7 @@ object Multimodal {
     val jpeg = unhex(concat(
       lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "00010001" + "0000"),
       lit("FFFE"), lpad(hex(id % 7 + 2), 4, "0"),
-      expr(s"repeat('41', CAST($idCol % 7 AS INT))"),
+      call_function("repeat", lit("41"), (id % 7).cast("int")),
       lit("FFC0" + "0011" + "08"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
       lit("03")))
     docs.select(id, when(id % 2 === 0, png).otherwise(jpeg).as("payload"))
@@ -146,20 +146,30 @@ object Multimodal {
     * resample itself is codec territory and stays behind the
     * mapPartitions plumbing above). All arithmetic is integer (`div`, no
     * fp scale factor) so the planned dimensions are bit-identical across
-    * engines. Rows whose header does not parse keep null dims — the
-    * downstream filter decides their fate, not this operator. */
+    * engines. Rows whose header does not parse keep null plan dims — an
+    * EXPLICIT null guard, because `when(wide, …)` alone would route a
+    * null-dim row to the otherwise-branch and `greatest` skips nulls, so
+    * foreign containers would silently get out_w=1/out_h=maxH (advisor
+    * r6). The downstream filter decides their fate, not this operator. */
   def resizePlan(df: DataFrame, idCol: String, payloadCol: String,
                  maxW: Int, maxH: Int): DataFrame = {
     require(maxW > 0 && maxH > 0, s"maxW/maxH must be positive, got ($maxW, $maxH)")
     val d = decodeHeader(df, idCol, payloadCol)
     val w = col("width").cast("long")
     val h = col("height").cast("long")
+    val unparsed = w.isNull || h.isNull
     // wider than the target box's aspect → pin width, else pin height
+    // (width/height are THIS operator's internal aliases from
+    // decodeHeader, never caller identifiers — safe inside expr)
     val wide = w * maxH >= h * maxW
     d.withColumn("out_w",
-        when(wide, lit(maxW.toLong)).otherwise(greatest(expr(s"CAST(width AS BIGINT) * $maxH div height"), lit(1L))))
+        when(unparsed, lit(null).cast("long"))
+          .when(wide, lit(maxW.toLong))
+          .otherwise(greatest(expr(s"CAST(width AS BIGINT) * $maxH div height"), lit(1L))))
       .withColumn("out_h",
-        when(wide, greatest(expr(s"CAST(height AS BIGINT) * $maxW div width"), lit(1L))).otherwise(lit(maxH.toLong)))
+        when(unparsed, lit(null).cast("long"))
+          .when(wide, greatest(expr(s"CAST(height AS BIGINT) * $maxW div width"), lit(1L)))
+          .otherwise(lit(maxH.toLong)))
   }
 
   /** Declarative frame sampling over the binary payload: every `stride`-th
@@ -174,13 +184,17 @@ object Multimodal {
                    frameSize: Int, stride: Int, maxFrames: Int): DataFrame = {
     require(frameSize > 0 && stride > 0 && maxFrames > 0,
       s"frameSize/stride/maxFrames must be positive, got ($frameSize, $stride, $maxFrames)")
-    val nBytes = octet_length(col(payloadCol)).cast("long")
-    val nFrames = least(lit(maxFrames.toLong), expr(
-      s"(CAST(octet_length($payloadCol) AS BIGINT) + ${stride - 1}) div $stride"))
+    // alias the payload FIRST so all expr() arithmetic below references
+    // only internal names — interpolating the caller's column name into a
+    // SQL string would break on identifiers needing quoting (advisor r6)
+    val nFrames = least(lit(maxFrames.toLong),
+      expr(s"(n_bytes + ${stride - 1}) div $stride"))
     // empty payload → no frames (a bare sequence(0, -1) would count DOWN)
     val idxs = when(nFrames > 0, sequence(lit(0L), nFrames - 1))
       .otherwise(array().cast("array<bigint>"))
-    df.select(col(idCol), col(payloadCol).as("__payload"), nBytes.as("n_bytes"),
+    df.select(col(idCol), col(payloadCol).as("__payload"),
+        octet_length(col(payloadCol)).cast("long").as("n_bytes"))
+      .select(col(idCol), col("__payload"), col("n_bytes"),
         explode(idxs).as("frame_idx"))
       .withColumn("offset", col("frame_idx") * stride)
       .withColumn("frame_len",

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, TextAnalysis}
 import graft.tables.Tables
 
 /** SURVEY.md §2.2 additions (r6) — deterministic sampling, sequence
@@ -133,8 +133,110 @@ object TrainingQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"))
         .orderBy("lang_detected")
+    }),
+
+    // ----- r7: PII redaction, epoch shuffle, shared spans, paragraph
+    // dedup, repetition signals, hash-prefiltered decontamination -----
+
+    // the corpus carries no PII, so the fixture plants deterministic
+    // email/IP/phone tails (both engines build the IDENTICAL string);
+    // the md5 of the redacted text makes the check content-exact
+    "q_redaction" -> ((s, d) =>
+      Redaction.report(withPlantedPii(Tables.documents(s, d)), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // one global deterministic permutation: 16 shards (shard = leading
+    // hex nibble of the md5 key), per-shard rank = position
+    "q_epoch_shuffle" -> ((s, d) =>
+      Sampling.epochShuffle(Tables.documents(s, d), "doc_id", seed = "s42",
+          shards = 16)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
+
+    // absolute span overlap (Lee et al. ExactSubstr analog): pairs
+    // sharing >= 2 distinct 6-token spans, boilerplate grams (df > 16)
+    // dropped before pairing
+    "q_shared_spans" -> ((s, d) =>
+      Dedup.sharedSpanPairs(
+        Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
+        "doc_id", "text", w = 6, minShared = 2, maxDf = 16)),
+
+    // CCNet paragraph dedup over a planted two-paragraph corpus: para 1 =
+    // the doc's own text (exact-dup texts recur in the corpus), para 2 =
+    // one of 7 shared boilerplate blocks — both classes of repeat are
+    // exercised, and docs 0..6 are the only keepers of their block
+    "q_dedup_paragraphs" -> ((s, d) =>
+      Dedup.dedupParagraphs(withParagraphs(Tables.documents(s, d)),
+        "doc_id", "text", sep = "\n").orderBy("doc_id")),
+
+    // Gopher-style repetition gates (dup token/2-gram/3-gram fractions +
+    // top-token share), rounded to 6dp on both engines for hash parity
+    "q_text_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dup_token_frac"), 6).as("dup_token_frac"),
+          round(col("dup_2gram_frac"), 6).as("dup_2gram_frac"),
+          round(col("dup_3gram_frac"), 6).as("dup_3gram_frac"),
+          round(col("top_token_frac"), 6).as("top_token_frac"))
+        .orderBy("doc_id")),
+
+    // the hash-prefiltered scale path MUST return exactly what the exact
+    // path returns (superset prefilter + exact verify) — same oracle
+    "q_decontaminate_hashfilter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("text", coalesce(col("text"), lit("")))
+      Decontaminate.reportHashPrefiltered(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0),
+        "doc_id", "text", w = 5, minShared = 1).orderBy("doc_id")
     })
   )
+
+  /** Deterministic PII fixture: plant an email on every 3rd doc, an IPv4
+    * on every 5th, a phone on every 7th (cumulative, so counts vary 0-3
+    * per doc). The DuckDB twin is [[piiSql]]. */
+  private def withPlantedPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      coalesce(col("text"), lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" mail user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" tel 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))).as("text"))
+
+  private val piiSql: String =
+    "SELECT doc_id, coalesce(text, '') || " +
+    "CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) " +
+    "|| '@example.com' ELSE '' END || " +
+    "CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) " +
+    "|| '.7' ELSE '' END || " +
+    "CASE WHEN doc_id % 7 = 0 THEN ' tel 555-' || " +
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t " +
+    "FROM documents"
+
+  /** Two-paragraph fixture for the CCNet pass: own text + one of 7 shared
+    * boilerplate blocks. DuckDB twin inline in the oracle. */
+  private def withParagraphs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat_ws("\n",
+      coalesce(col("text"), lit("")),
+      concat(lit("shared block "), (col("doc_id") % 7).cast("string")))
+      .as("text"))
+
+  /** Shared by q_decontaminate and q_decontaminate_hashfilter. */
+  private val DecontaminateOracleSql: String =
+    ("WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), " +
+     "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs), " +
+     "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ') " +
+     "for i in range(1, len(t)-3)]) AS s FROM toks), " +
+     "bench AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 11 = 0), " +
+     "corp AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 11 != 0) " +
+     "SELECT doc_id, count(*) AS n_shared FROM corp JOIN bench USING (sg) " +
+     "GROUP BY doc_id HAVING count(*) >= 1 ORDER BY doc_id")
 
   val oracles: Map[String, String] = Map(
     "q_sample_bernoulli" ->
@@ -162,15 +264,11 @@ object TrainingQueries {
        "(tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS chunks_spanned " +
        "FROM c ORDER BY doc_id"),
 
-    "q_decontaminate" ->
-      ("WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), " +
-       "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs), " +
-       "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ') " +
-       "for i in range(1, len(t)-3)]) AS s FROM toks), " +
-       "bench AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 11 = 0), " +
-       "corp AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 11 != 0) " +
-       "SELECT doc_id, count(*) AS n_shared FROM corp JOIN bench USING (sg) " +
-       "GROUP BY doc_id HAVING count(*) >= 1 ORDER BY doc_id"),
+    "q_decontaminate" -> DecontaminateOracleSql,
+
+    // the hash-prefiltered path is result-identical by construction —
+    // the prefilter admits a superset, the exact join decides
+    "q_decontaminate_hashfilter" -> DecontaminateOracleSql,
 
     "q_multimodal_resize" ->
       ("WITH dims AS (SELECT doc_id, " +
@@ -250,6 +348,82 @@ object TrainingQueries {
        "(SELECT doc_id FROM contaminated)) " +
        "SELECT lang_detected, COUNT(*) AS n_docs, " +
        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
-       "FROM final GROUP BY lang_detected ORDER BY lang_detected")
+       "FROM final GROUP BY lang_detected ORDER BY lang_detected"),
+
+    // the IDENTICAL regexes the Spark chain applies (RE2-safe: no
+    // backrefs/lookaround); counts taken per stage on that stage's input,
+    // md5 of the final text makes the whole chain content-exact
+    "q_redaction" ->
+      (s"WITH pii AS ($piiSql), " +
+       s"r1 AS (SELECT doc_id, t AS t0, regexp_replace(t, '${Redaction.EmailRe}', '<EMAIL>', 'g') AS t1 FROM pii), " +
+       s"r2 AS (SELECT doc_id, t0, t1, regexp_replace(t1, '${Redaction.Ipv4Re}', '<IP>', 'g') AS t2 FROM r1), " +
+       s"r3 AS (SELECT doc_id, t0, t1, t2, regexp_replace(t2, '${Redaction.PhoneRe}', '<PHONE>', 'g') AS t3 FROM r2) " +
+       "SELECT doc_id, " +
+       s"CAST(len(regexp_extract_all(t0, '${Redaction.EmailRe}')) AS BIGINT) AS n_emails, " +
+       s"CAST(len(regexp_extract_all(t1, '${Redaction.Ipv4Re}')) AS BIGINT) AS n_ips, " +
+       s"CAST(len(regexp_extract_all(t2, '${Redaction.PhoneRe}')) AS BIGINT) AS n_phones, " +
+       "md5(t3) AS redacted_md5, CAST(length(t3) AS BIGINT) AS n_chars_redacted " +
+       "FROM r3 ORDER BY doc_id"),
+
+    // shard = leading hex nibble of the md5 key (16 shards ≡ the top 4
+    // bits of the 16-bit key space, so string arithmetic suffices)
+    "q_epoch_shuffle" ->
+      ("WITH k AS (SELECT doc_id, md5('s42|' || CAST(doc_id AS VARCHAR)) AS key " +
+       "FROM documents) " +
+       "SELECT doc_id, " +
+       "CAST(strpos('0123456789abcdef', substr(key, 1, 1)) - 1 AS BIGINT) AS shard, " +
+       "CAST(row_number() OVER (PARTITION BY substr(key, 1, 1) " +
+       "ORDER BY key, doc_id) AS BIGINT) AS pos " +
+       "FROM k ORDER BY shard, pos"),
+
+    // 6-token spans: t[i:i+5] is 1-based INCLUSIVE (6 elements); df gate
+    // 2..16 BEFORE pairing, >= 2 shared spans per pair
+    "q_shared_spans" ->
+      ("WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t " +
+       "FROM documents), " +
+       "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+5], ' ') " +
+       "for i in range(1, len(t)-4)]) AS s FROM toks), " +
+       "inv AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+       "keep AS (SELECT sg FROM inv GROUP BY sg HAVING count(*) BETWEEN 2 AND 16), " +
+       "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM inv a " +
+       "JOIN keep k ON a.sg = k.sg JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id) " +
+       "SELECT doc_a, doc_b, count(*) AS n_spans FROM p GROUP BY 1, 2 " +
+       "HAVING count(*) >= 2 ORDER BY doc_a, doc_b"),
+
+    // CCNet paragraph dedup: first (doc_id, para_idx) per distinct
+    // paragraph survives; docs reassembled in original paragraph order
+    "q_dedup_paragraphs" ->
+      ("WITH d AS (SELECT doc_id, coalesce(text, '') || chr(10) || " +
+       "'shared block ' || CAST(doc_id % 7 AS VARCHAR) AS t FROM documents), " +
+       "s AS (SELECT doc_id, string_split(t, chr(10)) AS ps FROM d), " +
+       "p AS (SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_paras, i AS para_idx, " +
+       "ps[CAST(i + 1 AS INT)] AS para FROM s CROSS JOIN range(0, 8) r(i) " +
+       "WHERE i < len(ps)), " +
+       "k AS (SELECT *, row_number() OVER (PARTITION BY para " +
+       "ORDER BY doc_id, para_idx) AS rk FROM p) " +
+       "SELECT doc_id, min(n_paras) AS n_paras, count(*) AS n_kept, " +
+       "string_agg(para, chr(10) ORDER BY para_idx) AS text_deduped " +
+       "FROM k WHERE rk = 1 GROUP BY doc_id ORDER BY doc_id"),
+
+    // non-distinct gram lists this time (unlike the shingle family) —
+    // repetition is about multiplicity; fractions rounded to 6dp on both
+    // engines
+    "q_text_repetition" ->
+      ("WITH tk AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t " +
+       "FROM documents), " +
+       "g AS (SELECT doc_id, t, len(t) AS n, " +
+       "[array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] AS g2, " +
+       "[array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] AS g3 " +
+       "FROM tk) " +
+       "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, " +
+       "round(CASE WHEN n = 0 THEN 0.0 ELSE " +
+       "CAST(n - len(list_distinct(t)) AS DOUBLE) / n END, 6) AS dup_token_frac, " +
+       "round(CASE WHEN len(g2) = 0 THEN 0.0 ELSE " +
+       "CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) END, 6) AS dup_2gram_frac, " +
+       "round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE " +
+       "CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) END, 6) AS dup_3gram_frac, " +
+       "round(CASE WHEN n = 0 THEN 0.0 ELSE " +
+       "CAST(list_max([len(list_filter(t, x -> x = u)) for u in list_distinct(t)]) AS DOUBLE) / n END, 6) AS top_token_frac " +
+       "FROM g ORDER BY doc_id")
   )
 }
