@@ -63,7 +63,10 @@ object Bench {
       .foreach(n => SparkEntry.queries.get(n)
         .foreach(f => try run(f(spark, sfDir)) catch { case _: Throwable => () }))
     var failed = List.empty[String]
+    // local-iteration filter (the driver never sets this → full suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(p => only.forall(_.contains(p._1)))
     // times(query) = one sample per pass, in pass order
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)

@@ -51,6 +51,8 @@ object GraftExtensions {
           (0 until a.numElements()).map(i => a.getArray(i).toObjectArray(
             org.apache.spark.sql.types.StringType).map(_.toString).toSeq)
         })),
+      (FunctionIdentifier("repetition_stats"), info(classOf[RepetitionStats], "repetition_stats"),
+        (es: Seq[Expression]) => RepetitionStats(es.head)),
       (FunctionIdentifier("byte_histogram"), info(classOf[ByteHistogram], "byte_histogram"),
         (es: Seq[Expression]) => ByteHistogram(es.head, es(1).eval().asInstanceOf[Int])),
       (FunctionIdentifier("srp_signature"), info(classOf[SrpSignature], "srp_signature"),
@@ -94,6 +96,7 @@ object GraftFunctions {
   def vec_mat_cosines(v: Column, mat: Array[Array[Double]]): Column =
     call_function("vec_mat_cosines", v,
       org.apache.spark.sql.functions.typedLit(mat.map(_.toSeq).toSeq))
+  def repetition_stats(toks: Column): Column = call_function("repetition_stats", toks)
   def byte_histogram(payload: Column, buckets: Int): Column =
     call_function("byte_histogram", payload,
       org.apache.spark.sql.functions.lit(buckets))

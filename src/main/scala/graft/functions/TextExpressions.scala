@@ -1,7 +1,8 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types._
@@ -76,5 +77,143 @@ object MarkerCountsImpl {
       i += 1
     }
     new GenericArrayData(counts)
+  }
+}
+
+/** Single-pass within-document repetition statistics (the Gopher-style
+  * quality gates — Rae et al. 2021 table A1): duplicate-token /
+  * duplicate-2-gram / duplicate-3-gram fractions and the top single
+  * token's frequency share, as one struct from ONE walk of the token
+  * array.
+  *
+  * Replaces the builtin-HOF composition (interpreted `transform` /
+  * `filter` lambdas; the top-token share alone was a filter-scan per
+  * distinct token, O(distinct·n) per doc — 27s of a 65s sf0.1 suite).
+  * Here: tokens are interned to dense ids (one UTF8String hash probe
+  * each); 2-grams key an open-addressing long map with
+  * (id(i-1)+1)<<32 | (id(i)+1); 3-grams reuse the 2-gram's dense id,
+  * (gram2id(i-1)+1)<<32 | (id(i)+1) — so every statistic, including the
+  * exact top-token count, falls out of the same O(n) pass with O(distinct)
+  * memory bounded by document length, not corpus size.
+  *
+  * Tokens never contain the separator (they come from split(text, ' ')),
+  * so id-tuple keys are exactly equivalent to the space-joined gram
+  * strings the DuckDB oracle uses. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionStatsImpl.schema
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats expects ARRAY<STRING>, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStatsImpl.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionStatsImpl.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStatsImpl {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("dup_token_frac", DoubleType, nullable = false),
+    StructField("dup_2gram_frac", DoubleType, nullable = false),
+    StructField("dup_3gram_frac", DoubleType, nullable = false),
+    StructField("top_token_frac", DoubleType, nullable = false)))
+
+  /** Open-addressing long→int map (power-of-2 capacity, murmur-mixed
+    * probe). Keys are built from id+1 halves so 0 never occurs and serves
+    * as the empty sentinel. Used both as an id-assigner (2-grams) and a
+    * distinct-counter (3-grams, value ignored). */
+  private final class LongIdMap(initCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(initCap, 16) - 1) << 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Int](cap)
+    var size = 0
+
+    private def mix(k: Long): Int = {
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      (h & (cap - 1)).toInt
+    }
+
+    /** Existing value for `key`, or insert `newVal` and return -1. */
+    def getOrInsert(key: Long, newVal: Int): Int = {
+      var i = mix(key)
+      while (keys(i) != 0L) {
+        if (keys(i) == key) return vals(i)
+        i = (i + 1) & (cap - 1)
+      }
+      keys(i) = key
+      vals(i) = newVal
+      size += 1
+      if (size * 4 > cap * 3) grow()
+      -1
+    }
+
+    private def grow(): Unit = {
+      val oldKeys = keys; val oldVals = vals
+      cap <<= 1
+      keys = new Array[Long](cap)
+      vals = new Array[Int](cap)
+      var i = 0
+      while (i < oldKeys.length) {
+        val k = oldKeys(i)
+        if (k != 0L) {
+          var j = mix(k)
+          while (keys(j) != 0L) j = (j + 1) & (cap - 1)
+          keys(j) = k
+          vals(j) = oldVals(i)
+        }
+        i += 1
+      }
+    }
+  }
+
+  def compute(tokens: ArrayData): InternalRow = {
+    val n = tokens.numElements()
+    val tokIds = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](
+      math.max(16, n * 2))
+    var tokCounts = new Array[Int](math.max(16, n))
+    val gram2 = new LongIdMap(n)
+    val gram3 = new LongIdMap(n)
+    var maxCount = 0
+    var prevId = -1      // token id at i-1
+    var prevGram2Id = -1 // dense id of the 2-gram ending at i-1
+    var i = 0
+    while (i < n) {
+      val tok = if (tokens.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+                else tokens.getUTF8String(i)
+      var id = tokIds.size()
+      val prev = tokIds.putIfAbsent(tok, Integer.valueOf(id))
+      if (prev != null) id = prev.intValue()
+      else if (id >= tokCounts.length)
+        tokCounts = java.util.Arrays.copyOf(tokCounts, tokCounts.length * 2)
+      tokCounts(id) += 1
+      if (tokCounts(id) > maxCount) maxCount = tokCounts(id)
+      var gram2Id = -1
+      if (prevId >= 0) {
+        val key2 = ((prevId + 1).toLong << 32) | ((id + 1).toLong & 0xffffffffL)
+        gram2Id = gram2.getOrInsert(key2, gram2.size)
+        if (gram2Id < 0) gram2Id = gram2.size - 1
+        if (prevGram2Id >= 0) {
+          val key3 = ((prevGram2Id + 1).toLong << 32) | ((id + 1).toLong & 0xffffffffL)
+          gram3.getOrInsert(key3, 0)
+        }
+      }
+      prevGram2Id = gram2Id
+      prevId = id
+      i += 1
+    }
+    val n2 = if (n >= 2) n - 1 else 0
+    val n3 = if (n >= 3) n - 2 else 0
+    new GenericInternalRow(Array[Any](
+      n.toLong,
+      if (n == 0) 0.0 else (n - tokIds.size()).toDouble / n,
+      if (n2 == 0) 0.0 else (n2 - gram2.size).toDouble / n2,
+      if (n3 == 0) 0.0 else (n3 - gram3.size).toDouble / n3,
+      if (n == 0) 0.0 else maxCount.toDouble / n))
   }
 }

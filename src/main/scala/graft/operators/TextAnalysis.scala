@@ -109,35 +109,25 @@ object TextAnalysis {
     * duplicate-line and duplicate-n-gram fractions). Token-level analogs
     * here (the synthetic corpus has no line structure): duplicate-token /
     * duplicate-2-gram / duplicate-3-gram fractions and the top single
-    * token's frequency share. All computed with higher-order array
-    * functions over the one split — a pure scan-side projection, no
-    * explode, no shuffle; at 100 TB this rides the documents scan like
-    * the other quality gates. The top-token scan is O(distinct·n) per doc
-    * — bounded by document length, not corpus size. */
+    * token's frequency share. ONE walk of the token array via the native
+    * repetition_stats Expression (codegen'd; the five field projections
+    * share the one struct through whole-stage-codegen subexpression
+    * elimination) — a pure scan-side projection, no explode, no shuffle;
+    * at 100 TB this rides the documents scan like the other quality
+    * gates. O(n) time and O(distinct) memory per doc, bounded by document
+    * length, not corpus size. */
   def repetitionCols(t: Column): Seq[Column] = {
-    val toks = TextOps.tokens(t)
-    val n = size(toks)
-    def grams(w: Int): Column =
-      when(n < w, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), n - (w - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(w)))))
-    def dupFrac(a: Column): Column =
-      when(size(a) === 0, lit(0.0))
-        .otherwise((size(a) - size(array_distinct(a))).cast("double") / size(a))
-    val topTok = array_max(transform(array_distinct(toks),
-      u => size(filter(toks, x => x === u))))
-    Seq(n.cast("long").as("n_tokens"),
-      dupFrac(toks).as("dup_token_frac"),
-      dupFrac(grams(2)).as("dup_2gram_frac"),
-      dupFrac(grams(3)).as("dup_3gram_frac"),
-      when(n === 0, lit(0.0))
-        .otherwise(topTok.cast("double") / n).as("top_token_frac"))
+    val st = GraftFunctions.repetition_stats(TextOps.tokens(t))
+    Seq("n_tokens", "dup_token_frac", "dup_2gram_frac", "dup_3gram_frac",
+      "top_token_frac").map(f => st.getField(f).as(f))
   }
 
   /** Per-doc repetition report (composable columns: [[repetitionCols]]). */
-  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
     docs.select(col(idCol) +:
       repetitionCols(coalesce(col(textCol), lit(""))): _*)
+  }
 
   /** Fingerprint columns (normalized text → md5 + polynomial rolling
     * hash) — composable into any single-scan projection, so pipelines can
