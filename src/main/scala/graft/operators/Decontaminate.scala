@@ -31,6 +31,13 @@ object Decontaminate {
     * join (same rationale/threshold shape as Curation.MaxBroadcastLosers). */
   val MaxBroadcastNgrams = 10000000L
 
+  /** The 8-byte xxhash64 set is ~5× smaller than the average English
+    * 5-gram string, so the hash path's broadcast gate admits 5× the
+    * row count at the same byte budget — this factor is what makes
+    * [[reportHashPrefiltered]] broadcast in regimes where the string
+    * path must shuffle. */
+  val HashBudgetFactor = 5L
+
   /** Distinct benchmark n-grams (one column `sg`), size-gated broadcast,
     * PERSISTED so the size-gate count and the downstream join(s) share one
     * execution of the benchmark-shingle subtree (advisor r6 — previously
@@ -116,8 +123,14 @@ object Decontaminate {
     val (bench, n, cleanup) =
       benchNgramsManaged(benchmark, textCol, w, maxBroadcast)
     val benchHashes = bench.select(xxhash64(col("sg")).as("__h")).distinct()
+    // gate on the HASH set's bytes, not the string row gate: 8 bytes/row
+    // vs ~40 for a 5-gram string → HashBudgetFactor more rows fit the
+    // same broadcast budget. In the target regime (n > maxBroadcast, so
+    // the strings must shuffle) the hash set still broadcasts until
+    // n > 5× the gate.
     val gatedHashes =
-      if (n <= maxBroadcast) broadcast(benchHashes) else benchHashes
+      if (n <= maxBroadcast * HashBudgetFactor) broadcast(benchHashes)
+      else benchHashes
     val corpusSg = corpus.select(col(idCol).as("doc_id"),
       explode(GraftFunctions.word_shingles(col(textCol), w)).as("sg"))
     val survivors = corpusSg.join(gatedHashes,
@@ -131,12 +144,25 @@ object Decontaminate {
 
   /** Decontaminated corpus: drop every doc flagged by [[report]]. The
     * anti-join's right side is per-doc ids (≤ corpus row count, usually
-    * far smaller) — left to AQE to broadcast when it fits. */
+    * far smaller) — left to AQE to broadcast when it fits. One-shot
+    * convenience over [[cleanManaged]] — leaves the internal benchmark
+    * n-gram cache to LRU eviction; long-lived sessions running repeated
+    * passes should use the managed variant. */
   def clean(corpus: DataFrame, benchmark: DataFrame, idCol: String,
             textCol: String, w: Int = 5, minShared: Int = 1,
             maxBroadcast: Long = MaxBroadcastNgrams): DataFrame =
-    corpus.join(
-      report(corpus, benchmark, idCol, textCol, w, minShared, maxBroadcast)
-        .select(col("doc_id").as("__contaminated_id")),
-      col(idCol) === col("__contaminated_id"), "left_anti")
+    cleanManaged(corpus, benchmark, idCol, textCol, w, minShared,
+      maxBroadcast)._1
+
+  /** [[clean]] plus the cache-lifecycle handle: (plan, cleanup). Invoke
+    * cleanup after the anti-join output is materialized. */
+  def cleanManaged(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                   textCol: String, w: Int = 5, minShared: Int = 1,
+                   maxBroadcast: Long = MaxBroadcastNgrams)
+      : (DataFrame, () => Unit) = {
+    val (rep, cleanup) = reportManaged(corpus, benchmark, idCol, textCol,
+      w, minShared, maxBroadcast)
+    (corpus.join(rep.select(col("doc_id").as("__contaminated_id")),
+      col(idCol) === col("__contaminated_id"), "left_anti"), cleanup)
+  }
 }

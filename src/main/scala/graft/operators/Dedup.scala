@@ -250,15 +250,23 @@ object Dedup {
     * quote copied into a long document is caught even when the Jaccard
     * similarity is negligible.
     *
-    * Scale posture: candidate pairs come from an equi-join on the shingle
-    * value (ids only — text never re-shuffles), and spans seen in more
-    * than `maxDf` docs are dropped BEFORE pairing (boilerplate stop-grams:
-    * licence headers, templates; each contributes O(df²) pairs of pure
-    * noise, and dropping them is what makes the pass subquadratic on
-    * corpora where it matters — the per-span pair fan-out is then ≤
-    * maxDf²). The df≥2 filter is result-neutral (singleton spans cannot
-    * pair) and keeps the pairing join's build side to genuinely shared
-    * spans. */
+    * Scale posture: spans seen in more than `maxDf` docs are dropped
+    * BEFORE pairing (boilerplate stop-grams: licence headers, templates;
+    * each contributes O(df²) pairs of pure noise, and dropping them is
+    * what makes the pass subquadratic on corpora where it matters — the
+    * per-span pair fan-out is then ≤ maxDf²). The df≥2 filter is
+    * result-neutral (singleton spans cannot pair).
+    *
+    * The corpus-wide stages — df counting AND the pairing join — shuffle
+    * only `(doc_id, xxhash64(span))`: 16 bytes/row instead of a w-token
+    * span string (~50 bytes at w=6). Span STRINGS leave their scan task
+    * only for documents that appear in some hash-candidate pair — those
+    * few docs re-run the pairing on exact strings (restricted to the same
+    * df-kept hash classes), which removes any collision-merged pair and
+    * recounts n_spans over true distinct spans (the xxhash64-prefilter +
+    * exact-verify pattern of [[Decontaminate.reportHashPrefiltered]]).
+    * Per-pair superset property: every shared span string is a shared
+    * hash, so no true pair can be missed by the prefilter. */
   def sharedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
                       w: Int = 6, minShared: Long = 1,
                       maxDf: Int = 16): DataFrame = {
@@ -267,9 +275,27 @@ object Dedup {
     GraftFunctions.ensureRegistered(docs.sparkSession)
     val inv = docs.select(col(idCol).as("doc_id"),
       explode(GraftFunctions.word_shingles(col(textCol), w)).as("s"))
-    val shared = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), col("s"), xxhash64(col("s")).as("h"))
+    // df per hash class; one distinct string per hash away from df(s).
+    // Gating on df(h) is what lets the count shuffle carry longs only.
+    val kept = inv.select("doc_id", "h").groupBy("h")
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-    bucketPairs(inv.join(shared.select("s"), "s"), Seq("s"), col("doc_id"))
+      .select("h")
+    val cand = bucketPairs(inv.select("doc_id", "h").join(kept, "h"),
+        Seq("h"), col("doc_id"))
+      .filter(col("__a") < col("__b"))
+      .groupBy(col("__a").as("doc_a"), col("__b").as("doc_b"))
+      .agg(count(lit(1)).as("n_spans"))
+      .filter(col("n_spans") >= minShared)
+      .select("doc_a", "doc_b")
+    // exact verify: span strings for candidate-pair docs only, same
+    // df-kept classes; any exact pair is a hash candidate (superset), so
+    // pairing the candidate docs on strings IS the final answer
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val invC = inv.join(kept, "h").join(candDocs, "doc_id")
+    bucketPairs(invC.select(col("doc_id"), col("s")), Seq("s"), col("doc_id"))
       .filter(col("__a") < col("__b"))
       .groupBy(col("__a").as("doc_a"), col("__b").as("doc_b"))
       .agg(count(lit(1)).as("n_spans"))
@@ -303,7 +329,10 @@ object Dedup {
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
                       sep: String = "\n"): DataFrame = {
     require(sep.nonEmpty, "sep must be non-empty")
-    val paras = docs.select(col(idCol).cast("long").as("doc_id"),
+    // keep the caller's id type (string/UUID ids order lexicographically
+    // in the winner min — still deterministic); a cast-to-long here would
+    // null out non-numeric ids and silently merge every document into one
+    val paras = docs.select(col(idCol).as("doc_id"),
       size(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep))).cast("long").as("n_paras"),
       posexplode(split(coalesce(col(textCol), lit("")),

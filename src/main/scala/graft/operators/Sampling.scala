@@ -73,23 +73,33 @@ object Sampling {
     * exactly how shuffled training shards are laid out on object storage.
     * A different `seed` deals a fresh permutation per epoch.
     *
-    * Scale posture: the shard assignment is scan-side; the ONE shuffle is
-    * the per-shard rank window, hash-partitioned `shards` ways — pick
-    * shards so a shard's rows fit a task (10⁴–10⁵ at 100 TB). `shards`
-    * must divide 65536 (shard = leading-16-bit key space split evenly,
-    * which keeps the DuckDB oracle a pure string-arithmetic twin). */
+    * Scale posture: the shard assignment is scan-side, and the rank
+    * window sorts a NARROW (id, key, shard) projection only — the row
+    * payload (text, embeddings: the wide bytes at 100 TB) never enters
+    * the window sort; it rejoins by `idCol` afterwards in an ordinary
+    * equi-join that hash-partitions instead of sorting. `shards` is any
+    * power of two up to 2³² (shard = leading key bits split evenly, which
+    * keeps the DuckDB oracle a pure string-arithmetic twin) — pick it so
+    * a shard's (id, key) rows fit a task's sort buffer (10⁵–10⁶ rows even
+    * at 100 TB once the payload stays out). `idCol` must be unique (it is
+    * the rejoin key). */
   def epochShuffle(df: DataFrame, idCol: String, seed: String = "s42",
                    shards: Int = 16): DataFrame = {
-    require(shards > 0 && 65536 % shards == 0,
-      s"shards must divide 65536, got $shards")
+    require(shards > 0 && java.lang.Long.bitCount(shards.toLong) == 1 &&
+        shards.toLong <= (1L << 32),
+      s"shards must be a power of two <= 2^32, got $shards")
     val key = md5(concat(lit(seed + "|"), col(idCol).cast("string")))
-    val shard = (conv(substring(key, 1, 4), 16, 10).cast("long") /
-      lit(65536 / shards)).cast("long")
+    // leading 32 key bits give every power-of-two shard count the same
+    // leading-bit split the old 16-bit formula produced for shards <= 65536
+    val shard = (conv(substring(key, 1, 8), 16, 10).cast("long") /
+      lit((1L << 32) / shards)).cast("long")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__key"), col(idCol))
-    df.withColumn("__key", key).withColumn("shard", shard)
+    val ranked = df.select(col(idCol), key.as("__key"))
+      .withColumn("shard", shard)
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__key")
+    df.join(ranked, Seq(idCol))
   }
 
   /** Exactly min(n, |stratum|) rows per stratum, chosen by hash-key order

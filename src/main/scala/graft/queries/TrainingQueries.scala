@@ -396,9 +396,12 @@ object TrainingQueries {
       ("WITH d AS (SELECT doc_id, coalesce(text, '') || chr(10) || " +
        "'shared block ' || CAST(doc_id % 7 AS VARCHAR) AS t FROM documents), " +
        "s AS (SELECT doc_id, string_split(t, chr(10)) AS ps FROM d), " +
-       "p AS (SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_paras, i AS para_idx, " +
-       "ps[CAST(i + 1 AS INT)] AS para FROM s CROSS JOIN range(0, 8) r(i) " +
-       "WHERE i < len(ps)), " +
+       // unnest + generate_subscripts enumerates however many paragraphs
+       // the data has (a fixed range(0, k) cross join would silently
+       // truncate any future fixture with more than k paragraphs)
+       "p AS (SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_paras, " +
+       "generate_subscripts(ps, 1) - 1 AS para_idx, " +
+       "unnest(ps) AS para FROM s), " +
        "k AS (SELECT *, row_number() OVER (PARTITION BY para " +
        "ORDER BY doc_id, para_idx) AS rk FROM p) " +
        "SELECT doc_id, min(n_paras) AS n_paras, count(*) AS n_kept, " +
