@@ -250,4 +250,87 @@ class DedupSpec extends SparkSpec {
       .flatMap(p => Seq(p._1, p._2)).toSet
     assert(ids == (1L to 10L).toSet)
   }
+
+  // ----------------------------------------------------- sharedSpanPairs
+
+  test("sharedSpanPairs finds verbatim span overlap and honors minShared") {
+    // docs 1 and 6 are identical (many shared 6-gram spans); 1-2 differ in
+    // one word (still share spans away from the edit); 3/4/5 unrelated
+    val all = Dedup.sharedSpanPairs(docs, "doc_id", "text", w = 6,
+      minShared = 1, maxDf = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(all.contains((1L, 6L)), "exact dup must share spans")
+    assert(all.contains((1L, 2L)) && all.contains((2L, 6L)),
+      "one-word edit must still share spans away from the edit")
+    // a bar above the one-word-edit overlap (the edit kills the >= 6
+    // spans covering it) keeps only the exact-dup pair
+    val heavy = Dedup.sharedSpanPairs(docs, "doc_id", "text", w = 6,
+      minShared = 52, maxDf = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(heavy.contains((1L, 6L)) && !heavy.contains((1L, 2L)))
+  }
+
+  test("sharedSpanPairs maxDf boundary drops boilerplate spans exactly at df") {
+    // one 6-token block shared verbatim by 5 docs, otherwise unrelated text
+    val block = "one common shared block of tokens" // exactly six tokens
+    // doc-unique filler tokens: the ONLY shared gram is the planted block
+    val df5 = (1L to 5L).map(i =>
+      (i, (1 to 20).map(j => s"w${i}_$j").mkString(" ") + " " + block))
+      .toDF("doc_id", "text")
+    // block's 6-gram has df=5: admitted at maxDf=5 (10 pairs) ...
+    val in = Dedup.sharedSpanPairs(df5, "doc_id", "text", w = 6,
+      minShared = 1, maxDf = 5)
+    assert(in.count() == 10L)
+    // ... and every pair vanishes at maxDf=4 (df=5 > 4 is boilerplate);
+    // 6 tokens only pair through the one planted block
+    val out = Dedup.sharedSpanPairs(df5, "doc_id", "text", w = 6,
+      minShared = 1, maxDf = 4)
+    assert(out.count() == 0L)
+  }
+
+  test("sharedSpanPairs n_spans counts true distinct shared spans") {
+    // identical 10-token docs share exactly 10-6+1 = 5 distinct 6-grams
+    val t = "a b c d e f g h i j"
+    val df2 = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val got = Dedup.sharedSpanPairs(df2, "doc_id", "text", w = 6,
+      minShared = 1, maxDf = 16)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 5L)))
+  }
+
+  // ----------------------------------------------------- dedupParagraphs
+
+  test("dedupParagraphs keeps first occurrence, reassembles, custom sep") {
+    val df = Seq(
+      (1L, "alpha|shared"),     // both paragraphs first-seen here
+      (2L, "beta|shared"),      // "shared" is a repeat -> only beta kept
+      (3L, "shared|alpha")      // every paragraph is a repeat -> vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text", sep = "|")
+      .select("doc_id", "n_paras", "n_kept", "text_deduped")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, 2L, "alpha|shared"), (2L, 2L, 1L, "beta")),
+      s"got $out")
+  }
+
+  test("dedupParagraphs preserves non-numeric id types (no silent cast)") {
+    val df = Seq(("u-one", "p1\np2"), ("u-two", "p2\np3"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text")
+    assert(out.schema("doc_id").dataType.typeName == "string")
+    val got = out.select("doc_id", "text_deduped").as[(String, String)]
+      .collect().toMap
+    // winner of p2 is the lexicographic min id "u-one"
+    assert(got == Map("u-one" -> "p1\np2", "u-two" -> "p3"))
+  }
+
+  test("dedupParagraphs winner is partitioning-invariant") {
+    val base = docs.select(col("doc_id"),
+      concat_ws("\n", col("text"), lit("boiler")).as("text"))
+    val a = Dedup.dedupParagraphs(base, "doc_id", "text")
+      .select("doc_id", "text_deduped").as[(Long, String)].collect().sorted.toSeq
+    val b = Dedup.dedupParagraphs(base.repartition(7), "doc_id", "text")
+      .select("doc_id", "text_deduped").as[(Long, String)].collect().sorted.toSeq
+    assert(a == b)
+  }
 }

@@ -204,4 +204,158 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.filter(length(col("frame_hex")) =!= col("frame_len") * 2).count() == 0)
     assert(out.filter(col("frame_len") <= 0 || col("frame_len") > 16).count() == 0)
   }
+
+  // --------------------------------------------------------- epochShuffle
+
+  test("epochShuffle is a permutation: valid shards, dense per-shard pos") {
+    val out = Sampling.epochShuffle(docs, "doc_id", shards = 8).cache()
+    try {
+      assert(out.count() == docs.count(), "join back by id must be 1:1")
+      assert(out.filter(col("shard") < 0 || col("shard") >= 8).count() == 0)
+      // pos is 1..n dense within each shard
+      val perShard = out.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+          countDistinct("pos").as("d"))
+      assert(perShard.filter(col("mx") =!= col("n") || col("mn") =!= 1 ||
+        col("d") =!= col("n")).count() == 0, "pos must be dense 1..n")
+      // payload columns survive the narrow-rank + rejoin
+      assert(out.columns.contains("text") && out.columns.contains("lang"))
+    } finally out.unpersist()
+  }
+
+  test("epochShuffle deals the same order on any partitioning, new order per seed") {
+    def order(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Sampling.epochShuffle(df, "doc_id", seed = seed, shards = 4)
+        .select("doc_id", "shard", "pos").as[(Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val a = order(docs, "e1")
+    val b = order(docs.repartition(17), "e1")
+    assert(a == b, "epoch order must not depend on cluster layout")
+    val c = order(docs, "e2")
+    assert(a != c, "a fresh seed must deal a fresh permutation")
+  }
+
+  test("epochShuffle shard counts beyond 65536 are accepted and consistent") {
+    // lifting the old 16-bit cap: 2^20 shards must still give the same
+    // LEADING-BIT prefix relation — a row's shard at 2^20 shards, shifted
+    // down 16 bits, is its shard at 16 shards
+    val sub = docs.filter(col("doc_id") < 200)
+    val fine = Sampling.epochShuffle(sub, "doc_id", shards = 1 << 20)
+      .select(col("doc_id"), col("shard").as("s_fine"))
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(docs, "doc_id", shards = 12) // not a power of 2
+    }
+    val joined = Sampling.epochShuffle(sub, "doc_id", shards = 16)
+      .select(col("doc_id"), col("shard").as("s_coarse")).join(fine, "doc_id")
+    assert(joined.filter(shiftright(col("s_fine"), 16) =!= col("s_coarse"))
+      .count() == 0, "finer shards must refine coarser ones")
+  }
+
+  // --------------------------------------------- hash-prefiltered decontam
+
+  test("hash prefilter returns exactly the exact path's report, even gated") {
+    val corpus = docs.filter(col("doc_id") % 11 =!= 0)
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+    val exact = Decontaminate.report(corpus, bench, "doc_id", "text",
+      w = 5, minShared = 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // forced past BOTH gates (strings and hashes shuffle)
+    val forced = Decontaminate.reportHashPrefiltered(corpus, bench, "doc_id",
+      "text", w = 5, minShared = 1, maxBroadcast = 0L)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(forced == exact && exact.nonEmpty)
+    // default gates
+    val dflt = Decontaminate.reportHashPrefiltered(corpus, bench, "doc_id",
+      "text", w = 5, minShared = 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(dflt == exact)
+  }
+
+  test("hash gate admits 5x the string gate: hashes broadcast, strings shuffle") {
+    val corpus = docs.filter(col("doc_id") % 11 =!= 0)
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+    // pick a gate below the benchmark's n-gram count but above n/5: the
+    // string relation must NOT broadcast while the hash set still does
+    val n = bench.select(explode(
+      graft.functions.GraftFunctions.word_shingles(col("text"), 5)).as("sg"))
+      .distinct().count()
+    val gate = n - 1
+    assert(gate < n && n <= gate * Decontaminate.HashBudgetFactor)
+    val plan = Decontaminate.reportHashPrefiltered(corpus, bench, "doc_id",
+      "text", w = 5, minShared = 1, maxBroadcast = gate)
+      .queryExecution.executedPlan.toString
+    // the scan-side semi-join against the hash set is broadcast
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), s"hash semi-join not broadcast:\n$plan")
+  }
+
+  test("cleanManaged drops flagged docs; the plan survives its cleanup") {
+    val corpus = docs.filter(col("doc_id") % 11 =!= 0)
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+    val (cleaned, cleanup) = Decontaminate.cleanManaged(corpus, bench,
+      "doc_id", "text", w = 5, minShared = 1)
+    val expect = corpus.count() - Decontaminate.report(corpus, bench,
+      "doc_id", "text", w = 5, minShared = 1).count()
+    assert(cleaned.count() == expect)
+    cleanup() // releases the benchmark-shingle cache...
+    // ...after which the plan still evaluates (recomputes the subtree)
+    assert(cleaned.count() == expect)
+  }
+
+  // ------------------------------------------------------ repetition stats
+
+  test("repetition_stats matches a brute-force reference on edge cases") {
+    val fixture = Seq(
+      (1L, ""),                       // 1 empty token after split
+      (2L, "solo"),                   // single token
+      (3L, "a a a a"),                // max repetition
+      (4L, "a b a b a"),              // repeated 2-grams, distinct 3-grams wrap
+      (5L, "w x y z"),                // all distinct
+      (6L, "a b c a b c a b c"),      // period-3 repetition
+      (7L, "x"),                      // no 2-grams
+      (8L, "x y")                     // one 2-gram, no 3-grams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(fixture, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    def ref(text: String): (Long, Double, Double, Double, Double) = {
+      val t = text.split(" ", -1).toSeq
+      val n = t.size
+      def grams(w: Int) = if (n < w) Seq.empty
+        else (0 to n - w).map(i => t.slice(i, i + w).mkString(" "))
+      def dup(a: Seq[String]) =
+        if (a.isEmpty) 0.0 else (a.size - a.distinct.size).toDouble / a.size
+      val top = if (n == 0) 0.0
+        else t.groupBy(identity).values.map(_.size).max.toDouble / n
+      (n.toLong, dup(t), dup(grams(2)), dup(grams(3)), top)
+    }
+    fixture.as[(Long, String)].collect().sortBy(_._1).zip(got).foreach {
+      case ((id, text), (gid, n, d1, d2, d3, tp)) =>
+        val (rn, r1, r2, r3, rt) = ref(Option(text).getOrElse(""))
+        assert(gid == id && n == rn && d1 == r1 && d2 == r2 && d3 == r3 &&
+          tp == rt, s"doc $id: got ($n,$d1,$d2,$d3,$tp) want ($rn,$r1,$r2,$r3,$rt)")
+    }
+  }
+
+  test("repetition_stats agrees with the oracle-green query on real docs") {
+    // the native single-pass Expression vs an independent builtin
+    // composition (the pre-rewrite formulation) over the corpus fixture
+    val toks = split(coalesce(col("text"), lit("")), " ")
+    def grams(w: Int) = when(size(toks) < w, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(w)))))
+    def dupFrac(a: org.apache.spark.sql.Column) =
+      when(size(a) === 0, lit(0.0))
+        .otherwise((size(a) - size(array_distinct(a))).cast("double") / size(a))
+    val sub = docs.filter(col("doc_id") < 120)
+    val reference = sub.select(col("doc_id"),
+      dupFrac(toks).as("r1"), dupFrac(grams(2)).as("r2"),
+      dupFrac(grams(3)).as("r3"))
+    val native = TextAnalysis.repetition(sub, "doc_id", "text")
+    val joined = native.join(reference, "doc_id")
+    assert(joined.count() > 100)
+    assert(joined.filter(col("dup_token_frac") =!= col("r1") ||
+      col("dup_2gram_frac") =!= col("r2") ||
+      col("dup_3gram_frac") =!= col("r3")).count() == 0)
+  }
 }
