@@ -22,7 +22,9 @@ object PlanAudit {
         "q_events_sessionize", "q_decontaminate", "q_pack_sequences",
         "q_sample_bernoulli", "q_multimodal_frames", "q_distinct_sketch_check",
         "q_dedup_cluster_best", "q_mixture_weights", "q_multimodal_features",
-        "q_curation_decontaminated")
+        "q_curation_decontaminated", "q_shared_spans", "q_dedup_paragraphs",
+        "q_text_repetition", "q_epoch_shuffle", "q_redaction",
+        "q_decontaminate_hashfilter")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
