@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, LanguageModel, Multimodal, Packing, Redaction, Sampling, TextAnalysis}
 import graft.tables.Tables
 
 /** SURVEY.md §2.2 additions (r6) — deterministic sampling, sequence
@@ -179,6 +179,13 @@ object TrainingQueries {
           round(col("dup_3gram_frac"), 6).as("dup_3gram_frac"),
           round(col("top_token_frac"), 6).as("top_token_frac"))
         .orderBy("doc_id")),
+
+    // corpus-trained unigram-LM perplexity (CCNet §4.3 filter shape):
+    // train = one partial-agg token count, score = broadcast left-join +
+    // per-doc decimal-sum mean; avg_nll 4dp / ppl 2dp on both engines
+    "q_lm_perplexity" -> ((s, d) =>
+      LanguageModel.perplexity(Tables.documents(s, d), "doc_id", "text",
+        minCount = 2, oovAlpha = 0.5).orderBy("doc_id")),
 
     // the hash-prefiltered scale path MUST return exactly what the exact
     // path returns (superset prefilter + exact verify) — same oracle
@@ -407,6 +414,22 @@ object TrainingQueries {
        "SELECT doc_id, min(n_paras) AS n_paras, count(*) AS n_kept, " +
        "string_agg(para, chr(10) ORDER BY para_idx) AS text_deduped " +
        "FROM k WHERE rk = 1 GROUP BY doc_id ORDER BY doc_id"),
+
+    // unigram LM trained on the corpus itself; nll summed as
+    // DECIMAL(28,6) on both engines (exact-sum discipline) so the mean
+    // is partition-order-proof before the 4dp rounding
+    "q_lm_perplexity" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok " +
+       "FROM documents), " +
+       "cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), " +
+       "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt), " +
+       "v AS (SELECT tok, c FROM cnt WHERE c >= 2), " +
+       "sc AS (SELECT doc_id, -ln(coalesce(CAST(v.c AS DOUBLE), 0.5) / tot.n) AS nll " +
+       "FROM toks LEFT JOIN v USING (tok) CROSS JOIN tot) " +
+       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+       "round(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_nll, " +
+       "round(exp(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*)), 2) AS ppl " +
+       "FROM sc GROUP BY doc_id ORDER BY doc_id"),
 
     // non-distinct gram lists this time (unlike the shingle family) —
     // repetition is about multiplicity; fractions rounded to 6dp on both

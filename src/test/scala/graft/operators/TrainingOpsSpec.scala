@@ -302,6 +302,42 @@ class TrainingOpsSpec extends SparkSpec {
     assert(cleaned.count() == expect)
   }
 
+  // ------------------------------------------------------ LM perplexity
+
+  test("unigram perplexity: known corpus, closed-form check") {
+    // corpus: "a a a b" + "a b c" -> counts a=4, b=2, c=1, N=7
+    // vocab (minCount=2): {a, b}; c is OOV (alpha=0.5)
+    val df = Seq((1L, "a a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = LanguageModel.perplexity(df, "doc_id", "text",
+      minCount = 2, oovAlpha = 0.5)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    def nll(p: Double) = -math.log(p)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val d1 = (3 * nll(4.0 / 7) + nll(2.0 / 7)) / 4
+    val d2 = (nll(4.0 / 7) + nll(2.0 / 7) + nll(0.5 / 7)) / 3
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 4L), (2L, 3L)))
+    assert(math.abs(out(0)._3 - r4(d1)) < 2e-4, s"${out(0)._3} vs $d1")
+    assert(math.abs(out(1)._3 - r4(d2)) < 2e-4, s"${out(1)._3} vs $d2")
+    // OOV makes doc 2 strictly more perplexing
+    assert(out(1)._4 > out(0)._4)
+  }
+
+  test("unigram perplexity is partitioning-invariant (decimal sums)") {
+    val a = LanguageModel.perplexity(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val b = LanguageModel.perplexity(docs.repartition(13), "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b, "decimal-summed nll must be bit-stable under partitioning")
+    assert(a.nonEmpty && a.forall(_._4 > 0))
+  }
+
+  test("perplexityManaged cleanup releases the counts cache; plan survives") {
+    val (out, cleanup) = LanguageModel.perplexityManaged(docs, "doc_id", "text")
+    val n = out.count()
+    cleanup()
+    assert(out.count() == n)
+  }
+
   // ------------------------------------------------------ repetition stats
 
   test("repetition_stats matches a brute-force reference on edge cases") {
