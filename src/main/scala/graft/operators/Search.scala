@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a document corpus — the ranked-search
+  * primitive a curation pipeline uses to inspect a corpus ("show me the
+  * docs about X"), mine domain subsets, or audit decontamination misses
+  * (Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework:
+  * BM25 and Beyond"; the idf form is Lucene's non-negative variant
+  * ln(1 + (N - df + 0.5)/(df + 0.5))).
+  *
+  * Fully declarative — NO driver-side statistics probe: corpus size and
+  * total token mass ride along as a broadcast 1-row aggregate, the query
+  * term set is a literal `isin` pushed into the scan-side explode (every
+  * non-matching token dies before any shuffle), per-(doc, term)
+  * frequencies and the per-term document frequencies are partial
+  * aggregations over the matching rows only, and the final top-k is
+  * sort+limit (TakeOrderedAndProject — no full sort). Per-doc scores sum
+  * as DECIMAL(28,6) (repo exact-sum discipline) so ranking is bit-stable
+  * under any partitioning; the emitted/ordering score is rounded to 4dp
+  * with doc_id as the total-order tiebreak.
+  *
+  * The reference has no search surface; this is part of the
+  * beyond-reference training-pipeline family.
+  */
+object Search {
+
+  private val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+
+  /** Top-k BM25 matches for `terms`: (idCol, score, n_terms_hit).
+    * Scores rounded 4dp; ties resolve by ascending id. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k > 0, "need at least one term and k > 0")
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(coalesce(col(textCol), lit("")), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    // corpus stats as a broadcast 1-row relation: dl is an integer token
+    // count, so the sum is exact (no fp-order concerns)
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("tot_dl"))
+    // scan-side term filter: only query-term occurrences survive the scan
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    // one row per (doc, term) above → count(*) per term = document freq;
+    // at most |terms| rows — always broadcast
+    val dfRel = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val norm = col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+      (col("tot_dl").cast("double") / col("n_docs")))
+    val termScore = idf * col("tf") * lit(k1 + 1) / norm
+    tf.join(broadcast(dfRel), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), termScore.as("s"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("s").cast(Dec)).cast("double"), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

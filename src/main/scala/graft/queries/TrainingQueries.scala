@@ -180,6 +180,12 @@ object TrainingQueries {
           round(col("top_token_frac"), 6).as("top_token_frac"))
         .orderBy("doc_id")),
 
+    // BM25 ranked retrieval (Lucene idf variant) — fixed 3-term query,
+    // scores decimal-summed + rounded 4dp, doc_id tiebreak
+    "q_search_bm25" -> ((s, d) =>
+      graft.operators.Search.bm25(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "vector", "customer"), k = 15)),
+
     // corpus-trained unigram-LM perplexity (CCNet §4.3 filter shape):
     // train = one partial-agg token count, score = broadcast left-join +
     // per-doc decimal-sum mean; avg_nll 4dp / ppl 2dp on both engines
@@ -414,6 +420,25 @@ object TrainingQueries {
        "SELECT doc_id, min(n_paras) AS n_paras, count(*) AS n_kept, " +
        "string_agg(para, chr(10) ORDER BY para_idx) AS text_deduped " +
        "FROM k WHERE rk = 1 GROUP BY doc_id ORDER BY doc_id"),
+
+    // same term set / k1=1.2 / b=0.75 / Lucene idf as the Spark side;
+    // per-term score arithmetic kept in identical association order
+    "q_search_bm25" ->
+      ("WITH base AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t " +
+       "FROM documents), " +
+       "d AS (SELECT doc_id, len(t) AS dl FROM base), " +
+       "stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM d), " +
+       "tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM " +
+       "(SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM base) " +
+       "WHERE tok IN ('spark', 'vector', 'customer') GROUP BY doc_id, dl, tok), " +
+       "dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok) " +
+       "SELECT doc_id, " +
+       "round(CAST(sum(CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 / " +
+       "(tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tot_dl AS DOUBLE) / n_docs))) " +
+       "AS DECIMAL(28,6))) AS DOUBLE), 4) AS score, " +
+       "count(*) AS n_terms_hit " +
+       "FROM tf JOIN dfr USING (tok) CROSS JOIN stats " +
+       "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15"),
 
     // unigram LM trained on the corpus itself; nll summed as
     // DECIMAL(28,6) on both engines (exact-sum discipline) so the mean

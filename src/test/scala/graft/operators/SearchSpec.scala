@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs, hand-checkable: "rare" appears only in doc 3; "common" in all
+  private val fixture = Seq(
+    (1L, "common alpha beta common"),
+    (2L, "common gamma delta"),
+    (3L, "rare common epsilon"),
+    (4L, "zeta eta theta")
+  ).toDF("doc_id", "text")
+
+  test("bm25 ranks the rare-term doc first; no-hit docs never appear") {
+    val out = Search.bm25(fixture, "doc_id", "text",
+      terms = Seq("rare", "common"), k = 10)
+      .select("doc_id", "n_terms_hit").as[(Long, Long)].collect().toSeq
+    assert(out.head == ((3L, 2L)), s"rare+common doc must rank first: $out")
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L), "doc 4 has no hits")
+  }
+
+  test("bm25 closed-form score check (single term, Lucene idf)") {
+    val out = Search.bm25(fixture, "doc_id", "text",
+      terms = Seq("rare"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    // N=4, df=1, idf = ln(1 + 3.5/1.5); tf=1, dl=3, avgdl=13/4
+    val idf = math.log(1 + 3.5 / 1.5)
+    val expected = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3 / 3.25))
+    assert(out.size == 1 && out.head._1 == 3L)
+    assert(math.abs(out.head._2 - expected) < 1e-3,
+      s"${out.head._2} vs $expected")
+  }
+
+  test("bm25 tf saturates: more repeats score higher but sub-linearly") {
+    val rep = Seq(
+      (1L, "term filler filler filler"),
+      (2L, "term term filler filler"),
+      (3L, "term term term filler")
+    ).toDF("doc_id", "text")
+    val scores = Search.bm25(rep, "doc_id", "text", terms = Seq("term"), k = 3)
+      .select("doc_id", "score").as[(Long, Double)].collect()
+      .sortBy(_._1).map(_._2)
+    assert(scores(0) < scores(1) && scores(1) < scores(2), "monotone in tf")
+    assert(scores(1) - scores(0) > scores(2) - scores(1), "saturating (k1)")
+  }
+
+  test("bm25 respects k and is partitioning-invariant") {
+    val docs = graft.tables.Tables.documents(spark, sf())
+    val terms = Seq("spark", "vector", "customer")
+    val a = Search.bm25(docs, "doc_id", "text", terms, k = 15)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(a.size == 15)
+    val b = Search.bm25(docs.repartition(13), "doc_id", "text", terms, k = 15)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(a == b, "ranking must not depend on partitioning")
+  }
+
+  test("bm25 plans broadcast joins and take-ordered top-k, no full sort") {
+    val docs = graft.tables.Tables.documents(spark, sf())
+    val plan = Search.bm25(docs, "doc_id", "text", Seq("spark"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not sort+limit:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "stats/df joins must broadcast")
+  }
+}
