@@ -108,6 +108,55 @@ object Dedup {
     verifyJaccard(cand, sh, tau)
   }
 
+  /** Incremental near-dup check — which BATCH docs near-duplicate an
+    * EXISTING corpus? The production ingestion shape at 100 TB: a daily
+    * crawl is deduped AGAINST the corpus without ever re-pairing the
+    * corpus with itself. Bipartite MinHash+LSH: band signatures of both
+    * sides meet in a band-bucket EQUI-join that by construction emits
+    * only batch×corpus candidates (corpus×corpus pairs are never
+    * generated — the asymmetry is the point; a self-join minhashPairs
+    * over batch∪corpus would re-do the corpus quadratically every day),
+    * then exact-Jaccard verification against the true shingle sets.
+    * Returns (batch_id, corpus_id, jaccard) pairs with jaccard ≥ tau.
+    *
+    * Scale posture: both sides shuffle only (id, band, 8-byte hash) rows
+    * for candidate generation; a boilerplate band bucket is capped on the
+    * CORPUS side at `maxBucket` rows (deterministic id-ordered
+    * row_number, same contract as [[bucketPairs]]) so one degenerate
+    * bucket cannot fan a batch doc out over the whole corpus. */
+  def minhashIncremental(batch: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String, tau: Double,
+                         numPerm: Int = 128, bands: Int = 32,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    GraftFunctions.ensureRegistered(batch.sparkSession)
+    def shingled(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      GraftFunctions.word_shingles(col(textCol), 3).as("sh"))
+    def banded(sh: DataFrame) = sh.select(col("doc_id"),
+      posexplode(GraftFunctions.minhash_bands(col("sh"), numPerm, bands))
+        .as(Seq("band", "h")))
+    val shB = shingled(batch)
+    val shC = shingled(corpus)
+    val w = Window.partitionBy(col("band"), col("h")).orderBy(col("doc_id"))
+    val bandsC = banded(shC)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxBucket)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("h"))
+    val cand = banded(shB).select(col("doc_id").as("batch_id"), col("band"), col("h"))
+      .join(bandsC, Seq("band", "h"))
+      .select("batch_id", "corpus_id").distinct()
+    cand
+      .join(shB.select(col("doc_id"), col("sh").as("sh_a")),
+        col("batch_id") === col("doc_id")).drop("doc_id")
+      .join(shC.select(col("doc_id"), col("sh").as("sh_b")),
+        col("corpus_id") === col("doc_id")).drop("doc_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("batch_id", "corpus_id", "jaccard")
+      .orderBy("batch_id", "corpus_id")
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs over a `chunks`×`chunkBits`-bit fingerprint
@@ -291,10 +340,17 @@ object Dedup {
       .select("doc_a", "doc_b")
     // exact verify: span strings for candidate-pair docs only, same
     // df-kept classes; any exact pair is a hash candidate (superset), so
-    // pairing the candidate docs on strings IS the final answer
+    // pairing the candidate docs on strings IS the final answer. The
+    // semi-join runs BEFORE the explode — only candidate docs re-shingle,
+    // instead of re-exploding the whole corpus and filtering after.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val invC = inv.join(kept, "h").join(candDocs, "doc_id")
+    val invC = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(GraftFunctions.word_shingles(col(textCol), w)).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+      .join(kept, "h")
     bucketPairs(invC.select(col("doc_id"), col("s")), Seq("s"), col("doc_id"))
       .filter(col("__a") < col("__b"))
       .groupBy(col("__a").as("doc_a"), col("__b").as("doc_b"))

@@ -165,6 +165,18 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", tau = 0.5)),
 
+    // the production INGESTION shape: dedup a new batch (doc_id % 5 == 0)
+    // against the existing corpus (the rest) without re-pairing the
+    // corpus with itself; same complete-recall tau-0.5 operating point as
+    // q_dedup_minhash (bipartite pairs ⊆ all pairs), bipartite oracle
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashIncremental(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", tau = 0.5)
+    }),
+
     // maxHamming = 3 is the PIGEONHOLE-COMPLETE operating point: the
     // default geometry for maxHamming 3 is a 128-bit simhash_wide
     // fingerprint in 4 chunks of 32 bits, so any pair within Hamming
@@ -386,6 +398,24 @@ object PipelineQueries {
     // identical output to the exact path at this operating point (complete
     // banding recall + exact verify — see the query comment)
     "q_dedup_minhash" -> jaccardPairsOracleSql(0.5),
+
+    // bipartite twin of jaccardPairsOracleSql: batch side a (doc_id%5=0)
+    // vs corpus side b (the rest); null text shingles to [] like the
+    // Spark side's word_shingles
+    "q_dedup_incremental" ->
+      ("WITH toks AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS t FROM documents), " +
+       "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
+       "for i in range(1, len(t)-1)]) AS s FROM toks), " +
+       "inv AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+       "sizes AS (SELECT doc_id, len(s) AS n FROM sh), " +
+       "pairs AS (SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, COUNT(*) AS shared " +
+       "FROM inv a JOIN inv b ON a.sg = b.sg " +
+       "WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0 GROUP BY 1, 2) " +
+       "SELECT batch_id, corpus_id, shared / (na.n + nb.n - shared) AS jaccard " +
+       "FROM pairs JOIN sizes na ON na.doc_id = batch_id " +
+       "JOIN sizes nb ON nb.doc_id = corpus_id " +
+       "WHERE shared / (na.n + nb.n - shared) >= 0.5 " +
+       "ORDER BY batch_id, corpus_id"),
 
     // simhash: DuckDB recomputes BOTH re-seeded FNV-1a-64 token hash
     // folds (part 1's offset basis = basis ^ golden, the simhash_wide

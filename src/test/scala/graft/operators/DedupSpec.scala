@@ -251,6 +251,38 @@ class DedupSpec extends SparkSpec {
     assert(ids == (1L to 10L).toSet)
   }
 
+  // -------------------------------------------------- minhashIncremental
+
+  test("incremental dedup flags batch docs near-duplicating the corpus") {
+    val corpus = docs // ids 1..6 (1 and 6 identical, 2 a one-word edit)
+    val batch = Seq((101L, doc(1)), (102L, doc(99)))
+      .toDF("doc_id", "text") // 101 duplicates corpus docs 1/6; 102 is fresh
+    val out = Dedup.minhashIncremental(batch, corpus, "doc_id", "text",
+      tau = 0.5).select("batch_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out.contains((101L, 1L)) && out.contains((101L, 6L)),
+      s"batch dup of corpus docs must be flagged: $out")
+    assert(!out.exists(_._1 == 102L), "fresh batch doc must pass")
+    // asymmetry: corpus-internal dup pairs (1,6) are NEVER emitted
+    assert(out.forall(p => p._1 >= 100L && p._2 < 100L))
+  }
+
+  test("incremental dedup equals the bipartite slice of the full pair set") {
+    val all = docs
+    val batch = all.filter(col("doc_id") % 2 === 0)
+    val corpus = all.filter(col("doc_id") % 2 =!= 0)
+    val inc = Dedup.minhashIncremental(batch, corpus, "doc_id", "text",
+      tau = 0.5).select("batch_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashPairs(all, "doc_id", "text", tau = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val bipartite = full.collect {
+      case (a, b) if a % 2 == 0 && b % 2 != 0 => (a, b)
+      case (a, b) if b % 2 == 0 && a % 2 != 0 => (b, a)
+    }
+    assert(inc == bipartite, s"inc=$inc vs slice=$bipartite")
+  }
+
   // ----------------------------------------------------- sharedSpanPairs
 
   test("sharedSpanPairs finds verbatim span overlap and honors minShared") {
