@@ -24,7 +24,8 @@ object PlanAudit {
         "q_dedup_cluster_best", "q_mixture_weights", "q_multimodal_features",
         "q_curation_decontaminated", "q_shared_spans", "q_dedup_paragraphs",
         "q_text_repetition", "q_epoch_shuffle", "q_redaction",
-        "q_decontaminate_hashfilter")
+        "q_decontaminate_hashfilter", "q_lm_perplexity", "q_search_bm25",
+        "q_dedup_incremental")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
