@@ -38,7 +38,11 @@ object Search {
       split(coalesce(col(textCol), lit("")), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
     // corpus stats as a broadcast 1-row relation: dl is an integer token
-    // count, so the sum is exact (no fp-order concerns)
+    // count, so the sum is exact (no fp-order concerns). The attach
+    // plans as BroadcastNestedLoopJoin with IdentityBroadcastMode over
+    // the single aggregate row — Spark's canonical scalar-attach shape
+    // (1×n, linear; the "no BNLJ" plan smell applies to PAIR generation,
+    // not scalar attaches).
     val stats = base.agg(count(lit(1)).as("n_docs"),
       sum(col("dl").cast("long")).as("tot_dl"))
     // scan-side term filter: only query-term occurrences survive the scan
