@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.functions.udaf
+
+/** Misra-Gries heavy-hitters sketch as a custom typed `Aggregator`
+  * (Misra & Gries 1982; mergeability per Agarwal et al. 2012, "Mergeable
+  * summaries" — the same paper family as the KMV sketch in
+  * [[KmvSketch]]).
+  *
+  * The sketch keeps at most k counters. Guarantee after any sequence of
+  * reduces and merges over n items: every item's sketched count
+  * undercounts its true count by at most n/(k+1), so EVERY item with
+  * true frequency > n/(k+1) is present in the sketch — a deterministic
+  * recall guarantee, which is what a single-pass bounded-memory
+  * "find the dominant tokens / domains / templates in 100 TB" pass
+  * needs (the exact groupBy it replaces would shuffle one row per
+  * distinct token; the sketch ships k counters per partition).
+  *
+  * Deterministic and order-independent in its GUARANTEE (which items
+  * survive can vary with merge order, but the > n/(k+1) recall bound
+  * holds for every order), so the verify pattern is: sketch → ≤k
+  * candidates → one exact counting pass restricted to the candidates →
+  * filter by the true threshold. The final output is EXACTLY the true
+  * heavy-hitter set — reproducible and oracle-checkable even though the
+  * intermediate sketch is approximate (same anchor/scale-path discipline
+  * as q_distinct_sketch_check).
+  */
+class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  require(k >= 2 && k <= 100000, s"k must be in [2, 100000], got $k")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  /** Classic MG step: increment if tracked; adopt if a counter is free;
+    * otherwise decrement ALL counters by one (dropping zeros) — the
+    * "pay one token from every counter" amortization that yields the
+    * n/(k+1) bound. */
+  override def reduce(buf: Map[String, Long], item: String): Map[String, Long] = {
+    val it = if (item == null) "" else item
+    buf.get(it) match {
+      case Some(c) => buf.updated(it, c + 1L)
+      case None if buf.size < k => buf.updated(it, 1L)
+      case None =>
+        buf.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+    }
+  }
+
+  /** Mergeable-summaries merge: add counts pointwise, then if more than k
+    * counters survive, subtract the (k+1)-th largest count from all and
+    * keep the positive ones — error bounds add, staying ≤ n/(k+1). */
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      val summed = b.foldLeft(a) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+      if (summed.size <= k) summed
+      else {
+        val kth = summed.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
+        summed.flatMap { case (t, c) =>
+          if (c > kth) Some(t -> (c - kth)) else None
+        }
+      }
+    }
+  }
+
+  override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}
+
+object HeavyHitters {
+  /** Untyped column handle: `df.agg(mgSketch(64)(col("tok")))` returns a
+    * map<string,bigint> of ≤ k candidate heavy hitters. */
+  def mgSketch(k: Int): Column => Column = {
+    val agg = udaf(new MisraGries(k))
+    (c: Column) => agg(c)
+  }
+}

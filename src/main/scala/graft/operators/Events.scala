@@ -24,6 +24,38 @@ object Events {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col(typeCol), col("n_events"), col("sum_value"))
 
+  /** Trailing time-range rolling aggregate: for every event, the count and
+    * exact-decimal sum of `valueCol` over the SAME USER's events in the
+    * last `windowSeconds` (inclusive of the current event and of peers at
+    * the exact same timestamp — RANGE frame semantics, identical on Spark
+    * and DuckDB). One shuffle on `userCol`; within a partition the frame
+    * is a sliding two-pointer pass over the time-sorted events, so cost is
+    * linear per user regardless of window width. The frame key is epoch
+    * MICROSECONDS (integer) — a double epoch would lose sub-second events
+    * to rounding at large timestamps. */
+  def rolling(events: DataFrame, userCol: String, ts: String,
+              valueCol: String, windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
+    val us = unix_micros(col(ts))
+    val w = Window.partitionBy(col(userCol)).orderBy(us)
+      .rangeBetween(-windowSeconds * 1000000L, Window.currentRow)
+    events.select(col("event_id"), col(userCol),
+      count(lit(1)).over(w).as("n_win"),
+      sum(col(valueCol).cast(Dec)).over(w).cast("double").as("sum_win"))
+  }
+
+  /** Per-user inter-event deltas: gap to the previous event (microseconds,
+    * integer-exact) and the previous event's id — the lead/lag layer under
+    * funnels, retention and dwell-time analyses. Single shuffle on
+    * `userCol`; first event of a user has null gap/prev. */
+  def deltas(events: DataFrame, userCol: String, ts: String,
+             tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(ts), col(tieBreak))
+    events.select(col("event_id"), col(userCol),
+      (unix_micros(col(ts)) - unix_micros(lag(col(ts), 1).over(w))).as("gap_us"),
+      lag(col(tieBreak), 1).over(w).as("prev_event_id"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapSeconds`. lag + running
     * sum over one window partition per user — a single shuffle on user_id,

@@ -102,6 +102,41 @@ object Sampling {
     df.join(ranked, Seq(idCol))
   }
 
+  /** Temperature-scaled mixture sampling (τ = 0.5): downsample every
+    * stratum toward the LARGEST one with rate √(nᵢ/n_max) — the standard
+    * multilingual-corpus rebalancing shape (mT5/XLM-R sample languages at
+    * p^α to keep head languages from drowning the tail; anchoring the
+    * rate to the largest stratum instead of a normalized sum keeps the
+    * arithmetic a single division + square root, both IEEE-754
+    * correctly-rounded operations, so DuckDB reproduces the threshold
+    * BIT-FOR-BIT — a normalizing sum would round differently depending
+    * on accumulation order).
+    *
+    * Shape: one partial-aggregated count per stratum, a 1-row global max,
+    * rates broadcast back onto the scan, then the same md5-threshold
+    * filter as [[bernoulli]] — membership stays a pure function of
+    * (seed, id), so re-runs and cluster layouts agree. The ×65536
+    * threshold scaling is exact (power of two ⇒ exponent shift), and the
+    * largest stratum short-circuits to keep-all rather than losing
+    * 1/65536 of its rows to threshold clipping. */
+  def temperature(df: DataFrame, idCol: String, stratumCol: String,
+                  seed: String = "s42"): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val nmax = counts.agg(max(col("__n")).as("__nmax"))
+    // __thr as a LONG, not pre-formatted hex: n/nmax can round UP to
+    // exactly 1.0 when strata exceed 2^53 rows, and a 65536 threshold
+    // formatted to 5 hex chars would mis-compare against 4-char keys —
+    // the >= 65536 branch below keeps that regime in keep-all territory
+    val rates = counts.crossJoin(broadcast(nmax))
+      .withColumn("__thr",
+        floor(sqrt(col("__n").cast("double") / col("__nmax").cast("double"))
+          * 65536).cast("long"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(col("__n") === col("__nmax") || col("__thr") >= 65536L ||
+        hashKey(seed, col(idCol)) < format_string("%04x", col("__thr")))
+      .drop("__n", "__nmax", "__thr")
+  }
+
   /** Exactly min(n, |stratum|) rows per stratum, chosen by hash-key order
     * (deterministic "random" without an RNG). This is the exact-n ANCHOR
     * of the sampling pair: the row_number window sorts each stratum inside

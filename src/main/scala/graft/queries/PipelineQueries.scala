@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, TemporalJoins, TextAnalysis}
+import graft.functions.HeavyHitters
+import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis}
 import graft.tables.Tables
 
 /** SURVEY.md §2.2 — LLM-data-pipeline operators over the `documents`,
@@ -372,6 +373,50 @@ object PipelineQueries {
         .select(col("user_id"), col("a_id"), col("b_id"),
           expr("abs(unix_micros(a_ts) - unix_micros(b_ts)) div 1000000").as("gap_s"))
         .orderBy("user_id", "a_id", "b_id")
+    }),
+
+    // trailing-hour per-user rolling stats: RANGE frame on integer epoch
+    // micros — a sliding two-pointer pass per user, linear regardless of
+    // window width
+    "q_events_rolling" -> ((s, d) =>
+      Events.rolling(Tables.events(s, d), "user_id", "ts", "value",
+        windowSeconds = 3600L).orderBy("event_id")),
+
+    // per-user inter-event gaps (lag layer under funnels/retention)
+    "q_events_deltas" -> ((s, d) =>
+      Events.deltas(Tables.events(s, d), "user_id", "ts", "event_id")
+        .orderBy("event_id")),
+
+    // skew-mitigated fact-to-dim join: event_type has a handful of values
+    // (the 100 TB poster child for one-hot reducers); the salted join is
+    // provably identical to the plain join the oracle runs
+    "q_join_salted" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_n"))
+      Skew.saltedJoin(ev, dim, Seq("event_type"), "event_id", salts = 8)
+        .select(col("event_id"), col("event_type"), col("type_n"))
+        .orderBy("event_id")
+    }),
+
+    // single-pass bounded-memory dominant tokens: MG sketch emits <= k
+    // candidates (superset of everything above n/(k+1)), one exact pass
+    // counts ONLY the candidates, the true threshold filter makes the
+    // output exactly the true heavy-hitter set — sketch approximate,
+    // result exact and oracle-checkable
+    "q_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(coalesce(col("text"), lit("")), " ")).as("tok"))
+      val sk = toks.agg(HeavyHitters.mgSketch(64)(col("tok")).as("sk"),
+        count(lit(1)).as("n_total"))
+      val cand = sk.select(explode(col("sk")).as(Seq("tok", "est")),
+        col("n_total"))
+      val exact = toks.join(broadcast(cand.select("tok")), "tok")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      exact.join(broadcast(cand.select(col("tok"), col("n_total"))), "tok")
+        .filter(col("cnt") * 32 > col("n_total"))
+        .select(col("tok"), col("cnt"))
+        .orderBy(desc("cnt"), col("tok"))
     })
   )
 
@@ -574,6 +619,37 @@ object PipelineQueries {
        "FROM events a JOIN events b ON a.user_id = b.user_id " +
        "AND a.event_id < b.event_id " +
        "AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000 " +
-       "ORDER BY a.user_id, a_id, b_id")
+       "ORDER BY a.user_id, a_id, b_id"),
+
+    "q_events_rolling" ->
+      ("SELECT event_id, user_id, COUNT(*) OVER w AS n_win, " +
+       "CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_win " +
+       "FROM (SELECT event_id, user_id, value, " +
+       "epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events) " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY us " +
+       "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+       "ORDER BY event_id"),
+
+    "q_events_deltas" ->
+      ("SELECT event_id, user_id, " +
+       "epoch_us(t) - lag(epoch_us(t)) OVER w AS gap_us, " +
+       "lag(event_id) OVER w AS prev_event_id " +
+       "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events) " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id) " +
+       "ORDER BY event_id"),
+
+    "q_join_salted" ->
+      ("WITH dim AS (SELECT event_type, COUNT(*) AS type_n " +
+       "FROM events GROUP BY event_type) " +
+       "SELECT event_id, event_type, type_n " +
+       "FROM events JOIN dim USING (event_type) ORDER BY event_id"),
+
+    "q_heavy_hitters" ->
+      ("WITH toks AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok " +
+       "FROM documents), " +
+       "tot AS (SELECT COUNT(*) AS n FROM toks), " +
+       "c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok) " +
+       "SELECT tok, cnt FROM c, tot WHERE cnt * 32 > n " +
+       "ORDER BY cnt DESC, tok")
   )
 }

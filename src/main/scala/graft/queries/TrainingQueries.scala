@@ -202,7 +202,15 @@ object TrainingQueries {
         docs.filter(col("doc_id") % 11 =!= 0),
         docs.filter(col("doc_id") % 11 === 0),
         "doc_id", "text", w = 5, minShared = 1).orderBy("doc_id")
-    })
+    }),
+
+    // τ=0.5 mixture rebalancing by source: per-stratum √(n/n_max) rates
+    // (single IEEE division + sqrt → bit-identical threshold on DuckDB),
+    // then the same scan-side md5-threshold membership as the other
+    // sampling paths
+    "q_sample_temperature" -> ((s, d) =>
+      Sampling.temperature(Tables.documents(s, d), "doc_id", "source")
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id"))
   )
 
   /** Deterministic PII fixture: plant an email on every 3rd doc, an IPv4
@@ -475,6 +483,17 @@ object TrainingQueries {
        "CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) END, 6) AS dup_3gram_frac, " +
        "round(CASE WHEN n = 0 THEN 0.0 ELSE " +
        "CAST(list_max([len(list_filter(t, x -> x = u)) for u in list_distinct(t)]) AS DOUBLE) / n END, 6) AS top_token_frac " +
-       "FROM g ORDER BY doc_id")
+       "FROM g ORDER BY doc_id"),
+
+    "q_sample_temperature" ->
+      ("WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source), " +
+       "m AS (SELECT MAX(n) AS nmax FROM c), " +
+       "r AS (SELECT source, n, nmax, " +
+       "CAST(floor(sqrt(CAST(n AS DOUBLE) / CAST(nmax AS DOUBLE)) * 65536) AS BIGINT) AS thr " +
+       "FROM c, m) " +
+       "SELECT doc_id, lang, source, n_chars FROM documents JOIN r USING (source) " +
+       "WHERE n = nmax OR thr >= 65536 OR " +
+       s"${keySql("doc_id")} < lpad(lower(hex(thr)), 4, '0') " +
+       "ORDER BY doc_id")
   )
 }
