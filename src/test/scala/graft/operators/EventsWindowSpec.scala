@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class EventsWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev = Tables.events(spark, sf())
+
+  test("rolling matches a brute-force self-join on a small slice") {
+    val slice = ev.filter(col("user_id") < 20)
+    val got = Events.rolling(slice, "user_id", "ts", "value", 3600L)
+      .select("event_id", "n_win").as[(Long, Long)].collect().toMap
+    val a = slice.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val b = slice.select(col("user_id").as("u2"),
+      unix_micros(col("ts")).as("us2"))
+    val want = a.join(b, col("user_id") === col("u2") &&
+        col("us2") <= col("us") && col("us2") >= col("us") - 3600000000L)
+      .groupBy("event_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("rolling includes peers at the exact same timestamp (RANGE frame)") {
+    val df = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", 1.0),
+      (2L, 1L, "2024-01-01 00:00:00", 2.0), // same instant as event 1
+      (3L, 1L, "2024-01-01 02:00:00", 4.0)  // outside the hour window
+    ).toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val out = Events.rolling(df, "user_id", "ts", "value", 3600L)
+      .select("event_id", "n_win", "sum_win")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, 3.0), (2L, 2L, 3.0), (3L, 1L, 4.0)))
+  }
+
+  test("deltas: first event per user has null gap and null prev") {
+    val out = Events.deltas(ev, "user_id", "ts", "event_id")
+    val firsts = ev.groupBy("user_id").agg(min_by(col("event_id"),
+      struct(col("ts"), col("event_id"))).as("first_id"))
+    val joined = out.join(firsts,
+      out("event_id") === firsts("first_id"))
+    assert(joined.count() == firsts.count())
+    assert(joined.filter(col("gap_us").isNotNull ||
+      col("prev_event_id").isNotNull).count() == 0)
+    // every non-first event has a non-negative gap
+    assert(out.filter(col("gap_us") < 0).count() == 0)
+  }
+
+  test("deltas gap is integer-exact micros between consecutive events") {
+    val df = Seq(
+      (1L, 7L, "2024-01-01 00:00:00.000001"),
+      (2L, 7L, "2024-01-01 00:00:00.000003"),
+      (3L, 7L, "2024-01-01 00:00:01.000003")
+    ).toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val out = Events.deltas(df, "user_id", "ts", "event_id")
+      .select("event_id", "gap_us").as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, None), (2L, Some(2L)), (3L, Some(1000000L))))
+  }
+}

@@ -394,4 +394,36 @@ class TrainingOpsSpec extends SparkSpec {
       col("dup_2gram_frac") =!= col("r2") ||
       col("dup_3gram_frac") =!= col("r3")).count() == 0)
   }
+
+  // ------------------------------------------- temperature mixture sampling
+
+  test("temperature sampling keeps the largest stratum whole, downsamples " +
+    "the rest at sqrt(n/nmax)") {
+    // strata of 6400 / 1600 / 400 rows: rates 1.0 / 0.5 / 0.25
+    val df = ((1 to 6400).map(i => (i.toLong, "big")) ++
+      (1 to 1600).map(i => (10000L + i, "mid")) ++
+      (1 to 400).map(i => (20000L + i, "small"))).toDF("id", "src")
+    val out = Sampling.temperature(df, "id", "src")
+    val byStratum = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("big") == 6400L, "largest stratum must be keep-all")
+    assert(math.abs(byStratum("mid") / 1600.0 - 0.5) < 0.08,
+      s"mid rate ${byStratum("mid") / 1600.0}, wanted ~0.5")
+    assert(math.abs(byStratum("small") / 400.0 - 0.25) < 0.12,
+      s"small rate ${byStratum("small") / 400.0}, wanted ~0.25")
+  }
+
+  test("temperature sampling is deterministic and partitioning-invariant") {
+    val a = Sampling.temperature(docs, "doc_id", "source")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.temperature(docs.repartition(17), "doc_id", "source")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("temperature sampling with one stratum keeps everything") {
+    val df = (1 to 100).map(i => (i.toLong, "only")).toDF("id", "src")
+    assert(Sampling.temperature(df, "id", "src").count() == 100)
+  }
 }
