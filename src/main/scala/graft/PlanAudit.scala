@@ -25,7 +25,10 @@ object PlanAudit {
         "q_curation_decontaminated", "q_shared_spans", "q_dedup_paragraphs",
         "q_text_repetition", "q_epoch_shuffle", "q_redaction",
         "q_decontaminate_hashfilter", "q_lm_perplexity", "q_search_bm25",
-        "q_dedup_incremental")
+        "q_dedup_incremental", "q_events_rolling", "q_events_deltas",
+        "q_join_salted", "q_heavy_hitters", "q_sample_temperature",
+        "q_agg_rollup", "q_pivot_events", "q_percent_rank",
+        "q_upsert_latest")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{Table, ViewCompiler, ViewDef, ViewFilter, ViewRegistry}
-import graft.operators.ChangeLog
+import graft.operators.{Cdc, ChangeLog}
 import graft.tables.Tables
 
 /** §2.1 of SURVEY.md — the reference's core query surface re-expressed as
@@ -436,7 +436,60 @@ object CoreQueries {
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
         .select(col("o_orderkey"), col("revenue"))
-    })
+    }),
+
+    // hierarchical subtotals in ONE pass: rollup emits (flag, status),
+    // (flag, NULL) and (NULL, NULL) grouping sets from a single shuffle —
+    // the alternative (three groupBys + union) scans the fact table 3×
+    "q_agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
+
+    // all 2² grouping sets (lang×source, lang, source, grand total) in one
+    // pass — the mixture-report companion shape
+    "q_agg_cube" -> ((s, d) =>
+      Tables.documents(s, d)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))),
+
+    // wide-format pivot with an EXPLICIT value list (no driver-side
+    // distinct probe — an unlisted pivot would collect the key domain);
+    // absent combinations coalesce to 0 (Spark pivots them to null,
+    // DuckDB's COUNT FILTER yields 0)
+    "q_pivot_events" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d).groupBy(col("user_id"))
+        .pivot("event_type", types).agg(count(lit(1)))
+        .select(col("user_id") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+        .orderBy("user_id")
+    }),
+
+    // distribution ranks per group: percent_rank/cume_dist are ratios of
+    // integers ((rank-1)/(n-1), |≤v|/n) — bit-identical across engines
+    // with no rounding step; ties share ranks, so no tiebreaker needed
+    "q_percent_rank" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
+    // CDC compaction (last-writer-wins upsert over a change log): the
+    // max(struct) agg combines map-side — one shuffled row per key, never
+    // a per-key history sort (operators/Cdc.scala)
+    "q_upsert_latest" -> ((s, d) =>
+      Cdc.latestByKey(Tables.events(s, d), Seq("user_id"),
+          Seq("ts", "event_id"), Seq("event_type", "value"))
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -634,6 +687,39 @@ object CoreQueries {
        "AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00' " +
        "AND l_shipdate > TIMESTAMP '1997-07-01 00:00:00' " +
        "GROUP BY o_orderkey " +
-       "ORDER BY revenue DESC, o_orderkey LIMIT 10")
+       "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+
+    "q_agg_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty " +
+       "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "q_agg_cube" ->
+      // CAST: DuckDB SUM(BIGINT) is HUGEINT (surfaces as float64 in the
+      // comparator) while Spark emits BIGINT
+      ("SELECT lang, source, COUNT(*) AS n_docs, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+       "FROM documents GROUP BY CUBE (lang, source) " +
+       "ORDER BY lang NULLS FIRST, source NULLS FIRST"),
+
+    "q_pivot_events" ->
+      ("SELECT user_id, " +
+       Seq("click", "error", "purchase", "signup", "view").map(tp =>
+         s"COUNT(*) FILTER (WHERE event_type = '$tp') AS $tp").mkString(", ") +
+       " FROM events GROUP BY user_id ORDER BY user_id"),
+
+    "q_percent_rank" ->
+      ("SELECT o_orderkey, o_orderstatus, " +
+       "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd " +
+       "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice) " +
+       "ORDER BY o_orderkey"),
+
+    "q_upsert_latest" ->
+      ("WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, " +
+       "event_type, value, ROW_NUMBER() OVER (PARTITION BY user_id " +
+       "ORDER BY t DESC, event_id DESC) AS rn FROM events) " +
+       "SELECT user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS ts_s, event_id, " +
+       "event_type, value FROM x WHERE rn = 1 ORDER BY user_id")
   )
 }

@@ -204,12 +204,13 @@ object TrainingQueries {
         "doc_id", "text", w = 5, minShared = 1).orderBy("doc_id")
     }),
 
-    // τ=0.5 mixture rebalancing by source: per-stratum √(n/n_max) rates
-    // (single IEEE division + sqrt → bit-identical threshold on DuckDB),
-    // then the same scan-side md5-threshold membership as the other
-    // sampling paths
+    // τ=0.5 mixture rebalancing by language (lang is the skewed stratum:
+    // en ≈ 3.4× fr, so every non-head stratum exercises a real √(n/n_max)
+    // threshold, not the keep-all branch): single IEEE division + sqrt →
+    // bit-identical threshold on DuckDB, then the same scan-side
+    // md5-threshold membership as the other sampling paths
     "q_sample_temperature" -> ((s, d) =>
-      Sampling.temperature(Tables.documents(s, d), "doc_id", "source")
+      Sampling.temperature(Tables.documents(s, d), "doc_id", "lang")
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id"))
   )
 
@@ -486,12 +487,12 @@ object TrainingQueries {
        "FROM g ORDER BY doc_id"),
 
     "q_sample_temperature" ->
-      ("WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source), " +
+      ("WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), " +
        "m AS (SELECT MAX(n) AS nmax FROM c), " +
-       "r AS (SELECT source, n, nmax, " +
+       "r AS (SELECT lang, n, nmax, " +
        "CAST(floor(sqrt(CAST(n AS DOUBLE) / CAST(nmax AS DOUBLE)) * 65536) AS BIGINT) AS thr " +
        "FROM c, m) " +
-       "SELECT doc_id, lang, source, n_chars FROM documents JOIN r USING (source) " +
+       "SELECT doc_id, lang, source, n_chars FROM documents JOIN r USING (lang) " +
        "WHERE n = nmax OR thr >= 65536 OR " +
        s"${keySql("doc_id")} < lpad(lower(hex(thr)), 4, '0') " +
        "ORDER BY doc_id")
