@@ -409,11 +409,14 @@ object PipelineQueries {
         .select(explode(split(coalesce(col("text"), lit("")), " ")).as("tok"))
       val sk = toks.agg(HeavyHitters.mgSketch(64)(col("tok")).as("sk"),
         count(lit(1)).as("n_total"))
+      // ONE broadcast of (candidate, n_total): referencing the candidate
+      // set twice would recompute the whole sketch subtree (Spark doesn't
+      // auto-cache), doubling the corpus scans
       val cand = sk.select(explode(col("sk")).as(Seq("tok", "est")),
         col("n_total"))
-      val exact = toks.join(broadcast(cand.select("tok")), "tok")
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      exact.join(broadcast(cand.select(col("tok"), col("n_total"))), "tok")
+      toks.join(broadcast(cand.select(col("tok"), col("n_total"))), "tok")
+        .groupBy(col("tok"), col("n_total"))
+        .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * 32 > col("n_total"))
         .select(col("tok"), col("cnt"))
         .orderBy(desc("cnt"), col("tok"))
