@@ -331,6 +331,21 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     }),
 
+    // HLL++ twin of the KMV bound check: approx_count_distinct is the
+    // builtin one-pass scale path for grouped distinct counts (the exact
+    // path shuffles one row per distinct pair); rsd=0.05 → the 0.25 gate
+    // is ≈5σ, and the estimator is deterministic, so a drifting estimate
+    // flips the boolean and breaks the oracle hash. Unlike KMV it rides
+    // whole-stage codegen directly — no distinct pre-collapse needed.
+    "q_count_distinct_check" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.05).as("__est"))
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(col("__est").cast("double") / col("exact_distinct") - 1)
+            <= 0.25).as("within_bound"))
+        .orderBy("l_returnflag")),
+
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -490,6 +505,10 @@ object PipelineQueries {
     "q_ann_ivf" -> plantedAnnOracleSql,
 
     "q_distinct_sketch_check" ->
+      ("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct, " +
+       "TRUE AS within_bound FROM lineitem GROUP BY 1 ORDER BY 1"),
+
+    "q_count_distinct_check" ->
       ("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct, " +
        "TRUE AS within_bound FROM lineitem GROUP BY 1 ORDER BY 1"),
 

@@ -133,6 +133,27 @@ object EventStreams {
       .drop("__h")
   }
 
+  /** Streaming CDC compaction — the streaming shape of
+    * operators.Cdc.latestByKey: one fixed-size state record per key
+    * holding the current last-writer-wins winner by (ts, event_id), the
+    * same (version..., unique tiebreaker) recency rule as the batch op.
+    * Emitted on every update (Update mode), so a downstream sink always
+    * converges to the compacted table; a LATE event (older than the
+    * stored winner) updates nothing and re-emits the incumbent —
+    * out-of-order CDC logs converge to the same winner as a batch
+    * compaction of the full log. */
+  def upsertStream(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Event, Event](GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val next = (state.getOption.iterator ++ rows)
+            .maxBy(e => (e.ts.getTime, e.event_id))
+          state.update(next)
+          next
+      }
+  }
+
   /** Gap-based sessionization with explicit state:
     * `flatMapGroupsWithState` keyed by user, EventTimeTimeout. A session
     * closes (and is emitted) when the watermark passes its end + gap; state

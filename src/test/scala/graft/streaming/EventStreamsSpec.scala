@@ -175,4 +175,28 @@ class EventStreamsSpec extends SparkSpec {
       assert(u1.head.session_start == ts(0) && u1.head.session_end == ts(5))
     } finally q.stop()
   }
+
+  test("upsertStream converges to last-writer-wins, late events don't regress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = upsertStream(mem.toDS())
+      .writeStream.format("memory").queryName("ups").outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(5), 1, "b", 2.0))
+      q.processAllAvailable()
+      // LATE arrival: older than the stored winner — must not overwrite
+      mem.addData(Event(3, ts(2), 1, "late", 9.0))
+      q.processAllAvailable()
+      val emitted = spark.table("ups").as[Event].collect()
+        .filter(_.user_id == 1L)
+      // final emission is still event 2 (ts(5) > late ts(2))
+      assert(emitted.last.event_id == 2L && emitted.last.event_type == "b")
+      // same-ts tie broken by event_id: 5 beats 4
+      mem.addData(Event(4, ts(5), 2, "x", 0.0), Event(5, ts(5), 2, "y", 0.0))
+      q.processAllAvailable()
+      val u2 = spark.table("ups").as[Event].collect().filter(_.user_id == 2L)
+      assert(u2.last.event_id == 5L)
+    } finally q.stop()
+  }
 }
