@@ -147,6 +147,149 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011, "Product quantization
+    * for nearest neighbor search") — the memory-compression scale path:
+    * at 100 TB an embedding corpus doesn't fit as raw floats (3 KB/vector
+    * at dim 768); PQ stores M small codes + one norm per vector (~M bytes),
+    * a 100-1000× shrink, and queries scan the compact code table instead
+    * of the vectors.
+    *
+    * Spark-first shape, all stages declarative:
+    *  - TRAIN: split the UNIT-NORMALIZED vector into M subspaces; per
+    *    subspace a deterministic spherical-k-means codebook
+    *    ([[kmeansCodebook]], ksub centroids). Quantizing unit vectors
+    *    makes the approximate score norm-invariant (a scaled copy of a
+    *    query gets exactly the query's own codes), which is what cosine
+    *    retrieval needs.
+    *  - ENCODE: per subspace, scan-side argmax-cosine against the sub-
+    *    codebook (native `vec_mat_cosines`) → the PQ table (vid, codes).
+    *  - SCORE (ADC): per query, a lookup table of dot(q̂_m, centroid_j)
+    *    (M·ksub values, built by a crossJoin of the broadcast query set
+    *    with the tiny codebook relation); approximate cosine of vector x
+    *    = Σ_m LUT[m, code_m(x)], an equi-join of the exploded code table
+    *    with the broadcast LUT + a partial-aggregated DECIMAL sum (order-
+    *    independent — bit-stable scores under any partitioning).
+    *  - RERANK: top overfetch·k candidates per query by approximate score
+    *    fetch their TRUE vectors back by id (the compact-store discipline:
+    *    full floats are touched only for the candidate set) and exact
+    *    cosine decides — the superset-prefilter + exact-verify pattern
+    *    the repo's dedup/decontamination paths use, so at a complete-
+    *    recall operating point the output is exactly brute force's.
+    *
+    * One bounded driver probe reads the dimension from a single row (the
+    * codebook geometry needs it before any plan is built). */
+  /** All M per-subspace codebooks trained TOGETHER: one init job and one
+    * corpus scan per Lloyd iteration, instead of [[kmeansCodebook]]'s
+    * (1 + iters) jobs × M subspaces — per-iteration each row contributes
+    * its (sub, cell, pos, x) coordinates to a single partial-aggregated
+    * groupBy whose output is bounded at m·ksub·dsub sums. Same
+    * determinism discipline: seeded-hash init (the same sampled rows
+    * seed every subspace), exact-decimal coordinate sums. */
+  private def pqCodebooks(unit: DataFrame, m: Int, dsub: Int, ksub: Int,
+                          iters: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val initRows: Array[Array[Double]] = unit
+      .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
+      .limit(ksub).select("u").collect().map(_.getSeq[Double](0).toArray)
+    val init: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) { (s, j) =>
+      initRows(j).slice(s * dsub, (s + 1) * dsub)
+    }
+    (0 until iters).foldLeft(init) { (cbs, _) =>
+      val assigned = (0 until m).foldLeft(unit) { (df, s) =>
+        val sims = graft.functions.GraftFunctions.vec_mat_cosines(
+          slice(col("u"), s * dsub + 1, dsub), cbs(s))
+        df.withColumn(s"__sims$s", sims)
+          .withColumn(s"__cell$s",
+            expr(s"array_position(__sims$s, array_max(__sims$s))").cast("int"))
+          .drop(s"__sims$s")
+      }
+      val sums = assigned
+        .select(posexplode(col("u")).as(Seq("pos", "x")) +:
+          (0 until m).map(s => col(s"__cell$s")): _*)
+        .withColumn("sub", (col("pos") / dsub).cast("int"))
+        .withColumn("cell",
+          (0 until m).foldLeft(lit(null).cast("int")) { (acc, s) =>
+            when(col("sub") === s, col(s"__cell$s")).otherwise(acc)
+          })
+        .groupBy("sub", "cell", "pos")
+        .agg(sum(col("x").cast("decimal(38,18)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cbs.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val (s, cell, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(s)(cell - 1)(pos - s * dsub) =
+          r.getDecimal(3).doubleValue() / r.getLong(4)
+      }
+      next
+    }
+  }
+
+  def annPq(emb: DataFrame, idCol: String, vecCol: String,
+            queryIds: Seq[Long], k: Int,
+            m: Int = 4, ksub: Int = 8, kmeansIters: Int = 2,
+            overfetch: Int = 4, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    val unit = e.select(col("vid"),
+      transform(col("v"), x => x / col("nrm")).as("u"))
+    def sub(c: Column, s: Int) = slice(c, s * dsub + 1, dsub)
+
+    val codebooks: Array[Array[Array[Double]]] =
+      pqCodebooks(unit, m, dsub, ksub, kmeansIters, seed)
+    // PQ table: (vid, code_0..code_{m-1}) — the compact store
+    val coded = (0 until m).foldLeft(unit) { (df, s) =>
+      df.withColumn(s"__sims$s",
+          graft.functions.GraftFunctions.vec_mat_cosines(sub(col("u"), s), codebooks(s)))
+        .withColumn(s"__c$s",
+          expr(s"array_position(__sims$s, array_max(__sims$s))").cast("int"))
+        .drop(s"__sims$s")
+    }.select(col("vid") +: (0 until m).map(s => col(s"__c$s")): _*)
+
+    // tiny codebook relation (m·ksub rows) for the LUT build
+    val cbRows = for (s <- 0 until m; j <- 0 until ksub)
+      yield (s, j + 1, codebooks(s)(j).toSeq) // +1: array_position is 1-based
+    val cbDf = cbRows.toDF("sub", "code", "centroid")
+    val queries = unit.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("query_id"), col("u").as("qu"))
+    val lutExpr = (0 until m).foldLeft(lit(null).cast("double")) { (acc, s) =>
+      when(col("sub") === s, dot(sub(col("qu"), s), col("centroid")))
+        .otherwise(acc)
+    }
+    val lut = queries.crossJoin(cbDf)
+      .select(col("query_id"), col("sub"), col("code"), lutExpr.as("lutv"))
+
+    // ADC scoring over the code table: equi-join + order-independent sum
+    val codesLong = coded.select(col("vid"),
+      posexplode(array((0 until m).map(s => col(s"__c$s")): _*))
+        .as(Seq("sub", "code")))
+    val approx = codesLong.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(sum(col("lutv").cast("decimal(38,18)")).as("approx"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("vid"))
+    val cand = approx.withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= k * overfetch)
+      .select("query_id", "vid")
+
+    // exact rerank: true vectors fetched by id for the candidate set only
+    val qFull = e.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(e, "vid").join(broadcast(qFull), "query_id")
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
   /** Sign-random-projection signature (Charikar SRP-LSH) — native codegen'd
     * Expression (graft.functions.SrpSignature): hyperplane components are
     * hash-derived per (seed, plane, index), so there is no dim-sized

@@ -256,6 +256,15 @@ object PipelineQueries {
       Similarity.annIvf(plantedAnnCorpus(s, d), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // PQ-ADC with exact rerank: every planted copy has the QUERY'S OWN
+    // unit vector, hence the query's own PQ codes and approximate score —
+    // all 10 land in the overfetch set and the exact rerank reproduces
+    // brute force (same shared oracle). General-corpus recall is
+    // spec-covered against annTopK.
+    "q_ann_pq" -> ((s, d) =>
+      Similarity.annPq(plantedAnnCorpus(s, d), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
     "q_text_langid" -> ((s, d) =>
       TextAnalysis.langId(
         Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
@@ -503,6 +512,7 @@ object PipelineQueries {
 
     "q_ann_lsh" -> plantedAnnOracleSql,
     "q_ann_ivf" -> plantedAnnOracleSql,
+    "q_ann_pq" -> plantedAnnOracleSql,
 
     "q_distinct_sketch_check" ->
       ("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct, " +

@@ -105,4 +105,46 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 10)
     assert(out.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
   }
+
+  test("annPq: norm-invariant codes, and exact-rerank recall on a " +
+       "NON-planted corpus") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf())
+    val qids = (0L until 10L).toSeq
+    // recall@10 vs brute force with the default overfetch — the rerank is
+    // exact, so every true neighbor inside the candidate set surfaces at
+    // its true rank; the PQ approximation only gates candidate entry
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val truth = neighbors(Similarity.annTopK(emb, "vec_id", "embedding", qids, 10))
+    // this corpus is UNSTRUCTURED random noise (pairwise cosines cluster
+    // near 0.5) — the hardest case for any quantizer; a finer product
+    // grid (m=8 subspaces, ksub=16) plus overfetch recovers most of the
+    // true set, and every recovered neighbor sits at its exact rank
+    val got = neighbors(Similarity.annPq(emb, "vec_id", "embedding", qids, 10,
+      m = 8, ksub = 16, overfetch = 8))
+    val recall = qids.map(q =>
+      got.getOrElse(q, Set.empty).intersect(truth(q)).size).sum / (10.0 * qids.size)
+    val defaults = neighbors(Similarity.annPq(emb, "vec_id", "embedding", qids, 10))
+    val recallDefault = qids.map(q =>
+      defaults.getOrElse(q, Set.empty).intersect(truth(q)).size).sum / (10.0 * qids.size)
+    info(s"PQ recall@10 = $recall (default params: $recallDefault)")
+    assert(recall >= 0.5, s"PQ+rerank recall collapsed: $recall")
+    assert(recall >= recallDefault,
+      "finer quantization must not lose recall vs the default grid")
+
+    // norm invariance: a scaled copy of a vector must surface as its
+    // scaled twin's nearest neighbor (cos = 1) through the PQ path
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val scaled = e.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * 7.5).as("embedding"))
+    val out = Similarity.annPq(e.unionByName(scaled), "vec_id", "embedding",
+      Seq(3L), k = 1).collect()
+    assert(out.head.getAs[Long]("neighbor_id") == 100003L,
+      s"scaled twin not retrieved: ${out.head}")
+    assert(math.abs(out.head.getAs[Double]("cos") - 1.0) < 1e-9)
+  }
 }
