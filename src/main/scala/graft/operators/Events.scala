@@ -56,6 +56,49 @@ object Events {
       lag(col(tieBreak), 1).over(w).as("prev_event_id"))
   }
 
+  /** Two-step funnel conversion: per user, the FIRST `stepA` event and
+    * the first `stepB` event AT OR AFTER it; `converted` iff that B lands
+    * within `windowSeconds` of A. Shape: one conditional aggregation for
+    * the A anchor (min over a filtered column — partial-agg, no window),
+    * then B events join the broadcast-able per-user anchor and a second
+    * conditional min picks the earliest qualifying B. Two shuffles on
+    * user_id total, both partial-aggregated; never a per-user event sort.
+    * Users with no A event are absent (they aren't in the funnel). */
+  def funnel(events: DataFrame, userCol: String, ts: String,
+             typeCol: String, stepA: String, stepB: String,
+             windowSeconds: Long): DataFrame = {
+    val anchors = events.filter(col(typeCol) === stepA)
+      .groupBy(col(userCol)).agg(min(col(ts)).as("a_ts"))
+    val bAfter = events.filter(col(typeCol) === stepB)
+      .join(anchors, userCol)
+      .filter(col(ts) >= col("a_ts"))
+      .groupBy(col(userCol)).agg(min(col(ts)).as("b_ts_min"))
+    anchors.join(bAfter, Seq(userCol), "left")
+      .select(col(userCol),
+        date_format(col("a_ts"), "yyyy-MM-dd HH:mm:ss").as("a_ts_s"),
+        date_format(col("b_ts_min"), "yyyy-MM-dd HH:mm:ss").as("b_ts_s"),
+        (col("b_ts_min").isNotNull &&
+          unix_micros(col("b_ts_min")) - unix_micros(col("a_ts"))
+            <= windowSeconds * 1000000L).as("converted"))
+  }
+
+  /** Retention cohort matrix: users cohorted by the DAY of their first
+    * event; each (cohort_day, day_offset) cell counts the cohort's users
+    * active that many days later. Two aggregations (first-event per user,
+    * then distinct user-day activity joined to the cohort) — the
+    * classic triangle retention report, all partial-aggregated. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       ts: String): DataFrame = {
+    val firstDay = events.groupBy(col(userCol))
+      .agg(to_date(min(col(ts))).as("cohort_day"))
+    val activity = events
+      .select(col(userCol), to_date(col(ts)).as("day")).distinct()
+    activity.join(firstDay, userCol)
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapSeconds`. lag + running
     * sum over one window partition per user — a single shuffle on user_id,

@@ -399,6 +399,20 @@ object PipelineQueries {
         .orderBy("user_id", "a_id", "b_id")
     }),
 
+    // two-step funnel (click → purchase within 7 days): conditional-min
+    // anchors + one qualifying-min join — two partial-agg shuffles, no
+    // per-user sort
+    "q_events_funnel" -> ((s, d) =>
+      Events.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+        stepA = "click", stepB = "purchase", windowSeconds = 7L * 86400L)
+        .orderBy("user_id")),
+
+    // triangle retention report: day-0 cohort by first event, activity
+    // cells by day offset
+    "q_events_retention" -> ((s, d) =>
+      Events.retentionCohorts(Tables.events(s, d), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset")),
+
     // trailing-hour per-user rolling stats: RANGE frame on integer epoch
     // micros — a sliding two-pointer pass per user, linear regardless of
     // window width
@@ -652,6 +666,26 @@ object PipelineQueries {
        "AND a.event_id < b.event_id " +
        "AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000 " +
        "ORDER BY a.user_id, a_id, b_id"),
+
+    "q_events_funnel" ->
+      ("WITH a AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS a_ts " +
+       "FROM events WHERE event_type = 'click' GROUP BY user_id), " +
+       "b AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS b_ts " +
+       "FROM events e JOIN a USING (user_id) WHERE e.event_type = 'purchase' " +
+       "AND CAST(e.ts AS TIMESTAMP) >= a.a_ts GROUP BY e.user_id) " +
+       "SELECT a.user_id, strftime(a_ts, '%Y-%m-%d %H:%M:%S') AS a_ts_s, " +
+       "strftime(b_ts, '%Y-%m-%d %H:%M:%S') AS b_ts_s, " +
+       "b_ts IS NOT NULL AND epoch_us(b_ts) - epoch_us(a_ts) <= 604800000000 " +
+       "AS converted FROM a LEFT JOIN b USING (user_id) ORDER BY a.user_id"),
+
+    "q_events_retention" ->
+      ("WITH f AS (SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) " +
+       "AS cohort_day FROM events GROUP BY user_id), " +
+       "act AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) " +
+       "AS day FROM events) " +
+       "SELECT cohort_day, CAST(day - cohort_day AS INT) AS day_offset, " +
+       "COUNT(*) AS n_active FROM act JOIN f USING (user_id) " +
+       "GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "q_events_rolling" ->
       ("SELECT event_id, user_id, COUNT(*) OVER w AS n_win, " +

@@ -50,6 +50,42 @@ class EventsWindowSpec extends SparkSpec {
     assert(out.filter(col("gap_us") < 0).count() == 0)
   }
 
+  test("funnel: B before A doesn't convert, window boundary is inclusive, " +
+    "A-only users report false") {
+    def ev(id: Long, u: Long, t: String, tp: String) = (id, u, t, tp)
+    val df = Seq(
+      // u1: purchase BEFORE first click only -> not converted
+      ev(1, 1, "2024-01-02 00:00:00", "click"),
+      ev(2, 1, "2024-01-01 00:00:00", "purchase"),
+      // u2: purchase exactly at the window boundary -> converted
+      ev(3, 2, "2024-01-01 00:00:00", "click"),
+      ev(4, 2, "2024-01-08 00:00:00", "purchase"),
+      // u3: purchase one second past the boundary -> not converted
+      ev(5, 3, "2024-01-01 00:00:00", "click"),
+      ev(6, 3, "2024-01-08 00:00:01", "purchase"),
+      // u4: click, no purchase at all
+      ev(7, 4, "2024-01-01 00:00:00", "click"),
+      // u5: purchase only -> absent from the funnel
+      ev(8, 5, "2024-01-01 00:00:00", "purchase")
+    ).toDF("event_id", "user_id", "s", "event_type")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val out = Events.funnel(df, "user_id", "ts", "event_type",
+        "click", "purchase", 7L * 86400L)
+      .select("user_id", "converted").as[(Long, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, false), (2L, true), (3L, false), (4L, false)))
+  }
+
+  test("retention: the day-0 cell of each cohort equals the cohort size") {
+    val cohorts = Events.retentionCohorts(ev, "user_id", "ts")
+    val day0 = cohorts.filter(col("day_offset") === 0)
+      .agg(sum("n_active")).head().getLong(0)
+    val nUsers = ev.select("user_id").distinct().count()
+    // every user is active on their own first day
+    assert(day0 == nUsers, s"day-0 total $day0 != $nUsers users")
+    assert(cohorts.filter(col("day_offset") < 0).count() == 0)
+  }
+
   test("deltas gap is integer-exact micros between consecutive events") {
     val df = Seq(
       (1L, 7L, "2024-01-01 00:00:00.000001"),
