@@ -37,6 +37,9 @@ object GraftExtensions {
           es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
       (FunctionIdentifier("word_shingles"), info(classOf[WordShingles], "word_shingles"),
         (es: Seq[Expression]) => WordShingles(es.head, es(1).eval().asInstanceOf[Int])),
+      (FunctionIdentifier("word_chunks"), info(classOf[WordChunks], "word_chunks"),
+        (es: Seq[Expression]) => WordChunks(es.head,
+          es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
       // the codebook argument is a foldable nested-array literal, decoded
       // ONCE at resolution into the expression's reference-object matrix
       (FunctionIdentifier("vec_mat_cosines"), info(classOf[VecMatCosines], "vec_mat_cosines"),
@@ -89,6 +92,10 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(bands))
   def word_shingles(text: Column, w: Int): Column =
     call_function("word_shingles", text, org.apache.spark.sql.functions.lit(w))
+  def word_chunks(text: Column, size: Int, stride: Int): Column =
+    call_function("word_chunks", text,
+      org.apache.spark.sql.functions.lit(size),
+      org.apache.spark.sql.functions.lit(stride))
   def media_header(payload: Column): Column = call_function("media_header", payload)
   def marker_counts(toks: Column, vocabs: Seq[Seq[String]]): Column =
     call_function("marker_counts", toks,

@@ -217,3 +217,62 @@ object RepetitionStatsImpl {
       if (n == 0) 0.0 else maxCount.toDouble / n))
   }
 }
+
+/** Sliding-window token chunking (the RAG / context-window preparation
+  * shape): split the document into chunks of `size` tokens starting every
+  * `stride` tokens (overlap = size - stride), stopping once a chunk
+  * reaches the document's end — the trailing chunk may be shorter, and
+  * nothing after the first end-reaching chunk is emitted (no fully-
+  * contained tail fragments). A single token walk in generated code;
+  * composing the same thing from `transform(sequence(...), slice(...))`
+  * evaluates interpreted per row (the r1 finding that motivated
+  * word_shingles). `stride <= size` so every token is covered.
+  *
+  * The reference has no chunking surface (text columns page whole,
+  * base.py:1472); this completes the packing/chunking pair of the
+  * training-pipeline family (Packing concatenates small docs UP to a
+  * budget; chunking cuts large docs DOWN to one). */
+case class WordChunks(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression {
+  require(size >= 1 && stride >= 1 && stride <= size,
+    s"need 1 <= stride <= size, got size=$size stride=$stride")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_chunks expects STRING, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    WordChunksImpl.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], size, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordChunksImpl.compute($c, $size, $stride)")
+  override protected def withNewChildInternal(newChild: Expression): WordChunks =
+    copy(child = newChild)
+  override def prettyName: String = "word_chunks"
+}
+
+object WordChunksImpl {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+              size: Int, stride: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val buf = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    var done = false
+    while (!done) {
+      val end = math.min(i + size, n)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      buf += org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      if (end >= n) done = true else i += stride
+    }
+    new GenericArrayData(buf.toArray)
+  }
+}

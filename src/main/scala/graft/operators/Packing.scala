@@ -50,4 +50,19 @@ object Packing {
       .withColumn("chunks_spanned",
         expr(s"(tok_start + n_tokens - 1) div $budget") - col("chunk_id") + 1)
   }
+
+  /** The inverse of [[packSequences]]: cut LARGE documents DOWN into
+    * sliding context windows of `size` tokens every `stride` tokens
+    * (overlap = size - stride; the RAG / long-doc training prep shape).
+    * One native codegen token walk per row (`word_chunks`) + posexplode —
+    * scan-side, no shuffle; emission stops at the first chunk that
+    * reaches the document end, so no fully-contained tail fragments. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     size: Int, stride: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol),
+      posexplode(graft.functions.GraftFunctions.word_chunks(
+        coalesce(col(textCol), lit("")), size, stride))
+        .as(Seq("chunk_idx", "chunk")))
+  }
 }

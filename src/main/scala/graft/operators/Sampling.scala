@@ -102,6 +102,28 @@ object Sampling {
     df.join(ranked, Seq(idCol))
   }
 
+  /** Deterministic train/val/test assignment: every row gets a split
+    * label from disjoint hash-key ranges — a pure function of (seed, id),
+    * so the split survives re-runs, repartitioning, and incremental
+    * ingestion (new rows land in a split without disturbing old ones),
+    * and the three cuts are disjoint BY CONSTRUCTION (one key compared
+    * to cumulative thresholds, not three independent samples). The last
+    * split is the catch-all, so thresholds' 1/2¹⁶ granularity can never
+    * drop a row. */
+  def split(df: DataFrame, idCol: String,
+            splits: Seq[(String, Double)], seed: String = "s42"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cum = splits.init.scanLeft(0.0)(_ + _._2).tail
+    val key = hashKey(seed, col(idCol))
+    val label = splits.init.zip(cum).foldRight(lit(splits.last._1)) {
+      case (((name, _), c), rest) =>
+        when(key < lit(thresholdHex(c)), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Temperature-scaled mixture sampling (τ = 0.5): downsample every
     * stratum toward the LARGEST one with rate √(nᵢ/n_max) — the standard
     * multilingual-corpus rebalancing shape (mT5/XLM-R sample languages at

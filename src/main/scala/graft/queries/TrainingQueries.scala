@@ -211,7 +211,20 @@ object TrainingQueries {
     // md5-threshold membership as the other sampling paths
     "q_sample_temperature" -> ((s, d) =>
       Sampling.temperature(Tables.documents(s, d), "doc_id", "lang")
-        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
+
+    // deterministic 80/10/10 split: disjoint-by-construction hash ranges,
+    // rerun/ingestion-stable
+    "q_split_assign" -> ((s, d) =>
+      Sampling.split(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "lang", "split").orderBy("doc_id")),
+
+    // sliding 64-token windows every 48 tokens (16-token overlap): the
+    // long-doc half of the packing/chunking pair, one native token walk
+    "q_text_chunks" -> ((s, d) =>
+      Packing.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        size = 64, stride = 48).orderBy("doc_id", "chunk_idx"))
   )
 
   /** Deterministic PII fixture: plant an email on every 3rd doc, an IPv4
@@ -495,6 +508,24 @@ object TrainingQueries {
        "SELECT doc_id, lang, source, n_chars FROM documents JOIN r USING (lang) " +
        "WHERE n = nmax OR thr >= 65536 OR " +
        s"${keySql("doc_id")} < lpad(lower(hex(thr)), 4, '0') " +
-       "ORDER BY doc_id")
+       "ORDER BY doc_id"),
+
+    "q_split_assign" ->
+      // cumulative thresholds: floor(0.8*65536)=0xcccc, floor(0.9*65536)=0xe666
+      ("SELECT doc_id, lang, " +
+       s"CASE WHEN ${keySql("doc_id")} < 'cccc' THEN 'train' " +
+       s"WHEN ${keySql("doc_id")} < 'e666' THEN 'val' " +
+       "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+
+    "q_text_chunks" ->
+      // same emit rule as the native walk: starts every 48 (1-based), a
+      // start past the first end-reaching chunk fails i - 48 + 64 <= len
+      ("WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk " +
+       "FROM documents), " +
+       "c AS (SELECT doc_id, [array_to_string(tk[i:i+63], ' ') " +
+       "for i in range(1, len(tk) + 1, 48) if i = 1 or i - 48 + 64 <= len(tk)] AS cs " +
+       "FROM t) " +
+       "SELECT doc_id, CAST(generate_subscripts(cs, 1) - 1 AS INT) AS chunk_idx, " +
+       "unnest(cs) AS chunk FROM c ORDER BY doc_id, chunk_idx")
   )
 }

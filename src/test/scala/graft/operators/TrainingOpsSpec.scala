@@ -426,4 +426,27 @@ class TrainingOpsSpec extends SparkSpec {
     val df = (1 to 100).map(i => (i.toLong, "only")).toDF("id", "src")
     assert(Sampling.temperature(df, "id", "src").count() == 100)
   }
+
+  // ------------------------------------------------------- split assignment
+
+  test("split is a disjoint, exhaustive, partitioning-invariant partition") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.split(docs, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.split(docs.repartition(13), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b, "assignment must not depend on partitioning")
+    assert(a.size == docs.count(), "every row gets exactly one label")
+    val byLabel = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    // fractions land near targets
+    assert(math.abs(byLabel("train").toDouble / a.size - 0.8) < 0.1)
+  }
+
+  test("split rejects fractions that don't sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.split(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.3))
+    }
+  }
 }
