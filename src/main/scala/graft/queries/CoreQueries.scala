@@ -480,6 +480,51 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Pearson correlation per group, BIT-STABLE: Spark's corr() merges
+    // running moments whose fp rounding depends on partition merge order;
+    // instead the five sufficient statistics are exact DECIMAL sums
+    // (order-independent), and the closed-form combination runs in ONE
+    // fixed double-op sequence — reproducible across partitionings and
+    // engines, the same discipline as the money aggregates
+    "q_stats_corr" -> ((s, d) => {
+      def ds(c: org.apache.spark.sql.Column) = sum(c.cast(Dec))
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          ds(col("l_quantity")).as("sx"),
+          ds(col("l_extendedprice")).as("sy"),
+          ds(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+          ds(col("l_quantity") * col("l_quantity")).as("sxx"),
+          ds(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("n") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 9)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // winsorized robust sum: clip each group's values at its exact
+    // p05/p95 (percentile ≡ DuckDB quantile_cont bit-for-bit — the
+    // documented exact anchor; approx_percentile is the 100 TB twin),
+    // then exact-decimal sum of the clipped column — outlier-robust
+    // aggregation, the data-cleaning shape
+    "q_winsorize" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val bounds = o.groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"))
+      o.join(broadcast(bounds), "o_orderstatus")
+        .select(col("o_orderstatus"),
+          least(greatest(col("o_totalprice"), col("p05")), col("p95"))
+            .as("clipped"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("clipped")).as("sum_clipped"))
+        .orderBy("o_orderstatus")
+    }),
+
     // CDC compaction (last-writer-wins upsert over a change log): the
     // max(struct) agg combines map-side — one shuffled row per key, never
     // a per-key history sort (operators/Cdc.scala)
@@ -714,6 +759,31 @@ object CoreQueries {
        "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd " +
        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice) " +
        "ORDER BY o_orderkey"),
+
+    "q_stats_corr" ->
+      ("WITH s AS (SELECT l_returnflag, COUNT(*) AS n, " +
+       "SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx, " +
+       "SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy, " +
+       "SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS sxy, " +
+       "SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx, " +
+       "SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS syy " +
+       "FROM lineitem GROUP BY l_returnflag) " +
+       "SELECT l_returnflag, n, " +
+       "round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+       "(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+       "sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) " +
+       "AS corr_qty_price FROM s ORDER BY l_returnflag"),
+
+    "q_winsorize" ->
+      ("WITH b AS (SELECT o_orderstatus, " +
+       "quantile_cont(o_totalprice, 0.05) AS p05, " +
+       "quantile_cont(o_totalprice, 0.95) AS p95 " +
+       "FROM orders GROUP BY o_orderstatus) " +
+       "SELECT o_orderstatus, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(least(greatest(o_totalprice, p05), p95) " +
+       "AS DECIMAL(28,6))) AS DOUBLE) AS sum_clipped " +
+       "FROM orders JOIN b USING (o_orderstatus) " +
+       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
 
     "q_upsert_latest" ->
       ("WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, " +

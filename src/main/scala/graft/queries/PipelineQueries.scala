@@ -399,6 +399,20 @@ object PipelineQueries {
         .orderBy("user_id", "a_id", "b_id")
     }),
 
+    // semi-structured scan surface: the props column is JSON; extraction
+    // runs per-row ON THE SCAN (no shuffle until the aggregate), the
+    // schema-on-read shape a 100 TB event log with evolving properties
+    // needs — unparseable/missing keys become nulls, not failures
+    "q_events_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // two-step funnel (click → purchase within 7 days): conditional-min
     // anchors + one qualifying-min join — two partial-agg shuffles, no
     // per-user sort
@@ -666,6 +680,14 @@ object PipelineQueries {
        "AND a.event_id < b.event_id " +
        "AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000 " +
        "ORDER BY a.user_id, a_id, b_id"),
+
+    "q_events_props" ->
+      // CAST SUM to BIGINT: DuckDB SUM(BIGINT) is HUGEINT (float64 in the
+      // comparator) while Spark emits BIGINT
+      ("SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k, " +
+       "MIN(k) AS min_k, MAX(k) AS max_k FROM (SELECT event_type, " +
+       "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
+       "GROUP BY event_type ORDER BY event_type"),
 
     "q_events_funnel" ->
       ("WITH a AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS a_ts " +
