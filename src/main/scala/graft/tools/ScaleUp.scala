@@ -65,18 +65,37 @@ object ScaleUp {
     write("events", sharded(Tables.events(spark, src))(
       shiftKeys(_, _, "event_id", "user_id")))
     write("documents", sharded(Tables.documents(spark, src)) { (df, i) =>
-      val rot = alphabet.drop(i) + alphabet.take(i)
+      // Rotation is only injective ACROSS shards for i < 26 — drop(i) of a
+      // 26-char alphabet is empty beyond that, silently degenerating to
+      // the IDENTITY map (shards 26+ would be byte-identical to shard 0,
+      // planting ~copies-26 exact duplicates per doc and quadratically
+      // corrupting every dedup measurement). Shards i >= 26 instead tag
+      // every token with a shard prefix: an injective token map
+      // (intra-shard similarity structure exactly preserved) with fully
+      // disjoint cross-shard vocabularies; i < 26 keeps the rotation so
+      // recorded copies<=26 runs stay reproducible.
+      val rot = alphabet.drop(i % 26) + alphabet.take(i % 26)
       shiftKeys(df, i, "doc_id")
         .withColumn("text",
-          if (i == 0) col("text") else translate(col("text"), alphabet, rot))
+          if (i == 0) col("text")
+          else if (i < 26) translate(col("text"), alphabet, rot)
+          else concat(lit(s"s${i}x"),
+            regexp_replace(col("text"), " ", s" s${i}x")))
     })
     write("embeddings", sharded(Tables.embeddings(spark, src)) { (df, i) =>
       val elemType = df.schema("embedding").dataType
+      // hash-derived per-(shard, element) multiplier in [0.70, 1.30]: the
+      // old (k*31 + i*17) % 7 formula had only SEVEN distinct per-shard
+      // patterns, so shards sharing i mod 7 carried byte-identical
+      // perturbations — cross-shard cosine-1 twins that corrupt the
+      // near-dup measurements at copies > 7; a 64-bit hash gives every
+      // shard its own pattern at any copy count
       shiftKeys(df, i, "vec_id")
         .withColumn("embedding",
           if (i == 0) col("embedding")
           else transform(col("embedding").cast("array<double>"),
-            (x, k) => x * (lit(1.0) + ((k * 31 + lit(i * 17)) % 7 - 3) / lit(10.0)))
+            (x, k) => x * (lit(1.0) +
+              (pmod(xxhash64(lit(i), k), lit(61)).cast("double") - 30) / 100.0))
             .cast(elemType))
     })
     spark.stop()
