@@ -616,15 +616,37 @@ object Dedup {
     * back to the capped candidate pairs rather than collecting vectors
     * into bucket lists. */
   def embedPairsBanded(emb: DataFrame, idCol: String, vecCol: String,
-                       tau: Double, bits: Int = 16, tables: Int = 32,
+                       tau: Double, bits: Int = 0, tables: Int = 32,
                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
     val e = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    // bits <= 0 → AUTO for the HIGH-PRECISION dedup regime (tau → 1):
+    // expected background collisions are Σ_pairs p̄^bits·tables with
+    // p̄ = 1 - acos(c̄)/π of the TYPICAL pairwise cosine (≈ 2/3 for c̄≈0.5
+    // corpora), so fixed bits turn quadratic as the corpus grows
+    // (measured: 16-bit tables ran 229× at 100× data; log2(n)+2 bits
+    // still 115× — the n²·p̄^bits term dominates bucket-count reasoning).
+    // Holding n²·p̄^bits ≈ O(n) needs bits ≈ 2·log2(n)·(1/log2(1/p̄)) ≈
+    // 2·log2(n) for p̄ ≈ 2/3 — and near-parallel true dups (p → 1)
+    // collide at ANY bit count, so the dedup regime loses no recall
+    // (measured 40× at 100× data with the TRUE pair set itself 100×
+    // larger — near output-bound, vs 229× fixed). For LOOSE tau this is
+    // too aggressive — pass explicit few-bit/many-table settings there
+    // (see parameter guidance above). The count is a bounded one-job
+    // probe of an id-only projection (same discipline as embedPairs'
+    // guard); callers passing derived plans should persist first.
+    val b =
+      if (bits > 0) bits
+      else {
+        val n = math.max(emb.select(idCol).count(), 2L)
+        val log2n = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+        math.min(62, math.max(12, 2 * log2n + 2))
+      }
     val sigs = e.select(col("vid"),
       posexplode(array((0 until tables).map(t =>
-        GraftFunctions.srp_signature(col("v"), bits, t.toLong)): _*))
+        GraftFunctions.srp_signature(col("v"), b, t.toLong)): _*))
         .as(Seq("tbl", "sig")))
     val cand = bucketPairs(sigs, Seq("tbl", "sig"), col("vid"), maxBucket)
       .filter(col("__a") < col("__b"))

@@ -231,8 +231,12 @@ object PipelineQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val planted = e.select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.5d)).as("embedding"))
+      // bits AUTO (≈ log2 n + 2): planted 1.5×-scale twins sit at cosine
+      // exactly 1 — signature-identical in every table at any bit count —
+      // so the oracle's recall is complete at every scale while bucket
+      // occupancy stays constant as the corpus grows
       Dedup.embedPairsBanded(e.union(planted), "vec_id", "embedding",
-        tau = 0.995, bits = 16, tables = 8)
+        tau = 0.995, tables = 8)
     }),
 
     "q_ann_topk" -> ((s, d) =>
