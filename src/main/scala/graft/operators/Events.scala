@@ -34,12 +34,13 @@ object Events {
     * MICROSECONDS (integer) — a double epoch would lose sub-second events
     * to rounding at large timestamps. */
   def rolling(events: DataFrame, userCol: String, ts: String,
-              valueCol: String, windowSeconds: Long): DataFrame = {
+              valueCol: String, windowSeconds: Long,
+              idCol: String = "event_id"): DataFrame = {
     require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
     val us = unix_micros(col(ts))
     val w = Window.partitionBy(col(userCol)).orderBy(us)
       .rangeBetween(-windowSeconds * 1000000L, Window.currentRow)
-    events.select(col("event_id"), col(userCol),
+    events.select(col(idCol), col(userCol),
       count(lit(1)).over(w).as("n_win"),
       sum(col(valueCol).cast(Dec)).over(w).cast("double").as("sum_win"))
   }
@@ -51,7 +52,7 @@ object Events {
   def deltas(events: DataFrame, userCol: String, ts: String,
              tieBreak: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(ts), col(tieBreak))
-    events.select(col("event_id"), col(userCol),
+    events.select(col(tieBreak), col(userCol),
       (unix_micros(col(ts)) - unix_micros(lag(col(ts), 1).over(w))).as("gap_us"),
       lag(col(tieBreak), 1).over(w).as("prev_event_id"))
   }

@@ -140,7 +140,11 @@ object Sampling {
     * (seed, id), so re-runs and cluster layouts agree. The ×65536
     * threshold scaling is exact (power of two ⇒ exponent shift), and the
     * largest stratum short-circuits to keep-all rather than losing
-    * 1/65536 of its rows to threshold clipping. */
+    * 1/65536 of its rows to threshold clipping.
+    *
+    * Rows with a NULL stratum are DROPPED (the equi-join back to the
+    * rates, like SQL's USING, doesn't match null keys) — coalesce the
+    * stratum to a sentinel first if null must be its own stratum. */
   def temperature(df: DataFrame, idCol: String, stratumCol: String,
                   seed: String = "s42"): DataFrame = {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))

@@ -190,6 +190,9 @@ object Similarity {
     val initRows: Array[Array[Double]] = unit
       .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
       .limit(ksub).select("u").collect().map(_.getSeq[Double](0).toArray)
+    require(initRows.length >= ksub,
+      s"PQ needs at least ksub=$ksub vectors to seed each sub-codebook, " +
+      s"got ${initRows.length}")
     val init: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) { (s, j) =>
       initRows(j).slice(s * dsub, (s + 1) * dsub)
     }
