@@ -30,7 +30,8 @@ object PlanAudit {
         "q_agg_rollup", "q_pivot_events", "q_percent_rank",
         "q_upsert_latest", "q_ann_pq", "q_count_distinct_check",
         "q_events_funnel", "q_events_retention", "q_split_assign",
-        "q_text_chunks", "q_events_props", "q_stats_corr", "q_winsorize")
+        "q_text_chunks", "q_events_props", "q_stats_corr", "q_winsorize",
+        "q_events_anomalies")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -100,6 +100,33 @@ object Events {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Z-score anomaly flags: events whose value deviates more than
+    * `threshold` standard deviations from their TYPE's mean. The per-type
+    * mean/std come from exact DECIMAL sufficient statistics (Σv, Σv² —
+    * order-independent partial aggs, so the flags are bit-stable under
+    * any partitioning, unlike a running-moments stddev), broadcast back
+    * onto the scan; the z computation is one fixed double-op sequence.
+    * Population std (÷n) — the monitoring convention. */
+  def anomalies(events: DataFrame, typeCol: String, valueCol: String,
+                idCol: String, threshold: Double): DataFrame = {
+    val D = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val stats = events.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast(D)).cast("double").as("__s"),
+        sum((col(valueCol) * col(valueCol)).cast(D)).cast("double").as("__ss"))
+      .select(col(typeCol), (col("__s") / col("__n")).as("__mean"),
+        sqrt(col("__ss") / col("__n") -
+          (col("__s") / col("__n")) * (col("__s") / col("__n"))).as("__std"))
+    events.join(broadcast(stats), typeCol)
+      // zero-variance groups flag NOTHING: the null z falls out of the
+      // threshold filter (ANSI mode would otherwise throw on the /0;
+      // DuckDB's NaN comparisons are false — same observable semantics)
+      .withColumn("z", when(col("__std") =!= 0.0,
+        (col(valueCol) - col("__mean")) / col("__std")))
+      .filter(abs(col("z")) > threshold)
+      .select(col(idCol), col(typeCol), col(valueCol), round(col("z"), 6).as("z"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapSeconds`. lag + running
     * sum over one window partition per user — a single shuffle on user_id,

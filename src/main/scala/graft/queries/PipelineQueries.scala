@@ -417,6 +417,12 @@ object PipelineQueries {
           max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    // z-score outliers per event type: decimal sufficient statistics
+    // broadcast back onto the scan — bit-stable flags at any partitioning
+    "q_events_anomalies" -> ((s, d) =>
+      Events.anomalies(Tables.events(s, d), "event_type", "value",
+        "event_id", threshold = 2.5).orderBy("event_id")),
+
     // two-step funnel (click → purchase within 7 days): conditional-min
     // anchors + one qualifying-min join — two partial-agg shuffles, no
     // per-user sort
@@ -692,6 +698,18 @@ object PipelineQueries {
        "MIN(k) AS min_k, MAX(k) AS max_k FROM (SELECT event_type, " +
        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
        "GROUP BY event_type ORDER BY event_type"),
+
+    "q_events_anomalies" ->
+      ("WITH st AS (SELECT event_type, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s, " +
+       "CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS ss " +
+       "FROM events GROUP BY event_type), " +
+       "m AS (SELECT event_type, s / n AS mean, " +
+       "sqrt(ss / n - (s / n) * (s / n)) AS std FROM st) " +
+       "SELECT event_id, event_type, value, " +
+       "round((value - mean) / std, 6) AS z " +
+       "FROM events JOIN m USING (event_type) " +
+       "WHERE abs((value - mean) / std) > 2.5 ORDER BY event_id"),
 
     "q_events_funnel" ->
       ("WITH a AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS a_ts " +

@@ -86,6 +86,34 @@ class EventsWindowSpec extends SparkSpec {
     assert(cohorts.filter(col("day_offset") < 0).count() == 0)
   }
 
+  test("anomalies flags exactly the values past the z threshold, " +
+    "invariant under partitioning") {
+    // type A: 9 values at 10.0 and one at 100 -> the 100 is ~3 sigma out
+    val df = ((1 to 9).map(i => (i.toLong, "A", 10.0)) ++
+      Seq((10L, "A", 100.0)) ++
+      (11 to 20).map(i => (i.toLong, "B", 5.0))) // zero-variance type
+      .toDF("event_id", "event_type", "value")
+    val out = Events.anomalies(df, "event_type", "value", "event_id", 2.5)
+      .select("event_id").as[Long].collect().toSeq
+    assert(out == Seq(10L), s"expected only the planted outlier, got $out")
+    val out13 = Events.anomalies(df.repartition(13), "event_type", "value",
+      "event_id", 2.5).select("event_id").as[Long].collect().toSeq
+    assert(out13 == out, "flags must not depend on partitioning")
+    // zero-variance groups produce z = value-mean / 0 -> NaN, never > t
+    assert(!out.exists(_ > 10L), "zero-variance type B must flag nothing")
+  }
+
+  test("JSON property extraction yields null for corrupt or missing keys") {
+    val df = Seq(
+      (1L, """{"k": 7}"""), (2L, """{"j": 1}"""),
+      (3L, "not json at all"), (4L, null.asInstanceOf[String])
+    ).toDF("event_id", "props")
+    val out = df.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(7L), 2L -> None, 3L -> None, 4L -> None))
+  }
+
   test("deltas gap is integer-exact micros between consecutive events") {
     val df = Seq(
       (1L, 7L, "2024-01-01 00:00:00.000001"),
