@@ -133,6 +133,34 @@ object EventStreams {
       .drop("__h")
   }
 
+  /** Streaming anomaly gate — the streaming shape of Events.anomalies:
+    * the per-type mean/std come from a STATIC reference snapshot (the
+    * monitoring convention: today's stream is judged against trained
+    * statistics, not against itself), broadcast-joined per micro-batch
+    * like [[enrich]] — zero streaming state, and a stats refresh is
+    * picked up without restarting the query. Zero-variance reference
+    * types flag nothing (same guard as the batch op). */
+  def anomalyStream(stream: DataFrame, refStats: DataFrame, typeCol: String,
+                    valueCol: String, threshold: Double): DataFrame =
+    stream.join(broadcast(refStats), Seq(typeCol))
+      .withColumn("z", when(col("ref_std") =!= 0.0,
+        (col(valueCol) - col("ref_mean")) / col("ref_std")))
+      .filter(abs(col("z")) > threshold)
+
+  /** Per-type (mean, std) reference statistics for [[anomalyStream]],
+    * from exact decimal sums over a batch snapshot. */
+  def referenceStats(events: DataFrame, typeCol: String,
+                     valueCol: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    events.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast(D)).cast("double").as("__s"),
+        sum((col(valueCol) * col(valueCol)).cast(D)).cast("double").as("__ss"))
+      .select(col(typeCol), (col("__s") / col("__n")).as("ref_mean"),
+        sqrt(col("__ss") / col("__n") -
+          (col("__s") / col("__n")) * (col("__s") / col("__n"))).as("ref_std"))
+  }
+
   /** Streaming CDC compaction — the streaming shape of
     * operators.Cdc.latestByKey: one fixed-size state record per key
     * holding the current last-writer-wins winner by (ts, event_id), the

@@ -176,6 +176,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyStream flags against static reference stats, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference: type "a" mean 10 std ~3; type "b" zero-variance
+    val ref = EventStreams.referenceStats(
+      (Seq.fill(9)(("a", 10.0)) ++ Seq(("a", 19.0)) ++ Seq.fill(5)(("b", 5.0)))
+        .toDF("event_type", "value"), "event_type", "value")
+    val mem = MemoryStream[Event]
+    val q = anomalyStream(mem.toDF(), ref, "event_type", "value", threshold = 2.5)
+      .writeStream.format("memory").queryName("anom").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "a", 10.5),  // within threshold
+        Event(2, ts(1), 1, "a", 99.0),  // way out -> flagged
+        Event(3, ts(2), 1, "b", 42.0))  // zero-variance ref -> never flagged
+      q.processAllAvailable()
+      val flagged = spark.table("anom").select("event_id").as[Long].collect().toSeq
+      assert(flagged == Seq(2L), s"got $flagged")
+    } finally q.stop()
+  }
+
   test("upsertStream converges to last-writer-wins, late events don't regress") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
