@@ -268,6 +268,37 @@ final case class Table(df: DataFrame, name: String) {
   def dtypes: Seq[(String, String)] = df.dtypes.toSeq
   def shape: (Long, Int) = (df.count(), df.columns.length)
 
+  /** pandas-parity `describe()` over numeric columns, in long format
+    * (col_name, n, n_null, mean, std, min, max), computed in ONE scan:
+    * all columns' sufficient statistics aggregate together, then a
+    * bounded explode unpivots the single result row. mean/std derive
+    * from exact DECIMAL sums in a fixed double-op sequence (sample std,
+    * ddof=1 — pandas convention), so results are bit-stable under any
+    * partitioning and reproducible in the DuckDB oracle; all-null and
+    * single-value columns yield null mean/std instead of ANSI /0. */
+  def describe(cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "describe needs at least one column")
+    val D = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        sum(col(c).cast(D)).cast("double").as(s"__s_$c"),
+        sum((col(c) * col(c)).cast(D)).cast("double").as(s"__ss_$c"),
+        min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__nr"), aggs: _*)
+    val entries = cols.map { c =>
+      val cnt = col(s"__cnt_$c")
+      struct(lit(c).as("col_name"), cnt.as("n"),
+        (col("__nr") - cnt).as("n_null"),
+        round(when(cnt > 0, col(s"__s_$c") / cnt), 6).as("mean"),
+        round(when(cnt > 1, sqrt((col(s"__ss_$c") -
+          col(s"__s_$c") * col(s"__s_$c") / cnt) / (cnt - 1))), 6).as("std"),
+        col(s"__min_$c").cast("double").as("min"),
+        col(s"__max_$c").cast("double").as("max"))
+    }
+    row.select(explode(array(entries: _*)).as("__e")).select(col("__e.*"))
+  }
+
   /** Persist this table as parquet — the durable end of the reference's
     * write path (its `__setitem__`/`append` upload rows over HTTP; here
     * mutations are plan rewrites and THIS is where they materialize).

@@ -480,6 +480,13 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // pandas-parity describe() in one scan (api/Table.scala): decimal
+    // sufficient statistics, sample std, long-format unpivot
+    "q_describe" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .describe(Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_name")),
+
     // Pearson correlation per group, BIT-STABLE: Spark's corr() merges
     // running moments whose fp rounding depends on partition merge order;
     // instead the five sufficient statistics are exact DECIMAL sums
@@ -759,6 +766,18 @@ object CoreQueries {
        "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd " +
        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice) " +
        "ORDER BY o_orderkey"),
+
+    "q_describe" ->
+      (Seq("l_discount", "l_extendedprice", "l_quantity").map { c =>
+        s"SELECT '$c' AS col_name, COUNT($c) AS n, COUNT(*) - COUNT($c) AS n_null, " +
+        s"round(CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c), 6) AS mean, " +
+        s"round(sqrt((CAST(SUM(CAST($c * $c AS DECIMAL(28,6))) AS DOUBLE) - " +
+        s"CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) * " +
+        s"CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c)) / " +
+        s"(COUNT($c) - 1)), 6) AS std, " +
+        s"CAST(MIN($c) AS DOUBLE) AS min, CAST(MAX($c) AS DOUBLE) AS max " +
+        "FROM lineitem"
+      }.mkString(" UNION ALL ") + " ORDER BY col_name"),
 
     "q_stats_corr" ->
       ("WITH s AS (SELECT l_returnflag, COUNT(*) AS n, " +

@@ -215,4 +215,27 @@ class TableSpec extends SparkSpec {
       t.addLinkedColumn(orders, "id", "cust", "amt", "bogus", "x")
     }
   }
+
+  test("describe: one scan, sample std, null-safe degenerate columns") {
+    val t = Table(Seq(
+      (1.0, Option(2.0), Option.empty[Double]),
+      (2.0, Option(2.0), Option.empty[Double]),
+      (3.0, Option.empty[Double], Option.empty[Double]))
+      .toDF("a", "b", "allnull"), "x")
+    val d = t.describe(Seq("a", "b", "allnull"))
+    // single aggregation over one scan (AQE hides children from collect —
+    // count scan nodes in the rendered plan instead)
+    val plan = d.queryExecution.executedPlan.toString
+    val scans = "(?i)(localtablescan|scan parquet)".r.findAllIn(plan).size
+    assert(scans == 1, s"describe must be ONE scan, got $scans:\n$plan")
+    val rows = d.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("a").getLong(1) == 3 && rows("a").getLong(2) == 0)
+    assert(rows("a").getDouble(3) == 2.0)          // mean
+    assert(rows("a").getDouble(4) == 1.0)          // sample std of 1,2,3
+    assert(rows("b").getLong(1) == 2 && rows("b").getLong(2) == 1)
+    assert(rows("b").getDouble(4) == 0.0)          // zero variance, n>1
+    assert(rows("allnull").getLong(1) == 0)
+    assert(rows("allnull").isNullAt(3) && rows("allnull").isNullAt(4),
+      "all-null column must yield null mean/std, not ANSI /0")
+  }
 }
