@@ -147,4 +147,16 @@ class SimilaritySpec extends SparkSpec {
       s"scaled twin not retrieved: ${out.head}")
     assert(math.abs(out.head.getAs[Double]("cos") - 1.0) < 1e-9)
   }
+
+  test("annPq is bit-identical across partitionings (decimal-sum training " +
+       "and scoring)") {
+    val emb = Tables.embeddings(spark, sf())
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.annPq(df, "vec_id", "embedding", Seq(0L, 1L), k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    val a = run(emb)
+    val b = run(emb.repartition(17))
+    assert(a == b, "PQ results drifted under repartitioning")
+  }
 }
