@@ -31,7 +31,8 @@ object PlanAudit {
         "q_upsert_latest", "q_ann_pq", "q_count_distinct_check",
         "q_events_funnel", "q_events_retention", "q_split_assign",
         "q_text_chunks", "q_events_props", "q_stats_corr", "q_winsorize",
-        "q_events_anomalies", "q_describe")
+        "q_events_anomalies", "q_describe", "q_embed_centroids",
+        "q_embed_classify")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -293,6 +293,55 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-label centroid vectors in LONG format (label, pos, c) — class
+    * prototypes for nearest-centroid classification / domain quality
+    * anchors. One posexplode + one partial-aggregated groupBy whose
+    * output is bounded at |labels|·dim rows; coordinate means use exact
+    * DECIMAL sums (bit-stable under partitioning, same discipline as the
+    * k-means codebook). Long format sidesteps array-reassembly ordering
+    * and is directly oracle-checkable. */
+  def labelCentroids(emb: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("c"))
+
+  /** Nearest-centroid classification, fully declarative: each vector's
+    * cosine to every label centroid comes from an equi-join of the
+    * exploded coordinates with the long-format centroids on `pos`
+    * (per-(vector,label) DECIMAL dot sums — n·|labels| partial-agg rows,
+    * never a cartesian of vectors), argmax by (cos desc, label) window,
+    * then the confusion matrix (true_label, pred_label, n). The batch
+    * eval shape for prototype classifiers (domain/quality routing). */
+  def nearestCentroid(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vid"), col(labelCol).as("true_label"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = labelCentroids(emb, vecCol, labelCol)
+      .withColumnRenamed("label", "pred_label")
+    val cnorm = cents.groupBy(col("pred_label"))
+      .agg(sqrt(sum((col("c") * col("c")).cast("decimal(38,18)"))
+        .cast("double")).as("cnrm"))
+    val dots = e.select(col("vid"), col("true_label"), col("nrm"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .join(broadcast(cents), "pos")
+      .groupBy(col("vid"), col("true_label"), col("nrm"), col("pred_label"))
+      .agg(sum((col("x") * col("c")).cast("decimal(38,18)"))
+        .cast("double").as("d"))
+    val w = Window.partitionBy("vid")
+      .orderBy(col("cos").desc, col("pred_label"))
+    dots.join(broadcast(cnorm), "pred_label")
+      .withColumn("cos", col("d") / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Sign-random-projection signature (Charikar SRP-LSH) — native codegen'd
     * Expression (graft.functions.SrpSignature): hyperplane components are
     * hash-derived per (seed, plane, index), so there is no dim-sized

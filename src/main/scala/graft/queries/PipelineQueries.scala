@@ -243,6 +243,18 @@ object PipelineQueries {
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // class prototypes: per-label coordinate means, decimal-exact,
+    // bounded |labels|*dim output
+    "q_embed_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d), "embedding", "label")
+        .select(col("label"), col("pos"), round(col("c"), 9).as("c"))
+        .orderBy("label", "pos")),
+
+    // nearest-centroid confusion matrix — the prototype-classifier eval
+    "q_embed_classify" -> ((s, d) =>
+      Similarity.nearestCentroid(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label").orderBy("true_label", "pred_label")),
+
     // ORACLE-POSED corpus for the approximate ANN paths: the embeddings
     // table plus 10 scaled copies (1.1v..2.1v) of each query vector — the
     // "same content, different normalization" near-dup class. Each query's
@@ -551,6 +563,39 @@ object PipelineQueries {
     "q_ann_lsh" -> plantedAnnOracleSql,
     "q_ann_ivf" -> plantedAnnOracleSql,
     "q_ann_pq" -> plantedAnnOracleSql,
+
+    "q_embed_centroids" ->
+      ("SELECT label, pos, round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) " +
+       "/ COUNT(*), 9) AS c FROM (SELECT label, " +
+       "unnest(CAST(embedding AS DOUBLE[])) AS x, " +
+       "generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings) " +
+       "GROUP BY label, pos ORDER BY label, pos"),
+
+    "q_embed_classify" ->
+      ("WITH ex AS (SELECT vec_id, label AS true_label, " +
+       "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "co AS (SELECT vec_id, true_label, unnest(v) AS x, " +
+       "generate_subscripts(v, 1) - 1 AS pos FROM ex), " +
+       "cent AS (SELECT label AS pred_label, pos, " +
+       "CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c " +
+       "FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x, " +
+       "generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings) " +
+       "GROUP BY 1, 2), " +
+       "cn AS (SELECT pred_label, " +
+       "sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS cnrm " +
+       "FROM cent GROUP BY 1), " +
+       "en AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM ex), " +
+       "dots AS (SELECT co.vec_id, co.true_label, cent.pred_label, " +
+       "CAST(SUM(CAST(co.x * cent.c AS DECIMAL(38,18))) AS DOUBLE) AS d " +
+       "FROM co JOIN cent USING (pos) GROUP BY 1, 2, 3), " +
+       "sc AS (SELECT d.vec_id, d.true_label, d.pred_label, " +
+       "d.d / (en.nrm * cn.cnrm) AS cos FROM dots d " +
+       "JOIN en ON d.vec_id = en.vec_id " +
+       "JOIN cn ON d.pred_label = cn.pred_label), " +
+       "top AS (SELECT vec_id, true_label, pred_label, row_number() OVER " +
+       "(PARTITION BY vec_id ORDER BY cos DESC, pred_label) AS rk FROM sc) " +
+       "SELECT true_label, pred_label, COUNT(*) AS n FROM top WHERE rk = 1 " +
+       "GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "q_distinct_sketch_check" ->
       ("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct, " +
