@@ -32,7 +32,7 @@ object PlanAudit {
         "q_events_funnel", "q_events_retention", "q_split_assign",
         "q_text_chunks", "q_events_props", "q_stats_corr", "q_winsorize",
         "q_events_anomalies", "q_describe", "q_embed_centroids",
-        "q_embed_classify")
+        "q_embed_classify", "q_text_normalize")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -40,6 +40,8 @@ object GraftExtensions {
       (FunctionIdentifier("word_chunks"), info(classOf[WordChunks], "word_chunks"),
         (es: Seq[Expression]) => WordChunks(es.head,
           es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+      (FunctionIdentifier("nfc_normalize"), info(classOf[NfcNormalize], "nfc_normalize"),
+        (es: Seq[Expression]) => NfcNormalize(es.head)),
       // the codebook argument is a foldable nested-array literal, decoded
       // ONCE at resolution into the expression's reference-object matrix
       (FunctionIdentifier("vec_mat_cosines"), info(classOf[VecMatCosines], "vec_mat_cosines"),
@@ -96,6 +98,7 @@ object GraftFunctions {
     call_function("word_chunks", text,
       org.apache.spark.sql.functions.lit(size),
       org.apache.spark.sql.functions.lit(stride))
+  def nfc_normalize(text: Column): Column = call_function("nfc_normalize", text)
   def media_header(payload: Column): Column = call_function("media_header", payload)
   def marker_counts(toks: Column, vocabs: Seq[Seq[String]]): Column =
     call_function("marker_counts", toks,

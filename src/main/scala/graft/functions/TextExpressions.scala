@@ -276,3 +276,40 @@ object WordChunksImpl {
     new GenericArrayData(buf.toArray)
   }
 }
+
+/** Unicode NFC normalization (canonical composition) — the text-
+  * canonicalization step that runs BEFORE any hash-based dedup: the same
+  * visible string can arrive as composed ("é") or decomposed ("e"+U+0301)
+  * code points, and md5/minhash/simhash all see different bytes until
+  * the corpus is normalized to one form. A per-row codegen Expression
+  * over java.text.Normalizer (no UDF, no interpreted path); DuckDB's
+  * nfc_normalize implements the same Unicode algorithm, so the oracle is
+  * engine-paired. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects STRING, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalizeImpl.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalizeImpl.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalizeImpl {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    // fast path: already-normalized (ASCII and most web text) strings
+    // skip the composer entirely
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}

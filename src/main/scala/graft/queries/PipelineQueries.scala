@@ -281,6 +281,25 @@ object PipelineQueries {
       Similarity.annPq(plantedAnnCorpus(s, d), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // canonicalization before hash-based dedup: NFC composition (native
+    // per-row Expression over java.text.Normalizer — DuckDB's
+    // nfc_normalize implements the same Unicode algorithm), lowercase,
+    // whitespace collapse. A decomposed é + doubled spaces are PLANTED so
+    // the pass provably does work (n_raw - n_norm = 1 combining mark);
+    // the md5 makes any divergence content-exact
+    "q_text_normalize" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val planted = concat(coalesce(col("text"), lit("")),
+        lit("  Cafe\u0301  x")) // decomposed e + U+0301, as the oracle plants
+      Tables.documents(s, d).select(col("doc_id"),
+          md5(graft.functions.GraftFunctions.nfc_normalize(
+            lower(regexp_replace(planted, "\\s+", " ")))).as("h"),
+          length(graft.functions.GraftFunctions.nfc_normalize(planted))
+            .as("n_norm"),
+          length(planted).as("n_raw"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_langid" -> ((s, d) =>
       TextAnalysis.langId(
         Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
@@ -743,6 +762,15 @@ object PipelineQueries {
        "MIN(k) AS min_k, MAX(k) AS max_k FROM (SELECT event_type, " +
        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
        "GROUP BY event_type ORDER BY event_type"),
+
+    "q_text_normalize" ->
+      ("SELECT doc_id, " +
+       "md5(nfc_normalize(lower(regexp_replace(coalesce(text, '') || " +
+       "'  Cafe' || chr(769) || '  x', '\\s+', ' ', 'g')))) AS h, " +
+       "length(nfc_normalize(coalesce(text, '') || '  Cafe' || chr(769) || " +
+       "'  x')) AS n_norm, " +
+       "length(coalesce(text, '') || '  Cafe' || chr(769) || '  x') AS n_raw " +
+       "FROM documents ORDER BY doc_id"),
 
     "q_events_anomalies" ->
       ("WITH st AS (SELECT event_type, COUNT(*) AS n, " +
