@@ -269,13 +269,19 @@ final case class Table(df: DataFrame, name: String) {
   def shape: (Long, Int) = (df.count(), df.columns.length)
 
   /** pandas-parity `describe()` over numeric columns, in long format
-    * (col_name, n, n_null, mean, std, min, max), computed in ONE scan:
-    * all columns' sufficient statistics aggregate together, then a
-    * bounded explode unpivots the single result row. mean/std derive
-    * from exact DECIMAL sums in a fixed double-op sequence (sample std,
-    * ddof=1 — pandas convention), so results are bit-stable under any
-    * partitioning and reproducible in the DuckDB oracle; all-null and
-    * single-value columns yield null mean/std instead of ANSI /0. */
+    * (col_name, n, n_null, mean, std, min, p25, p50, p75, max), computed
+    * in ONE scan: all columns' sufficient statistics aggregate together,
+    * then a bounded explode unpivots the single result row. mean/std
+    * derive from exact DECIMAL sums in a fixed double-op sequence (sample
+    * std, ddof=1 — pandas convention), so results are bit-stable under
+    * any partitioning and reproducible in the DuckDB oracle; all-null and
+    * single-value columns yield null mean/std instead of ANSI /0. The
+    * quartiles are pandas' 25%/50%/75% rows via exact `percentile`
+    * (linear interpolation ≡ DuckDB quantile_cont bit-for-bit — the
+    * repo's documented exact anchor; it buffers the column per agg, so at
+    * 100 TB swap in the approx_percentile scale twin, cf.
+    * q_stats_quantiles_approx). percentile ignores nulls like the other
+    * stats; an all-null column yields null quartiles. */
   def describe(cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "describe needs at least one column")
     val D = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
@@ -283,7 +289,8 @@ final case class Table(df: DataFrame, name: String) {
       Seq(count(col(c)).as(s"__cnt_$c"),
         sum(col(c).cast(D)).cast("double").as(s"__s_$c"),
         sum((col(c) * col(c)).cast(D)).cast("double").as(s"__ss_$c"),
-        min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
+        min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"__q_$c"))
     }
     val row = df.agg(count(lit(1)).as("__nr"), aggs: _*)
     val entries = cols.map { c =>
@@ -291,9 +298,16 @@ final case class Table(df: DataFrame, name: String) {
       struct(lit(c).as("col_name"), cnt.as("n"),
         (col("__nr") - cnt).as("n_null"),
         round(when(cnt > 0, col(s"__s_$c") / cnt), 6).as("mean"),
-        round(when(cnt > 1, sqrt((col(s"__ss_$c") -
-          col(s"__s_$c") * col(s"__s_$c") / cnt) / (cnt - 1))), 6).as("std"),
+        // variance clamped at 0: for a constant column the sufficient-
+        // statistics difference can round to a tiny negative, and
+        // sqrt(negative) would emit NaN std instead of 0.0
+        round(when(cnt > 1, sqrt(greatest((col(s"__ss_$c") -
+          col(s"__s_$c") * col(s"__s_$c") / cnt) / (cnt - 1),
+          lit(0.0)))), 6).as("std"),
         col(s"__min_$c").cast("double").as("min"),
+        round(col(s"__q_$c")(0), 6).as("p25"),
+        round(col(s"__q_$c")(1), 6).as("p50"),
+        round(col(s"__q_$c")(2), 6).as("p75"),
         col(s"__max_$c").cast("double").as("max"))
     }
     row.select(explode(array(entries: _*)).as("__e")).select(col("__e.*"))

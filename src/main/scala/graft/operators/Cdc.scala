@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   * full log.
   *
   * `versionCols` order decides recency (later columns break ties of
-  * earlier ones) and MUST end in a unique tiebreaker (a change-log
-  * sequence number), so the payload columns — which sit after the
-  * version columns inside the struct — never influence which record
-  * wins, they just ride along.
+  * earlier ones) and SHOULD end in a unique tiebreaker (a change-log
+  * sequence number) so the winner is well-defined; payload columns are
+  * carried by `max_by(payload, version)` and can never influence which
+  * record wins (on a version tie the winner is unspecified, not
+  * payload-decided).
   *
   * Reference semantics analog: repeated `update_rows` calls on a table
   * (seaserpent/base.py:693) leave the last write per row visible; this
@@ -33,11 +34,23 @@ object Cdc {
                   payloadCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && versionCols.nonEmpty,
       "keyCols and versionCols must be non-empty")
-    val ordered = (versionCols ++ payloadCols).map(col)
-    val winner = log.groupBy(keyCols.map(col): _*)
-      .agg(max(struct(ordered: _*)).as("__w"))
-    (versionCols ++ payloadCols).foldLeft(winner) { (df, c) =>
-      df.withColumn(c, col(s"__w.$c"))
-    }.drop("__w")
+    // max_by(payload, version): payloads ride along WITHOUT participating
+    // in the ordering — a caller who forgets the unique tiebreaker gets a
+    // tie-unspecified winner, never one silently decided by payload
+    // values (and non-orderable payload types like map work). Both aggs
+    // combine map-side like any max.
+    val ord = struct(versionCols.map(col): _*)
+    val winner =
+      if (payloadCols.isEmpty)
+        log.groupBy(keyCols.map(col): _*).agg(max(ord).as("__v"))
+      else
+        log.groupBy(keyCols.map(col): _*).agg(max(ord).as("__v"),
+          max_by(struct(payloadCols.map(col): _*), ord).as("__p"))
+    val withV = versionCols.foldLeft(winner) { (df, c) =>
+      df.withColumn(c, col(s"__v.$c"))
+    }
+    payloadCols.foldLeft(withV) { (df, c) =>
+      df.withColumn(c, col(s"__p.$c"))
+    }.drop("__v", "__p")
   }
 }

@@ -114,9 +114,16 @@ object Events {
       .agg(count(lit(1)).as("__n"),
         sum(col(valueCol).cast(D)).cast("double").as("__s"),
         sum((col(valueCol) * col(valueCol)).cast(D)).cast("double").as("__ss"))
+      // variance clamped at 0 before the root: ss/n - (s/n)^2 can round
+      // to a tiny NEGATIVE for (near-)constant groups after the decimal →
+      // double casts; sqrt(negative) would be a NaN std, which PASSES the
+      // =!= 0.0 guard below and (via Spark's NaN-greater-than-everything
+      // ordering) spuriously flags the whole group. Clamped, degenerate
+      // groups get std exactly 0.0 and flag nothing.
       .select(col(typeCol), (col("__s") / col("__n")).as("__mean"),
-        sqrt(col("__ss") / col("__n") -
-          (col("__s") / col("__n")) * (col("__s") / col("__n"))).as("__std"))
+        sqrt(greatest(col("__ss") / col("__n") -
+          (col("__s") / col("__n")) * (col("__s") / col("__n")),
+          lit(0.0))).as("__std"))
     events.join(broadcast(stats), typeCol)
       // zero-variance groups flag NOTHING: the null z falls out of the
       // threshold filter (ANSI mode would otherwise throw on the /0;

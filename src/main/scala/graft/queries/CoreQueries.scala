@@ -771,11 +771,19 @@ object CoreQueries {
       (Seq("l_discount", "l_extendedprice", "l_quantity").map { c =>
         s"SELECT '$c' AS col_name, COUNT($c) AS n, COUNT(*) - COUNT($c) AS n_null, " +
         s"round(CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c), 6) AS mean, " +
-        s"round(sqrt((CAST(SUM(CAST($c * $c AS DECIMAL(28,6))) AS DOUBLE) - " +
+        // greatest(..., 0) mirrors the Spark-side variance clamp (constant
+        // columns can round variance to a tiny negative → NaN std)
+        s"round(sqrt(greatest((CAST(SUM(CAST($c * $c AS DECIMAL(28,6))) AS DOUBLE) - " +
         s"CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) * " +
         s"CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) / COUNT($c)) / " +
-        s"(COUNT($c) - 1)), 6) AS std, " +
-        s"CAST(MIN($c) AS DOUBLE) AS min, CAST(MAX($c) AS DOUBLE) AS max " +
+        s"(COUNT($c) - 1), 0)), 6) AS std, " +
+        s"CAST(MIN($c) AS DOUBLE) AS min, " +
+        // quantile_cont ≡ Spark percentile bit-for-bit (linear
+        // interpolation — the repo's documented exact-quantile anchor)
+        s"round(quantile_cont($c, 0.25), 6) AS p25, " +
+        s"round(quantile_cont($c, 0.50), 6) AS p50, " +
+        s"round(quantile_cont($c, 0.75), 6) AS p75, " +
+        s"CAST(MAX($c) AS DOUBLE) AS max " +
         "FROM lineitem"
       }.mkString(" UNION ALL ") + " ORDER BY col_name"),
 

@@ -758,9 +758,13 @@ object PipelineQueries {
     "q_events_props" ->
       // CAST SUM to BIGINT: DuckDB SUM(BIGINT) is HUGEINT (float64 in the
       // comparator) while Spark emits BIGINT
+      // TRY_CAST, not CAST: the Spark side's get_json_object(...).cast
+      // yields null on non-numeric property values — the tested "corrupt
+      // keys become nulls, not failures" semantics; a plain CAST would
+      // make DuckDB ERROR on dirty data instead of mirroring the null
       ("SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k, " +
        "MIN(k) AS min_k, MAX(k) AS max_k FROM (SELECT event_type, " +
-       "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
+       "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
        "GROUP BY event_type ORDER BY event_type"),
 
     "q_text_normalize" ->
@@ -777,8 +781,10 @@ object PipelineQueries {
        "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s, " +
        "CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS ss " +
        "FROM events GROUP BY event_type), " +
+       // greatest(..., 0) mirrors the Spark side's variance clamp:
+       // near-constant groups can round variance to a tiny negative
        "m AS (SELECT event_type, s / n AS mean, " +
-       "sqrt(ss / n - (s / n) * (s / n)) AS std FROM st) " +
+       "sqrt(greatest(ss / n - (s / n) * (s / n), 0)) AS std FROM st) " +
        "SELECT event_id, event_type, value, " +
        "round((value - mean) / std, 6) AS z " +
        "FROM events JOIN m USING (event_type) " +

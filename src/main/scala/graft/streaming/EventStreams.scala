@@ -156,9 +156,13 @@ object EventStreams {
       .agg(count(lit(1)).as("__n"),
         sum(col(valueCol).cast(D)).cast("double").as("__s"),
         sum((col(valueCol) * col(valueCol)).cast(D)).cast("double").as("__ss"))
+      // same 0-clamp as Events.anomalies: a (near-)constant type's
+      // variance can round negative → NaN std → every row spuriously
+      // flagged through the =!= 0.0 guard; clamped it is exactly 0.0
       .select(col(typeCol), (col("__s") / col("__n")).as("ref_mean"),
-        sqrt(col("__ss") / col("__n") -
-          (col("__s") / col("__n")) * (col("__s") / col("__n"))).as("ref_std"))
+        sqrt(greatest(col("__ss") / col("__n") -
+          (col("__s") / col("__n")) * (col("__s") / col("__n")),
+          lit(0.0))).as("ref_std"))
   }
 
   /** Streaming CDC compaction — the streaming shape of
@@ -175,8 +179,15 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .mapGroupsWithState[Event, Event](GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
+          // full-precision epoch MICROS, not Timestamp.getTime: getTime
+          // truncates to milliseconds, so two events in the same milli
+          // but different micros would tie and fall to event_id — a
+          // different winner than the batch compaction, which orders by
+          // the full microsecond timestamp
+          def micros(e: Event): Long =
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
           val next = (state.getOption.iterator ++ rows)
-            .maxBy(e => (e.ts.getTime, e.event_id))
+            .maxBy(e => (micros(e), e.event_id))
           state.update(next)
           next
       }

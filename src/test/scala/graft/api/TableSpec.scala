@@ -237,5 +237,23 @@ class TableSpec extends SparkSpec {
     assert(rows("allnull").getLong(1) == 0)
     assert(rows("allnull").isNullAt(3) && rows("allnull").isNullAt(4),
       "all-null column must yield null mean/std, not ANSI /0")
+    // pandas-parity quartile rows: linear-interpolated exact percentiles
+    assert(rows("a").getDouble(6) == 1.5 &&        // p25 of 1,2,3
+      rows("a").getDouble(7) == 2.0 &&             // p50
+      rows("a").getDouble(8) == 2.5)               // p75
+    assert(rows("b").getDouble(6) == 2.0 && rows("b").getDouble(7) == 2.0 &&
+      rows("b").getDouble(8) == 2.0)               // constant column
+    assert(rows("allnull").isNullAt(6) && rows("allnull").isNullAt(7) &&
+      rows("allnull").isNullAt(8),
+      "all-null column must yield null quartiles")
+  }
+
+  test("describe: constant column std is 0.0, never NaN (variance clamp)") {
+    // all values equal at a scale where ss/n - (s/n)^2 rounds negative in
+    // the decimal(28,6) sufficient statistics — unclamped this was NaN,
+    // which poisons downstream NaN-ordering comparisons
+    val t = Table(Seq.fill(5)(0.0005).toDF("v"), "x")
+    val r = t.describe(Seq("v")).collect().head
+    assert(r.getDouble(4) == 0.0, s"constant column std must be 0.0, got ${r.getDouble(4)}")
   }
 }

@@ -103,6 +103,18 @@ class EventsWindowSpec extends SparkSpec {
     assert(!out.exists(_ > 10L), "zero-variance type B must flag nothing")
   }
 
+  test("anomalies: near-constant group whose variance rounds negative " +
+    "flags nothing (clamp, no NaN std)") {
+    // all values 0.0005: v*v rounds to 0 in decimal(28,6), so
+    // ss/n - (s/n)^2 = -2.5e-7 — unclamped, sqrt gives NaN std, which
+    // passes the =!= 0.0 guard and flags EVERY row via NaN ordering
+    val df = (1 to 10).map(i => (i.toLong, "C", 0.0005))
+      .toDF("event_id", "event_type", "value")
+    val out = Events.anomalies(df, "event_type", "value", "event_id", 2.5)
+    assert(out.count() == 0,
+      "degenerate-variance group must flag nothing, not every row")
+  }
+
   test("JSON property extraction yields null for corrupt or missing keys") {
     val df = Seq(
       (1L, """{"k": 7}"""), (2L, """{"j": 1}"""),

@@ -218,6 +218,18 @@ class EventStreamsSpec extends SparkSpec {
       q.processAllAvailable()
       val u2 = spark.table("ups").as[Event].collect().filter(_.user_id == 2L)
       assert(u2.last.event_id == 5L)
+      // SAME MILLISECOND, different microseconds: the later micro must win
+      // even against a higher event_id — Timestamp.getTime truncates to
+      // millis, so a millis-keyed comparison would wrongly let id 9 win;
+      // the batch op (Cdc.latestByKey) orders by full microsecond ts
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00.001002")
+      val earlier = java.sql.Timestamp.valueOf("2024-01-01 00:00:00.001001")
+      mem.addData(Event(8, base, 3, "winner", 1.0),
+        Event(9, earlier, 3, "loser", 2.0))
+      q.processAllAvailable()
+      val u3 = spark.table("ups").as[Event].collect().filter(_.user_id == 3L)
+      assert(u3.last.event_id == 8L && u3.last.event_type == "winner",
+        s"micro-precision recency must decide, got ${u3.last}")
     } finally q.stop()
   }
 }
