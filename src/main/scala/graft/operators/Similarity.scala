@@ -308,36 +308,45 @@ object Similarity {
       .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
         count(lit(1))).as("c"))
 
-  /** Nearest-centroid classification, fully declarative: each vector's
-    * cosine to every label centroid comes from an equi-join of the
-    * exploded coordinates with the long-format centroids on `pos`
-    * (per-(vector,label) DECIMAL dot sums — n·|labels| partial-agg rows,
-    * never a cartesian of vectors), argmax by (cos desc, label) window,
-    * then the confusion matrix (true_label, pred_label, n). The batch
-    * eval shape for prototype classifiers (domain/quality routing). */
+  /** Nearest-centroid classification, scored SCAN-SIDE: the bounded
+    * |labels|·dim centroid matrix is collected to the driver (the same
+    * legitimately driver-resident codebook shape as [[kmeansCodebook]] —
+    * class prototypes ARE a codebook) and every vector's cosine to all
+    * centroids is ONE native codegen `vec_mat_cosines` call; argmax picks
+    * the predicted label in the same projection, and the only shuffle is
+    * the confusion-matrix groupBy — ≤ |labels|² partial-agg rows.
+    *
+    * This replaces the r8 shape (posexplode to dim× rows, equi-join on
+    * pos, n·|labels| decimal dot-sum shuffle, per-vid argmax window):
+    * same confusion matrix, but the corpus is scanned once at full
+    * codegen width with no Generate and no data-sized exchange — the
+    * plan you'd ship at 100 TB. Argmax ties break to the FIRST matrix
+    * row (array_position returns the first occurrence), i.e. the
+    * smallest label — the (cos desc, label asc) rule the window had.
+    * `idCol` is kept for API stability; scoring no longer needs ids. */
   def nearestCentroid(emb: DataFrame, idCol: String, vecCol: String,
                       labelCol: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
-    val e = emb.select(col(idCol).as("vid"), col(labelCol).as("true_label"),
-      col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val cents = labelCentroids(emb, vecCol, labelCol)
-      .withColumnRenamed("label", "pred_label")
-    val cnorm = cents.groupBy(col("pred_label"))
-      .agg(sqrt(sum((col("c") * col("c")).cast("decimal(38,18)"))
-        .cast("double")).as("cnrm"))
-    val dots = e.select(col("vid"), col("true_label"), col("nrm"),
-        posexplode(col("v")).as(Seq("pos", "x")))
-      .join(broadcast(cents), "pos")
-      .groupBy(col("vid"), col("true_label"), col("nrm"), col("pred_label"))
-      .agg(sum((col("x") * col("c")).cast("decimal(38,18)"))
-        .cast("double").as("d"))
-    val w = Window.partitionBy("vid")
-      .orderBy(col("cos").desc, col("pred_label"))
-    dots.join(broadcast(cnorm), "pred_label")
-      .withColumn("cos", col("d") / (col("nrm") * col("cnrm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    // long-format (label, pos, c) rows, label-then-pos ordered, fold into
+    // the label-major matrix; decimal-exact means, so the collected
+    // centroids are bit-identical to what the oracle's CTE computes
+    val centRows = labelCentroids(emb, vecCol, labelCol)
+      .orderBy("label", "pos").collect()
+    require(centRows.nonEmpty, "nearestCentroid needs at least one vector")
+    val byLabel = scala.collection.mutable.LinkedHashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[Double]]
+    centRows.foreach { r =>
+      byLabel.getOrElseUpdate(r.get(0),
+        scala.collection.mutable.ArrayBuffer.empty[Double]) += r.getDouble(2)
+    }
+    val labelVals = byLabel.keys.toArray
+    val mat: Array[Array[Double]] = byLabel.values.map(_.toArray).toArray
+    val labelArr = array(labelVals.map(v => lit(v)).toIndexedSeq: _*)
+    emb.select(col(labelCol).as("true_label"),
+        graft.functions.GraftFunctions.vec_mat_cosines(
+          col(vecCol).cast("array<double>"), mat).as("__sims"))
+      .withColumn("pred_label", element_at(labelArr,
+        expr("array_position(__sims, array_max(__sims))").cast("int")))
       .groupBy(col("true_label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
   }
