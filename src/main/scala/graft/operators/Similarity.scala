@@ -293,6 +293,118 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-ADC — the composed production ANN shape (Jégou et al. 2011 §IV:
+    * "inverted file with asymmetric distance computation"): a coarse IVF
+    * quantizer partitions the PQ code lists by cell, a query probes only
+    * its `nprobe` nearest cells, and ADC scores ONLY those cells' codes —
+    * at 10⁹ vectors the scan touches ~nprobe/nlist of the compact code
+    * table instead of all of it, on top of PQ's ~100-1000× byte shrink.
+    *
+    * Composition of the two green halves, both unchanged:
+    *  - coarse codebook = [[kmeansCodebook]] (deterministic spherical
+    *    k-means); corpus cell assignment is the same scan-side
+    *    `vec_mat_cosines` argmax [[annIvf]] uses (cosine argmax is
+    *    scale-invariant, so assigning the UNIT vector is identical);
+    *  - PQ codebooks/encoding/LUT/ADC/decimal sums = [[annPq]]'s,
+    *    quantizing unit vectors directly (not Jégou's residuals — unit
+    *    quantization is what makes approximate COSINE scores
+    *    norm-invariant, the property the planted oracle checks; a
+    *    residual coder would couple codes to the probed cell and break
+    *    it). Sub-codebooks are shared across cells, the standard
+    *    memory/recall trade for non-residual IVFPQ.
+    *
+    * Scale shape: the code table carries (vid, cell, m codes); the probe
+    * relation (|queries|·nprobe rows) and the LUT broadcast; the
+    * cell-restricted candidate set comes from an equi-join on `cell`, so
+    * unprobed cells' codes never leave the scan. Exact rerank fetches
+    * true vectors BY ID for the top overfetch·k only — brute force's
+    * answer at any complete-recall operating point (planted corpus), a
+    * recall/throughput dial elsewhere. */
+  def annIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+               queryIds: Seq[Long], k: Int,
+               nlist: Int = 16, nprobe: Int = 4,
+               m: Int = 4, ksub: Int = 8, kmeansIters: Int = 2,
+               overfetch: Int = 4, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    val unit = e.select(col("vid"),
+      transform(col("v"), x => x / col("nrm")).as("u"))
+    def sub(c: Column, s: Int) = slice(c, s * dsub + 1, dsub)
+
+    // the two trained codebooks — both bounded driver-resident objects
+    val coarse: Array[Array[Double]] = kmeansCodebook(e, nlist, kmeansIters, seed)
+    val codebooks: Array[Array[Array[Double]]] =
+      pqCodebooks(unit, m, dsub, ksub, kmeansIters, seed)
+    def withCell(df: DataFrame, vec: String) = df
+      .withColumn("__cs", graft.functions.GraftFunctions.vec_mat_cosines(col(vec), coarse))
+      .withColumn("cell", expr("array_position(__cs, array_max(__cs))").cast("int"))
+
+    // compact store: (vid, cell, code_0..m-1) — PQ code lists keyed by
+    // IVF cell (at rest this is what you'd bucket/partition by cell)
+    val coded = (0 until m).foldLeft(withCell(unit, "u").drop("__cs")) { (df, s) =>
+      df.withColumn(s"__sims$s",
+          graft.functions.GraftFunctions.vec_mat_cosines(sub(col("u"), s), codebooks(s)))
+        .withColumn(s"__c$s",
+          expr(s"array_position(__sims$s, array_max(__sims$s))").cast("int"))
+        .drop(s"__sims$s")
+    }.select(col("vid") +: col("cell") +: (0 until m).map(s => col(s"__c$s")): _*)
+    val codesLong = coded.select(col("vid"), col("cell"),
+      posexplode(array((0 until m).map(s => col(s"__c$s")): _*))
+        .as(Seq("sub", "code")))
+
+    // query side: nprobe nearest cells per query + the per-query ADC LUT
+    val probes = withCell(unit.filter(col("vid").isin(queryIds: _*)), "u")
+      .select(col("vid").as("query_id"),
+        posexplode(col("__cs")).as(Seq("cellIdx", "sim")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cellIdx"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), (col("cellIdx") + 1).as("cell"))
+    val cbRows = for (s <- 0 until m; j <- 0 until ksub)
+      yield (s, j + 1, codebooks(s)(j).toSeq)
+    val cbDf = cbRows.toDF("sub", "code", "centroid")
+    val queries = unit.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("query_id"), col("u").as("qu"))
+    val lutExpr = (0 until m).foldLeft(lit(null).cast("double")) { (acc, s) =>
+      when(col("sub") === s, dot(sub(col("qu"), s), col("centroid")))
+        .otherwise(acc)
+    }
+    val lut = queries.crossJoin(cbDf)
+      .select(col("query_id"), col("sub"), col("code"), lutExpr.as("lutv"))
+
+    // ADC over PROBED CELLS ONLY: the broadcast (query, cell) pairs gate
+    // the code table before any aggregation — unprobed cells die at the
+    // join; then the same order-independent decimal sum as annPq
+    val approx = codesLong.join(broadcast(probes), Seq("cell"))
+      .filter(col("vid") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(sum(col("lutv").cast("decimal(38,18)")).as("approx"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("vid"))
+    val cand = approx.withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= k * overfetch)
+      .select("query_id", "vid")
+
+    // exact rerank: true vectors fetched by id for the candidate set only
+    val qFull = e.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(e, "vid").join(broadcast(qFull), "query_id")
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label centroid vectors in LONG format (label, pos, c) — class
     * prototypes for nearest-centroid classification / domain quality
     * anchors. One posexplode + one partial-aggregated groupBy whose

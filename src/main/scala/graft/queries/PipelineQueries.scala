@@ -281,6 +281,16 @@ object PipelineQueries {
       Similarity.annPq(plantedAnnCorpus(s, d), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // IVF-ADC composition (Jégou et al. 2011 §IV): PQ code lists keyed by
+    // IVF cell, ADC scores only the nprobe probed cells' codes, exact
+    // rerank on the candidates. Every planted copy shares the query's
+    // unit vector, hence its cell AND its codes — all copies land in the
+    // probed candidate set with maximal approximate score and the exact
+    // rerank reproduces brute force (same shared oracle).
+    "q_ann_ivfpq" -> ((s, d) =>
+      Similarity.annIvfPq(plantedAnnCorpus(s, d), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
     // canonicalization before hash-based dedup: NFC composition (native
     // per-row Expression over java.text.Normalizer — DuckDB's
     // nfc_normalize implements the same Unicode algorithm), lowercase,
@@ -582,6 +592,7 @@ object PipelineQueries {
     "q_ann_lsh" -> plantedAnnOracleSql,
     "q_ann_ivf" -> plantedAnnOracleSql,
     "q_ann_pq" -> plantedAnnOracleSql,
+    "q_ann_ivfpq" -> plantedAnnOracleSql,
 
     "q_embed_centroids" ->
       ("SELECT label, pos, round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) " +

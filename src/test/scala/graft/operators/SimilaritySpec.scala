@@ -159,4 +159,56 @@ class SimilaritySpec extends SparkSpec {
     val b = run(emb.repartition(17))
     assert(a == b, "PQ results drifted under repartitioning")
   }
+
+  test("annIvfPq: probing ALL cells degenerates exactly to annPq, and a " +
+       "restricted probe keeps recall on a NON-planted corpus") {
+    val emb = Tables.embeddings(spark, sf())
+    val qids = (0L until 10L).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    // compositional identity: with every cell probed the candidate set is
+    // the whole corpus, the PQ half is byte-identical (same seed/iters),
+    // so IVF-ADC must return annPq's exact output bit-for-bit
+    val all = rows(Similarity.annIvfPq(emb, "vec_id", "embedding", qids, 10,
+      nlist = 8, nprobe = 8))
+    val pq = rows(Similarity.annPq(emb, "vec_id", "embedding", qids, 10))
+    assert(all == pq, "nprobe == nlist must reproduce the un-partitioned PQ path")
+    // restricted probe: recall vs brute force reported for the honest
+    // number (random-noise corpus, the hardest case for cell pruning —
+    // true neighbors scatter uniformly across cells)
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val truth = neighbors(Similarity.annTopK(emb, "vec_id", "embedding", qids, 10))
+    val got = neighbors(Similarity.annIvfPq(emb, "vec_id", "embedding", qids, 10,
+      nlist = 8, nprobe = 4, m = 8, ksub = 16, overfetch = 8))
+    val recall = qids.map(q =>
+      got.getOrElse(q, Set.empty).intersect(truth(q)).size).sum / (10.0 * qids.size)
+    info(s"IVF-ADC recall@10 (nprobe=4/8) = $recall")
+    assert(recall > 0.2, s"cell-restricted ADC recall collapsed: $recall")
+  }
+
+  test("annIvfPq on the planted corpus equals brute force (the oracle " +
+       "operating point), any partitioning") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val scales = Seq(1.1, 1.2, 1.3, 1.4, 1.5, 1.6, 1.7, 1.8, 1.9, 2.1)
+    val planted = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array(scales.map(lit): _*)).as(Seq("j", "sc")))
+      .select((lit(100000L) + col("vec_id") * 100 + col("j")).as("vec_id"),
+        transform(col("embedding"), x => x * col("sc")).as("embedding"))
+    val corpus = e.unionByName(planted)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val brute = rows(Similarity.annTopK(corpus, "vec_id", "embedding", qids, 10))
+    assert(rows(Similarity.annIvfPq(corpus, "vec_id", "embedding", qids, 10)) == brute)
+    assert(rows(Similarity.annIvfPq(corpus.repartition(13), "vec_id",
+      "embedding", qids, 10)) == brute,
+      "IVF-ADC drifted under repartitioning")
+  }
 }
