@@ -62,16 +62,61 @@ object TemporalJoins {
           Seq(col("__tag"), col("__rpayload"))): _*))
   }
 
+  /** pandas `merge_asof` surface:
+    *  - `direction` — "backward" (default: latest right at or before the
+    *    left ts), "forward" (earliest right at or after it), "nearest"
+    *    (whichever is closer in time; an exact tie prefers the backward
+    *    match, deterministically). Exact-ts rights match in every
+    *    direction (allow_exact_matches=True semantics).
+    *  - `toleranceSec` — maximum staleness: a carried match further than
+    *    this from the left ts is dropped (its asof_* columns go null,
+    *    left-join row survives), pandas' `tolerance`.
+    * "forward" is the backward scan with time reversed — the same single
+    * carry window ordered (ts DESC, tag); "nearest" evaluates both
+    * carries inside ONE shuffle on `key` (two sorts of the same hash
+    * partition, no second exchange) and picks per row. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String], direction: String = "backward",
+               toleranceSec: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
+    toleranceSec.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
     val lCols = left.columns
+    // carried unit: (rts = right epoch micros, rp = right payload) — the
+    // match ts must travel with the payload for tolerance/nearest math
     val unioned = unionTagged(left, right, key, ts, rightCols)
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned.withColumn("__asof", last(col("__rpayload"), ignoreNulls = true).over(w))
+      .withColumn("__rc", when(col("__tag") === 0,
+        struct(unix_micros(col(ts)).as("rts"), col("__rpayload").as("rp"))))
+    def carry(w: org.apache.spark.sql.expressions.WindowSpec) =
+      last(col("__rc"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val part = Window.partitionBy(col(key))
+    // (ts, tag) order puts a right row at ts T before left rows at T in
+    // BOTH scans (tag 0 < 1), so exact-ts rights match in each direction
+    val withB =
+      if (direction == "forward") unioned
+      else unioned.withColumn("__b", carry(part.orderBy(col(ts), col("__tag"))))
+    val carried =
+      if (direction == "backward") withB
+      else withB.withColumn("__f", carry(part.orderBy(col(ts).desc, col("__tag"))))
+    val lus = unix_micros(col(ts))
+    def gate(c: Column, dist: Column): Column = toleranceSec.fold(c) { tol =>
+      when(dist <= tol * 1000000L, c)
+    }
+    val sel = direction match {
+      case "backward" => gate(col("__b"), lus - col("__b.rts"))
+      case "forward"  => gate(col("__f"), col("__f.rts") - lus)
+      case "nearest"  =>
+        val b = gate(col("__b"), lus - col("__b.rts"))
+        val f = gate(col("__f"), col("__f.rts") - lus)
+        when(b.isNull, f).when(f.isNull, b)
+          .when(col("__f.rts") - lus < lus - col("__b.rts"), f)
+          .otherwise(b) // equal distance -> backward, deterministically
+    }
     carried.filter(col("__tag") === 1)
+      .withColumn("__sel", sel)
       .select((lCols.map(col) ++
-        rightCols.map(c => col(s"__asof.$c").as(s"asof_$c"))): _*)
+        rightCols.map(c => col(s"__sel.rp.$c").as(s"asof_$c"))): _*)
   }
 
   /** [[asOfJoin]] with the hot-key ceiling removed (judge r4 ask #5):
@@ -103,11 +148,15 @@ object TemporalJoins {
     * stages buy parallelism, not throughput, on balanced data. */
   def asOfJoinSharded(left: DataFrame, right: DataFrame, key: String,
                       ts: String, rightCols: Seq[String],
-                      shards: Int = 32): DataFrame = {
+                      shards: Int = 32,
+                      toleranceSec: Option[Long] = None): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    toleranceSec.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
     val lCols = left.columns
     val unioned = unionTagged(left, right, key, ts, rightCols)
       .withColumn("__us", unix_micros(col(ts)))
+      .withColumn("__rc", when(col("__tag") === 0,
+        struct(unix_micros(col(ts)).as("rts"), col("__rpayload").as("rp"))))
     // balanced time-range boundaries from a one-pass approximate quantile
     // sketch; correctness is boundary-independent (see scaladoc)
     val boundaries: Array[Long] =
@@ -123,26 +172,31 @@ object TemporalJoins {
       .orderBy(col(ts), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = sharded.withColumn("__asof",
-      last(col("__rpayload"), ignoreNulls = true).over(wIn))
-    // compact pass: per (key, shard) the LAST right payload (max over the
-    // (ts, tag-ordered) struct — (key, ts) unique on the right per the
-    // asOfJoin precondition), then the carry-IN of each shard = the latest
-    // right state of any EARLIER shard. ≤ |keys|·shards rows throughout;
-    // the carry window sees ≤ shards rows per key.
+      last(col("__rc"), ignoreNulls = true).over(wIn))
+    // compact pass: per (key, shard) the LAST right (rts, payload) carry
+    // unit (max over the (ts, tag-ordered) struct — (key, ts) unique on
+    // the right per the asOfJoin precondition), then the carry-IN of each
+    // shard = the latest right state of any EARLIER shard. ≤ |keys|·shards
+    // rows throughout; the carry window sees ≤ shards rows per key.
     val shardLast = sharded
       .groupBy(col(key), col("__shard"))
       .agg(max(when(col("__tag") === 0,
-        struct(col(ts), col("__rpayload")))).as("__last"))
+        struct(col(ts), col("__rc").as("c")))).as("__last"))
     val wCarry = Window.partitionBy(col(key)).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carryIn = shardLast.withColumn("__in",
         last(col("__last"), ignoreNulls = true).over(wCarry))
-      .select(col(key), col("__shard"), col("__in.__rpayload").as("__carryin"))
-    carried.filter(col("__tag") === 1)
+      .select(col(key), col("__shard"), col("__in.c").as("__carryin"))
+    val stitched = carried.filter(col("__tag") === 1)
       .join(carryIn, Seq(key, "__shard"), "left")
       .withColumn("__asof2", coalesce(col("__asof"), col("__carryin")))
+    // same staleness gate as the plain op (backward-only variant)
+    val sel = toleranceSec.fold(col("__asof2")) { tol =>
+      when(col("__us") - col("__asof2.rts") <= tol * 1000000L, col("__asof2"))
+    }
+    stitched.withColumn("__sel", sel)
       .select((lCols.map(col) ++
-        rightCols.map(c => col(s"__asof2.$c").as(s"asof_$c"))): _*)
+        rightCols.map(c => col(s"__sel.rp.$c").as(s"asof_$c"))): _*)
   }
 
   /** Banded range join: all pairs of left/right rows sharing `key` whose

@@ -414,6 +414,43 @@ object PipelineQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // tolerance (pandas merge_asof): a backward match staler than 1 hour
+    // is dropped — its asof_* columns go null, the left row survives.
+    // Oracle = DuckDB native ASOF + the same staleness CASE.
+    "q_asof_join_tol" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("rid"), max_by(col("value"), col("event_id")).as("rval"))
+      TemporalJoins.asOfJoin(clicks, purchases, "user_id", "ts",
+          Seq("rid", "rval"), toleranceSec = Some(3600L))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("asof_rid"), col("asof_rval"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // forward direction (pandas merge_asof direction='forward'): the
+    // EARLIEST right at or after each left ts. DuckDB ASOF is
+    // backward-only, so the oracle runs it on NEGATED epoch keys —
+    // backward over -t is exactly forward over t.
+    "q_asof_join_fwd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("rid"), max_by(col("value"), col("event_id")).as("rval"))
+      TemporalJoins.asOfJoin(clicks, purchases, "user_id", "ts",
+          Seq("rid", "rval"), direction = "forward")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("asof_rid"), col("asof_rval"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // the hot-key-proof variant: same semantics (shares the DuckDB ASOF
     // oracle), but the carry window partitions by (key, time-range shard)
     // with a compact cross-shard state pass — one hot key runs as `shards`
@@ -756,6 +793,35 @@ object PipelineQueries {
        "SELECT l.user_id, event_id, strftime(l.t, '%Y-%m-%d %H:%M:%S') AS ts_s, " +
        "rid AS asof_rid, rval AS asof_rval " +
        "FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.t >= r0.t " +
+       "ORDER BY l.user_id, event_id"),
+
+    "q_asof_join_tol" ->
+      // native ASOF picks the backward match; the CASE drops it (nulls
+      // BOTH carried columns) when staler than the 3600s tolerance
+      ("WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t " +
+       "FROM events WHERE event_type = 'click'), " +
+       "r0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(event_id) AS rid, " +
+       "max_by(value, event_id) AS rval FROM events WHERE event_type = 'purchase' " +
+       "GROUP BY 1, 2) " +
+       "SELECT l.user_id, event_id, strftime(l.t, '%Y-%m-%d %H:%M:%S') AS ts_s, " +
+       "CASE WHEN epoch_us(l.t) - epoch_us(r0.t) <= 3600000000 THEN rid END AS asof_rid, " +
+       "CASE WHEN epoch_us(l.t) - epoch_us(r0.t) <= 3600000000 THEN rval END AS asof_rval " +
+       "FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.t >= r0.t " +
+       "ORDER BY l.user_id, event_id"),
+
+    "q_asof_join_fwd" ->
+      // DuckDB ASOF is backward-only: running it over NEGATED epoch keys
+      // makes "latest -t' <= -t" = "earliest t' >= t" — exactly forward
+      ("WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, " +
+       "-epoch_us(CAST(ts AS TIMESTAMP)) AS nt " +
+       "FROM events WHERE event_type = 'click'), " +
+       "r0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(event_id) AS rid, " +
+       "max_by(value, event_id) AS rval FROM events WHERE event_type = 'purchase' " +
+       "GROUP BY 1, 2), " +
+       "r AS (SELECT user_id, -epoch_us(t) AS nt, rid, rval FROM r0) " +
+       "SELECT l.user_id, event_id, strftime(l.t, '%Y-%m-%d %H:%M:%S') AS ts_s, " +
+       "rid AS asof_rid, rval AS asof_rval " +
+       "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.nt >= r.nt " +
        "ORDER BY l.user_id, event_id"),
 
     "q_range_join" ->

@@ -68,7 +68,7 @@ class TemporalJoinsSpec extends SparkSpec {
     // fans out over the shard dimension instead of one task
     val plan = out.queryExecution.executedPlan.toString
     val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windowLines.exists(l => l.contains("__shard") && l.contains("__rpayload")),
+    assert(windowLines.exists(l => l.contains("__shard") && l.contains("__rc")),
       s"carry window is not sharded:\n$plan")
   }
 
@@ -88,6 +88,66 @@ class TemporalJoinsSpec extends SparkSpec {
           shards = shards)
         .select("lid", "asof_rv").as[(Long, Option[String])].collect().toMap
       assert(got == expect, s"shards=$shards diverged")
+    }
+  }
+
+  test("asOfJoin tolerance drops matches staler than the bound, keeps the row") {
+    val left = Seq(
+      (1L, ts(10), 100L), // r@5: 5 min stale, within 10-min tolerance
+      (1L, ts(40), 101L), // r@25: 15 min stale -> dropped to null
+      (1L, ts(25), 102L)  // exact-ts match: 0 stale, always kept
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts(5), "r5"), (1L, ts(25), "r25")
+    ).toDF("k", "ts", "rv")
+    val out = TemporalJoins.asOfJoin(left, right, "k", "ts", Seq("rv"),
+        toleranceSec = Some(600L))
+      .select("lid", "asof_rv").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(100L -> Some("r5"), 101L -> None, 102L -> Some("r25")),
+      s"got $out")
+  }
+
+  test("asOfJoin direction: forward takes the earliest following right, " +
+       "nearest takes the closer side with backward winning ties") {
+    val left = Seq(
+      (1L, ts(10), 100L), // b=r5 (5 back), f=r20 (10 fwd) -> nearest=b
+      (1L, ts(18), 101L), // b=r5 (13 back), f=r20 (2 fwd) -> nearest=f
+      (1L, ts(30), 102L), // b=r20/f=r40: 10 back vs 10 fwd TIE -> backward
+      (1L, ts(50), 103L), // after the last right: forward -> null
+      (1L, ts(3), 104L)   // before the first right: backward -> null
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts(5), "r5"), (1L, ts(20), "r20"), (1L, ts(40), "r40")
+    ).toDF("k", "ts", "rv")
+    def run(dir: String) =
+      TemporalJoins.asOfJoin(left, right, "k", "ts", Seq("rv"), direction = dir)
+        .select("lid", "asof_rv").as[(Long, Option[String])].collect().toMap
+    assert(run("forward") == Map(100L -> Some("r20"), 101L -> Some("r20"),
+      102L -> Some("r40"), 103L -> None, 104L -> Some("r5")))
+    assert(run("nearest") == Map(100L -> Some("r5"), 101L -> Some("r20"),
+      102L -> Some("r20"), 103L -> Some("r40"), 104L -> Some("r5")))
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asOfJoin(left, right, "k", "ts", Seq("rv"),
+        direction = "sideways")
+    }
+  }
+
+  test("asOfJoinSharded inherits the tolerance gate (== plain, any shards)") {
+    val left = Seq(
+      (1L, ts(10), 100L), (1L, ts(40), 101L), (1L, ts(25), 102L),
+      (2L, ts(30), 103L)
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts(5), "r5"), (1L, ts(25), "r25")
+    ).toDF("k", "ts", "rv")
+    val expect = TemporalJoins.asOfJoin(left, right, "k", "ts", Seq("rv"),
+        toleranceSec = Some(600L))
+      .select("lid", "asof_rv").as[(Long, Option[String])].collect().toMap
+    for (shards <- Seq(1, 3, 16)) {
+      val got = TemporalJoins.asOfJoinSharded(left, right, "k", "ts",
+          Seq("rv"), shards = shards, toleranceSec = Some(600L))
+        .select("lid", "asof_rv").as[(Long, Option[String])].collect().toMap
+      assert(got == expect, s"shards=$shards diverged: $got")
     }
   }
 
