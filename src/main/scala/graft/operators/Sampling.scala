@@ -146,22 +146,41 @@ object Sampling {
     * rates, like SQL's USING, doesn't match null keys) — coalesce the
     * stratum to a sentinel first if null must be its own stratum. */
   def temperature(df: DataFrame, idCol: String, stratumCol: String,
-                  seed: String = "s42"): DataFrame = {
+                  seed: String = "s42"): DataFrame =
+    applyTemperature(df, temperatureRates(df, stratumCol), stratumCol,
+      idCol, seed)
+
+  /** The bounded per-stratum rate relation of [[temperature]]:
+    * (stratum, __n, __nmax, __thr) with __thr = floor(√(nᵢ/n_max)·65536).
+    * Exposed so the streaming twin can score a live stream against a
+    * STATIC snapshot's rates (the trained-statistics convention, like
+    * anomalyStream) while sharing this exact arithmetic.
+    * __thr is a LONG, not pre-formatted hex: n/nmax can round UP to
+    * exactly 1.0 when strata exceed 2^53 rows, and a 65536 threshold
+    * formatted to 5 hex chars would mis-compare against 4-char keys —
+    * the >= 65536 branch in [[applyTemperature]] keeps that regime in
+    * keep-all territory. */
+  def temperatureRates(df: DataFrame, stratumCol: String): DataFrame = {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
     val nmax = counts.agg(max(col("__n")).as("__nmax"))
-    // __thr as a LONG, not pre-formatted hex: n/nmax can round UP to
-    // exactly 1.0 when strata exceed 2^53 rows, and a 65536 threshold
-    // formatted to 5 hex chars would mis-compare against 4-char keys —
-    // the >= 65536 branch below keeps that regime in keep-all territory
-    val rates = counts.crossJoin(broadcast(nmax))
+    counts.crossJoin(broadcast(nmax))
       .withColumn("__thr",
         floor(sqrt(col("__n").cast("double") / col("__nmax").cast("double"))
           * 65536).cast("long"))
+  }
+
+  /** Membership filter shared by the batch op and the streaming twin:
+    * rates broadcast onto the scan, keep iff the largest stratum
+    * (keep-all fast path) or the row's md5 hash key compares under the
+    * stratum threshold — a pure function of (seed, id), so batch and
+    * stream admit exactly the same rows. Rows whose stratum is absent
+    * from `rates` are DROPPED (equi-join semantics). */
+  def applyTemperature(df: DataFrame, rates: DataFrame, stratumCol: String,
+                       idCol: String, seed: String = "s42"): DataFrame =
     df.join(broadcast(rates), stratumCol)
       .filter(col("__n") === col("__nmax") || col("__thr") >= 65536L ||
         hashKey(seed, col(idCol)) < format_string("%04x", col("__thr")))
       .drop("__n", "__nmax", "__thr")
-  }
 
   /** Exactly min(n, |stratum|) rows per stratum, chosen by hash-key order
     * (deterministic "random" without an RNG). This is the exact-n ANCHOR

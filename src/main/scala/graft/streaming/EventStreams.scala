@@ -107,6 +107,34 @@ object EventStreams {
                    seed: String = "s42"): DataFrame =
     graft.operators.Sampling.bernoulli(stream, idCol, frac, seed)
 
+  /** Deterministic STRATIFIED stream sampling — the streaming shape of
+    * Sampling.stratified: per-stratum thresholds over the same pure
+    * (seed, id) hash key, so it is stateless exactly like [[sampleStream]]
+    * (the stratum column only picks which threshold a row compares
+    * against) and admits exactly the rows a batch backfill keeps per
+    * stratum. */
+  def stratifiedStream(stream: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFrac: Double = 0.0,
+                       seed: String = "s42"): DataFrame =
+    graft.operators.Sampling.stratified(stream, idCol, stratumCol,
+      fractions, defaultFrac, seed)
+
+  /** Temperature-scaled mixture sampling on a stream — the streaming
+    * shape of Sampling.temperature. The √(nᵢ/n_max) rates come from a
+    * STATIC snapshot (`Sampling.temperatureRates` over trained corpus
+    * counts — a live stream has no stable stratum totals to rebalance
+    * against), broadcast per micro-batch like [[enrich]]/[[anomalyStream]]:
+    * zero streaming state, and a rates refresh (new snapshot) is picked
+    * up without restarting the query. Membership stays the same pure
+    * (seed, id) threshold as the batch op, so the stream admits exactly
+    * the rows a batch pass with the same rates keeps. */
+  def temperatureStream(stream: DataFrame, rates: DataFrame,
+                        stratumCol: String, idCol: String,
+                        seed: String = "s42"): DataFrame =
+    graft.operators.Sampling.applyTemperature(stream, rates, stratumCol,
+      idCol, seed)
+
   /** Streaming ingest curation — the admission filter of Curation.curate
     * for a document stream: the stateless scan-side gates (language ID +
     * quality signals, pure per-row projections) run per micro-batch, then

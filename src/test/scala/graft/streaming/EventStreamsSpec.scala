@@ -55,6 +55,66 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stratifiedStream admits exactly the batch per-stratum sample, " +
+       "statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val fracs = Map("click" -> 1.0, "view" -> 0.25)
+    val q = stratifiedStream(mem.toDF(), "event_id", "event_type", fracs)
+      .select($"event_id")
+      .writeStream.format("memory").queryName("strs").outputMode(OutputMode.Append).start()
+    try {
+      val events = (1L to 300L).map(i =>
+        Event(i, ts(i), i % 7, Seq("click", "view", "error")(i.toInt % 3), 1.0))
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("strs").as[Long].collect().toSet
+      val batch = graft.operators.Sampling
+        .stratified(events.toDF(), "event_id", "event_type", fracs)
+        .select($"event_id").as[Long].collect().toSet
+      assert(streamed == batch,
+        "stream must admit exactly the batch rows per stratum")
+      // keep-all stratum fully present, default-0 stratum fully absent
+      val byType = events.map(e => e.event_id -> e.event_type).toMap
+      assert(events.filter(e => e.event_type == "click")
+        .forall(e => streamed.contains(e.event_id)))
+      assert(streamed.forall(id => byType(id) != "error"))
+      assert(q.lastProgress.stateOperators.isEmpty, "must be stateless")
+    } finally q.stop()
+  }
+
+  test("temperatureStream scores the stream against static snapshot rates, " +
+       "admitting exactly the batch sample") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed strata: clicks dominate, so views/errors downsample at
+    // sqrt(n_i/n_max) — rates trained on the snapshot, like anomalyStream
+    val snapshot = ((1L to 240L).map(i => Event(i, ts(i), i % 7, "click", 1.0)) ++
+      (241L to 300L).map(i => Event(i, ts(i), i % 7, "view", 1.0)) ++
+      (301L to 315L).map(i => Event(i, ts(i), i % 7, "error", 1.0)))
+    val rates = graft.operators.Sampling
+      .temperatureRates(snapshot.toDF(), "event_type")
+    val mem = MemoryStream[Event]
+    val q = temperatureStream(mem.toDF(), rates, "event_type", "event_id")
+      .select($"event_id")
+      .writeStream.format("memory").queryName("tmps").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(snapshot: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tmps").as[Long].collect().toSet
+      val batch = graft.operators.Sampling
+        .applyTemperature(snapshot.toDF(), rates, "event_type", "event_id")
+        .select($"event_id").as[Long].collect().toSet
+      assert(streamed == batch,
+        "stream must admit exactly the batch rows under the same rates")
+      // the largest stratum keeps everything; the tail downsamples
+      assert((1L to 240L).forall(streamed.contains))
+      assert(streamed.size < 315)
+      assert(q.lastProgress.stateOperators.isEmpty, "must be stateless")
+    } finally q.stop()
+  }
+
   test("intervalJoin matches right events within the lookback window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
