@@ -85,8 +85,13 @@ object Bench {
       val ts = samples(name).sorted
       (name, ts(ts.length / 2), ts.head)
     }
+    // 4-decimal times (0.1 ms — far under run-to-run noise): the driver
+    // captures this line from a stdout TAIL, and full 17-digit doubles
+    // pushed the 113-query r8 line past the capture window (only 58
+    // per-query medians survived machine-readable in BENCH_r08.json)
+    def r4(d: Double) = math.rint(d * 10000) / 10000
     def fmt(sel: ((String, Double, Double)) => Double) =
-      results.map(r => s"\"" + r._1 + "\":" + sel(r)).mkString("{", ",", "}")
+      results.map(r => s"\"" + r._1 + "\":" + r4(sel(r))).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
     val noise = if (totalMin > 0) total / totalMin else 1.0
@@ -94,7 +99,16 @@ object Bench {
     // queries actually saw); first call warms the JIT
     val calib = { calibrate(); Seq(calibrate(), calibrate(), calibrate()).sorted.apply(1) }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"total_min":$totalMin,"noise_ratio":$noise,"calib_sec":$calib,"sf":"$sfDir","reps":$passes,"interleaved":true,"failed":$errs}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"total_min":$totalMin,"noise_ratio":$noise,"calib_sec":$calib,"sf":"$sfDir","reps":$passes,"interleaved":true,"failed":$errs}"""
+    println(line)
+    // belt-and-braces: persist the SAME line to a file so every per-query
+    // median stays machine-readable even if the stdout capture clips
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
