@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Programmatic plan guards (r8 verdict #4): the prose audits in
+  * PLANS_r{N}.txt show pushdown held on the day they were written; this
+  * spec FAILS the build if a later shared-code edit (Tables, dsum, api
+  * wrappers) silently un-pushes a filter or un-prunes a projection.
+  * Checks run on the formatted physical plan of the real SparkEntry
+  * queries at sf0.001.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution
+      .explainString(FormattedMode)
+
+  /** All PushedFilters lists of every parquet scan in the plan. */
+  private def pushed(plan: String): Seq[String] =
+    "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSeq
+
+  /** All ReadSchema column-name lists of every parquet scan. */
+  private def readCols(plan: String): Seq[Seq[String]] =
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+      .map(_.group(1).split(",").map(_.trim.takeWhile(_ != ':'))
+        .filter(_.nonEmpty).toSeq).toSeq
+
+  // every reference-surface filter query must reach the scan with a
+  // predicate on its filter column — an empty or unrelated PushedFilters
+  // list means a regression re-materialized the full table
+  private val filterGuards = Map(
+    "q_filter_cmp" -> "l_quantity",
+    "q_filter_isin" -> "c_mktsegment",
+    "q_filter_contains" -> "p_name",
+    "q_filter_startswith" -> "p_type",
+    "q_filter_endswith" -> "p_name",
+    "q_filter_combo" -> "o_totalprice",
+    "q_filter_null" -> "lang",
+    "q_row_lookup" -> "o_orderkey",
+    // (q_multiselect_contains is NOT here: array_contains has no parquet
+    // filter class — the predicate evaluates post-scan by design)
+    "q3_topk" -> "c_mktsegment")
+
+  test("filter queries keep their predicates pushed into the parquet scan") {
+    filterGuards.foreach { case (name, colName) =>
+      val p = plan(name)
+      val lists = pushed(p)
+      assert(lists.exists(l => l.nonEmpty && l.contains(colName)),
+        s"$name: no parquet scan pushes a filter on '$colName' " +
+          s"(PushedFilters lists: $lists)\n$p")
+    }
+  }
+
+  test("projection queries keep the read schema pruned") {
+    // q_select_cols selects 3 customer columns — the scan must not read
+    // the whole 8-column table
+    val sel = readCols(plan("q_select_cols"))
+    assert(sel.nonEmpty && sel.forall(_.size <= 3),
+      s"q_select_cols reads unpruned schema: $sel")
+    // q1_agg touches exactly the 7 lineitem columns its filter + grouping
+    // + aggregates need (of 16 in the table)
+    val agg = readCols(plan("q1_agg"))
+    assert(agg.nonEmpty && agg.forall(_.size <= 7),
+      s"q1_agg reads unpruned schema: $agg")
+    // the linked rollup needs only the join key + aggregated column on
+    // the fact side
+    val roll = readCols(plan("q_linked_rollup_sum"))
+    assert(roll.exists(_.size <= 3),
+      s"q_linked_rollup_sum has no pruned fact scan: $roll")
+  }
+
+  test("dimension joins broadcast (no SortMergeJoin in q3_topk)") {
+    val p = plan("q3_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q3_topk lost its broadcast joins\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q3_topk degraded to a sort-merge join\n$p")
+  }
+}
