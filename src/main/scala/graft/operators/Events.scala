@@ -134,6 +134,35 @@ object Events {
       .select(col(idCol), col(typeCol), col(valueCol), round(col("z"), 6).as("z"))
   }
 
+  /** Robust outlier flags: modified z-score over (median, MAD) —
+    * Iglewicz & Hoaglin 1993. The mean/std gate of [[anomalies]] has a
+    * masking problem: a few extreme values inflate the std they are
+    * judged against; median and median-absolute-deviation have a 50%
+    * breakdown point, so contamination cannot hide itself. The robust
+    * twin a data-cleaning pass runs next to the z-score gate.
+    *
+    * Two exact grouped `percentile` passes (the repo's documented
+    * exact-quantile anchor, ≡ DuckDB quantile_cont bit-for-bit;
+    * approx_percentile is the 100 TB twin — it buffers each group),
+    * each broadcast back onto the scan; the z arithmetic is one fixed
+    * IEEE op sequence, 1.4826 ≈ 1/Φ⁻¹(3/4) rescales MAD to σ under
+    * normality. Zero-MAD groups flag nothing (null z falls out of the
+    * threshold filter, same guard as [[anomalies]]). */
+  def robustOutliers(events: DataFrame, typeCol: String, valueCol: String,
+                     idCol: String, threshold: Double = 3.5): DataFrame = {
+    val med = events.groupBy(col(typeCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withMed = events.join(broadcast(med), typeCol)
+    val mad = withMed.groupBy(col(typeCol))
+      .agg(expr(s"percentile(abs($valueCol - __med), 0.5)").as("__mad"))
+    withMed.join(broadcast(mad), typeCol)
+      .withColumn("z", when(col("__mad") =!= 0.0,
+        (col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad"))))
+      .filter(abs(col("z")) > threshold)
+      .select(col(idCol), col(typeCol), col(valueCol),
+        round(col("z"), 6).as("robust_z"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapSeconds`. lag + running
     * sum over one window partition per user — a single shuffle on user_id,

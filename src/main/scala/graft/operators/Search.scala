@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 keyword retrieval over a document corpus — the ranked-search
@@ -64,5 +65,58 @@ object Search {
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    * (Cormack, Clarke & Büttcher 2009: rrf(d) = Σ 1/(rrfK + rank_d)) —
+    * the standard way to combine BM25 and embedding rankings without
+    * score calibration, and the retrieval shape a training-data pipeline
+    * uses to mine topic subsets (keyword precision + semantic recall).
+    *
+    * Shape: each ranker produces its own top-`poolSize` pool exactly as
+    * it would standalone ([[bm25]] unchanged; brute-force cosine against
+    * ONE broadcast query vector — swap in the IVF/PQ candidate path at
+    * corpus scale), so the expensive work stays in the rankers; fusion
+    * is a full-outer equi-join of two ≤poolSize relations + one fixed
+    * double-op sequence (1/(K+r) additions are single correctly-rounded
+    * IEEE ops — DuckDB reproduces the fused order bit-for-bit). Docs
+    * missing from a pool contribute 0 from that ranker. Output:
+    * (doc_id, rrf 6dp, lex_rank, sem_rank nullable), top-k by
+    * (rrf desc, doc_id). */
+  def hybridRrf(docs: DataFrame, docId: String, textCol: String,
+                emb: DataFrame, vecId: String, vecCol: String,
+                terms: Seq[String], queryVecId: Long,
+                k: Int = 10, poolSize: Int = 50,
+                rrfK: Int = 60): DataFrame = {
+    require(poolSize >= k && rrfK > 0, "need poolSize >= k and rrfK > 0")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions.vec_dot(a, b)
+    // both pool windows rank ≤ poolSize rows AFTER their limit — bounded
+    // single-partition sorts, not data-sized ones
+    val lex = bm25(docs, docId, textCol, terms, poolSize)
+      .select(col("doc_id"), col("score"))
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "lex_rank")
+    val e = emb.select(col(vecId).as("doc_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("doc_id") === queryVecId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val sem = e.crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(poolSize)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select("doc_id", "sem_rank")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("__rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)))
+      .orderBy(col("__rrf").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), round(col("__rrf"), 6).as("rrf"),
+        col("lex_rank"), col("sem_rank"))
   }
 }

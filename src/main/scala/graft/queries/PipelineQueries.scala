@@ -501,6 +501,13 @@ object PipelineQueries {
       Events.anomalies(Tables.events(s, d), "event_type", "value",
         "event_id", threshold = 2.5).orderBy("event_id")),
 
+    // robust (median/MAD) outlier twin of the z-score gate: 50% breakdown
+    // point, so extreme values can't mask each other; exact grouped
+    // percentile (≡ quantile_cont bit-for-bit) broadcast back twice
+    "q_events_robust" -> ((s, d) =>
+      Events.robustOutliers(Tables.events(s, d), "event_type", "value",
+        "event_id", threshold = 3.5).orderBy("event_id")),
+
     // two-step funnel (click → purchase within 7 days): conditional-min
     // anchors + one qualifying-min join — two partial-agg shuffles, no
     // per-user sort
@@ -866,6 +873,21 @@ object PipelineQueries {
        "round((value - mean) / std, 6) AS z " +
        "FROM events JOIN m USING (event_type) " +
        "WHERE abs((value - mean) / std) > 2.5 ORDER BY event_id"),
+
+    "q_events_robust" ->
+      // same two quantile_cont passes; the mad <> 0 guard mirrors the
+      // Spark side's null-z filter (DuckDB /0 would be inf, not a drop)
+      ("WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
+       "FROM events GROUP BY 1), " +
+       "dv AS (SELECT e.event_id, e.event_type, e.value, m.med " +
+       "FROM events e JOIN m USING (event_type)), " +
+       "s AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad " +
+       "FROM dv GROUP BY 1) " +
+       "SELECT event_id, event_type, value, " +
+       "round((value - med) / (1.4826 * mad), 6) AS robust_z " +
+       "FROM dv JOIN s USING (event_type) " +
+       "WHERE mad <> 0 AND abs((value - med) / (1.4826 * mad)) > 3.5 " +
+       "ORDER BY event_id"),
 
     "q_events_funnel" ->
       ("WITH a AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS a_ts " +

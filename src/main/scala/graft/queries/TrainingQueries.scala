@@ -186,6 +186,16 @@ object TrainingQueries {
       graft.operators.Search.bm25(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("spark", "vector", "customer"), k = 15)),
 
+    // hybrid retrieval: BM25 pool + embedding-cosine pool fused by
+    // reciprocal rank (1/(60+r)); single correctly-rounded IEEE ops →
+    // DuckDB reproduces the fused order bit-for-bit
+    "q_search_hybrid" -> ((s, d) =>
+      graft.operators.Search.hybridRrf(
+        Tables.documents(s, d), "doc_id", "text",
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        terms = Seq("spark", "vector", "customer"), queryVecId = 7L,
+        k = 15, poolSize = 50)),
+
     // corpus-trained unigram-LM perplexity (CCNet §4.3 filter shape):
     // train = one partial-agg token count, score = broadcast left-join +
     // per-doc decimal-sum mean; avg_nll 4dp / ppl 2dp on both engines
@@ -461,6 +471,43 @@ object TrainingQueries {
        "count(*) AS n_terms_hit " +
        "FROM tf JOIN dfr USING (tok) CROSS JOIN stats " +
        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15"),
+
+    // the same BM25 CTE chain (pool of 50) + a cosine pool against
+    // vec_id 7, fused by reciprocal rank: both rankers' pools and the
+    // 1/(60+r) additions are bit-identical across engines
+    "q_search_hybrid" ->
+      ("WITH base AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t " +
+       "FROM documents), " +
+       "d AS (SELECT doc_id, len(t) AS dl FROM base), " +
+       "stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM d), " +
+       "tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM " +
+       "(SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM base) " +
+       "WHERE tok IN ('spark', 'vector', 'customer') GROUP BY doc_id, dl, tok), " +
+       "dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), " +
+       "bm AS (SELECT doc_id, " +
+       "round(CAST(sum(CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 / " +
+       "(tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tot_dl AS DOUBLE) / n_docs))) " +
+       "AS DECIMAL(28,6))) AS DOUBLE), 4) AS score " +
+       "FROM tf JOIN dfr USING (tok) CROSS JOIN stats " +
+       "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50), " +
+       "lex AS (SELECT doc_id, row_number() OVER " +
+       "(ORDER BY score DESC, doc_id) AS lex_rank FROM bm), " +
+       "e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v " +
+       "FROM embeddings), " +
+       "q AS (SELECT v AS qv FROM e WHERE doc_id = 7), " +
+       "sc AS (SELECT doc_id, list_dot_product(qv, v) / " +
+       "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos " +
+       "FROM e CROSS JOIN q ORDER BY cos DESC, doc_id LIMIT 50), " +
+       "sem AS (SELECT doc_id, row_number() OVER " +
+       "(ORDER BY cos DESC, doc_id) AS sem_rank FROM sc), " +
+       // 1e0, not 1.0: DuckDB parses 1.0 as DECIMAL and its decimal
+       // division is not the IEEE double op Spark runs
+       "fused AS (SELECT doc_id, " +
+       "coalesce(1e0 / (60 + lex_rank), 0e0) + " +
+       "coalesce(1e0 / (60 + sem_rank), 0e0) AS rrf0, lex_rank, sem_rank " +
+       "FROM lex FULL JOIN sem USING (doc_id)) " +
+       "SELECT doc_id, round(rrf0, 6) AS rrf, lex_rank, sem_rank " +
+       "FROM fused ORDER BY rrf0 DESC, doc_id LIMIT 15"),
 
     // unigram LM trained on the corpus itself; nll summed as
     // DECIMAL(28,6) on both engines (exact-sum discipline) so the mean

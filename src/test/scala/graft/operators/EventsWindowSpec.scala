@@ -115,6 +115,31 @@ class EventsWindowSpec extends SparkSpec {
       "degenerate-variance group must flag nothing, not every row")
   }
 
+  test("robustOutliers: median/MAD flags resist masking that inflates " +
+    "the std gate, zero-MAD groups flag nothing") {
+    // type A: 8 values near 10 plus TWO extreme outliers. With k equal
+    // outliers among n points, the z they can reach is bounded near
+    // sqrt((n-k)/k) = 2 here — the pair inflates the std it is judged
+    // against, so NEITHER clears the 2.5-sigma mean/std gate (masking);
+    // median/MAD ignores them (50% breakdown) and flags exactly both.
+    val a = (1 to 8).map(i => (i.toLong, "A", 10.0 + (i % 3) * 0.1)) ++
+      Seq((19L, "A", 500.0), (20L, "A", 520.0))
+    // type B: constant -> MAD 0 -> nothing flagged
+    val b = (21 to 30).map(i => (i.toLong, "B", 7.0))
+    val df = (a ++ b).toDF("event_id", "event_type", "value")
+    val robust = Events.robustOutliers(df, "event_type", "value", "event_id", 3.5)
+      .select("event_id").as[Long].collect().toSet
+    assert(robust == Set(19L, 20L), s"expected the two planted outliers, got $robust")
+    val masked = Events.anomalies(df, "event_type", "value", "event_id", 2.5)
+      .select("event_id").as[Long].collect().toSet
+    assert(masked.subsetOf(Set(19L, 20L)) && masked.size < 2,
+      s"fixture must demonstrate masking in the std gate, got $masked")
+    // invariant under partitioning (exact percentile, fixed IEEE ops)
+    val rep = Events.robustOutliers(df.repartition(13), "event_type",
+      "value", "event_id", 3.5).select("event_id").as[Long].collect().toSet
+    assert(rep == robust)
+  }
+
   test("JSON property extraction yields null for corrupt or missing keys") {
     val df = Seq(
       (1L, """{"k": 7}"""), (2L, """{"j": 1}"""),

@@ -65,4 +65,43 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not sort+limit:\n$plan")
     assert(!plan.contains("SortMergeJoin"), "stats/df joins must broadcast")
   }
+
+  test("hybridRrf fuses the two pools: both-pool docs beat single-pool " +
+       "peers at equal ranks, and the query vector's own doc tops the " +
+       "semantic pool") {
+    val docs = graft.tables.Tables.documents(spark, sf())
+    val emb = graft.tables.Tables.embeddings(spark, sf())
+    val out = Search.hybridRrf(docs, "doc_id", "text", emb, "vec_id",
+      "embedding", terms = Seq("spark", "vector", "customer"),
+      queryVecId = 7L, k = 15, poolSize = 50)
+      .collect()
+    assert(out.length == 15)
+    // descending fused score, doc_id tiebreak
+    val rrfs = out.map(_.getAs[Double]("rrf")).toSeq
+    assert(rrfs == rrfs.sorted.reverse, s"not rank-ordered: $rrfs")
+    // the query doc has cos(q,q)=1 -> sem_rank 1; with rrfK=60 a sem_rank-1
+    // doc scores at least 1/61 > any single-pool doc deeper than rank 1
+    val self = out.find(_.getAs[Long]("doc_id") == 7L)
+    assert(self.exists(_.getAs[Int]("sem_rank") == 1),
+      s"query doc must top the semantic pool: ${self}")
+    // fusion property: rrf == 1/(60+lex) + 1/(60+sem) with absent = 0
+    out.foreach { r =>
+      val lex = Option(r.getAs[Any]("lex_rank")).map(_.asInstanceOf[Int])
+      val sem = Option(r.getAs[Any]("sem_rank")).map(_.asInstanceOf[Int])
+      val expect = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 5e-7, s"$r")
+      assert(lex.nonEmpty || sem.nonEmpty, "doc in neither pool surfaced")
+    }
+  }
+
+  test("hybridRrf is partitioning-invariant") {
+    val docs = graft.tables.Tables.documents(spark, sf())
+    val emb = graft.tables.Tables.embeddings(spark, sf())
+    def run(d: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) =
+      Search.hybridRrf(d, "doc_id", "text", e, "vec_id", "embedding",
+        Seq("spark", "vector"), queryVecId = 3L, k = 10)
+        .collect().map(_.toString).toSeq
+    assert(run(docs, emb) == run(docs.repartition(11), emb.repartition(7)))
+  }
 }
