@@ -67,6 +67,41 @@ object Search {
       .limit(k)
   }
 
+  /** Per-group characteristic keywords — class-based TF-IDF (the c-TF-IDF
+    * shape BERTopic popularized for labeling clusters/sources): treat each
+    * group's concatenated text as one document, score each (group, term)
+    * by tf · ln(1 + |groups| / df) with df = how many groups contain the
+    * term, keep the top `k` terms per group. The corpus-exploration
+    * report a curation pipeline prints per source/cluster.
+    *
+    * Shape: one scan-side explode → partial-aggregated (group, term)
+    * counts; df is a second partial agg over those GROUPED rows (vocab-
+    * sized, shuffle equi-join — not broadcast: a 100 TB vocabulary
+    * doesn't fit a broadcast); |groups| rides as a broadcast 1-row agg;
+    * top-k per group is one window over the (group, term) rows — the
+    * q_topk_per_group shape. ln of a ratio of integers + one multiply:
+    * bit-identical across engines (same discipline as BM25's idf). */
+  def tfidfKeywords(docs: DataFrame, groupCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = docs.select(col(groupCol).as("grp"),
+        explode(split(coalesce(col(textCol), lit("")), " ")).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("tf"))
+    val nGroups = docs.select(countDistinct(col(groupCol)).as("n_groups"))
+    val dfRel = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val score = col("tf") * log(lit(1.0) +
+      col("n_groups").cast("double") / col("df"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("__s").desc, col("tok"))
+    tf.join(dfRel, "tok")
+      .crossJoin(broadcast(nGroups))
+      .withColumn("__s", score)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("grp").as(groupCol), col("tok"), col("tf"),
+        round(col("__s"), 6).as("tfidf"), col("rk"))
+  }
+
   /** Hybrid lexical+semantic retrieval via reciprocal-rank fusion
     * (Cormack, Clarke & Büttcher 2009: rrf(d) = Σ 1/(rrfK + rank_d)) —
     * the standard way to combine BM25 and embedding rankings without

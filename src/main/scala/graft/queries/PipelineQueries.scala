@@ -546,6 +546,13 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // key-distribution diagnostics — the report that decides whether a
+    // join key needs salting before a 100 TB shuffle: entropy terms
+    // quantize to DECIMAL(28,6) before the order-independent sum
+    "q_skew_report" -> ((s, d) =>
+      Skew.skewReport(Tables.events(s, d), Seq("event_type", "user_id"))
+        .orderBy("col_name")),
+
     // single-pass bounded-memory dominant tokens: MG sketch emits <= k
     // candidates (superset of everything above n/(k+1)), one exact pass
     // counts ONLY the candidates, the true threshold filter makes the
@@ -931,6 +938,29 @@ object PipelineQueries {
        "FROM events GROUP BY event_type) " +
        "SELECT event_id, event_type, type_n " +
        "FROM events JOIN dim USING (event_type) ORDER BY event_id"),
+
+    "q_skew_report" ->
+      // H = ln(n) - (sum c*ln c)/n, the c*ln c terms quantized to
+      // DECIMAL(28,6) before the order-independent sum — a last-ulp
+      // libm ln() difference between engines dies in the quantization
+      // (lm_perplexity discipline); the window picks the hottest value
+      // with the same (c desc, val desc) rule as Spark's max(struct)
+      ("WITH m AS (SELECT 'event_type' AS col_name, " +
+       "CAST(event_type AS VARCHAR) AS val FROM events " +
+       "UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events), " +
+       "c AS (SELECT col_name, val, count(*) AS c FROM m GROUP BY 1, 2), " +
+       "r AS (SELECT col_name, val, c, " +
+       "CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,6)) AS clnc, " +
+       "row_number() OVER (PARTITION BY col_name " +
+       "ORDER BY c DESC, val DESC) AS rk FROM c) " +
+       "SELECT col_name, CAST(sum(c) AS BIGINT) AS n, " +
+       "count(*) AS n_distinct, " +
+       "round(ln(CAST(sum(c) AS DOUBLE)) - " +
+       "CAST(sum(clnc) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS entropy, " +
+       "max(CASE WHEN rk = 1 THEN val END) AS top_value, " +
+       "round(CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE) / " +
+       "CAST(sum(c) AS BIGINT), 6) AS top_share " +
+       "FROM r GROUP BY col_name ORDER BY col_name"),
 
     "q_heavy_hitters" ->
       ("WITH toks AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok " +

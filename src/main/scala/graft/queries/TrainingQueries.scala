@@ -186,6 +186,12 @@ object TrainingQueries {
       graft.operators.Search.bm25(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("spark", "vector", "customer"), k = 15)),
 
+    // per-source characteristic keywords (c-TF-IDF): tf · ln(1+|groups|/df)
+    // over partial-aggregated (group, term) counts, top-5 per source
+    "q_tfidf_keywords" -> ((s, d) =>
+      graft.operators.Search.tfidfKeywords(Tables.documents(s, d),
+        "source", "text", k = 5).orderBy("source", "rk")),
+
     // hybrid retrieval: BM25 pool + embedding-cosine pool fused by
     // reciprocal rank (1/(60+r)); single correctly-rounded IEEE ops →
     // DuckDB reproduces the fused order bit-for-bit
@@ -471,6 +477,22 @@ object TrainingQueries {
        "count(*) AS n_terms_hit " +
        "FROM tf JOIN dfr USING (tok) CROSS JOIN stats " +
        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15"),
+
+    "q_tfidf_keywords" ->
+      ("WITH t AS (SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS tok " +
+       "FROM documents), " +
+       "tf AS (SELECT source, tok, count(*) AS tf FROM t GROUP BY 1, 2), " +
+       "ng AS (SELECT count(DISTINCT source) AS n_groups FROM documents), " +
+       "dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), " +
+       // 1e0: double literal (DuckDB 1.0 is DECIMAL); same idf-style
+       // arithmetic order as the Spark side
+       "sc AS (SELECT source, tok, tf, " +
+       "tf * ln(1e0 + CAST(n_groups AS DOUBLE) / df) AS s, " +
+       "row_number() OVER (PARTITION BY source ORDER BY " +
+       "tf * ln(1e0 + CAST(n_groups AS DOUBLE) / df) DESC, tok) AS rk " +
+       "FROM tf JOIN dfr USING (tok) CROSS JOIN ng) " +
+       "SELECT source, tok, tf, round(s, 6) AS tfidf, rk " +
+       "FROM sc WHERE rk <= 5 ORDER BY source, rk"),
 
     // the same BM25 CTE chain (pool of 50) + a cosine pool against
     // vec_id 7, fused by reciprocal rank: both rankers' pools and the

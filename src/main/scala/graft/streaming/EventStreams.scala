@@ -175,6 +175,34 @@ object EventStreams {
         (col(valueCol) - col("ref_mean")) / col("ref_std")))
       .filter(abs(col("z")) > threshold)
 
+  /** Streaming robust outlier gate — the streaming shape of
+    * Events.robustOutliers, same pattern as [[anomalyStream]]: the
+    * per-type (median, MAD) come from a STATIC snapshot
+    * ([[robustReferenceStats]] — exact medians need the full
+    * distribution, which a stream never holds), broadcast per
+    * micro-batch, zero streaming state, stats refresh without restart.
+    * Zero-MAD reference types flag nothing (batch-op parity). */
+  def robustStream(stream: DataFrame, refStats: DataFrame, typeCol: String,
+                   valueCol: String, threshold: Double = 3.5): DataFrame =
+    stream.join(broadcast(refStats), Seq(typeCol))
+      .withColumn("z", when(col("ref_mad") =!= 0.0,
+        (col(valueCol) - col("ref_med")) / (lit(1.4826) * col("ref_mad"))))
+      .filter(abs(col("z")) > threshold)
+
+  /** Per-type (ref_med, ref_mad) reference statistics for
+    * [[robustStream]], from exact grouped percentiles over a batch
+    * snapshot — the same two-pass shape as Events.robustOutliers. */
+  def robustReferenceStats(events: DataFrame, typeCol: String,
+                           valueCol: String): DataFrame = {
+    val med = events.groupBy(col(typeCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("ref_med"))
+    events.join(broadcast(med), typeCol)
+      .groupBy(col(typeCol))
+      .agg(expr(s"percentile(abs($valueCol - ref_med), 0.5)").as("ref_mad"),
+        max(col("ref_med")).as("ref_med"))
+      .select(col(typeCol), col("ref_med"), col("ref_mad"))
+  }
+
   /** Per-type (mean, std) reference statistics for [[anomalyStream]],
     * from exact decimal sums over a batch snapshot. */
   def referenceStats(events: DataFrame, typeCol: String,

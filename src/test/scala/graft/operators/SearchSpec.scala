@@ -95,6 +95,23 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("tfidfKeywords surfaces each group's characteristic term first") {
+    val docs = Seq(
+      (1L, "news", "shared word election election election shared"),
+      (2L, "news", "election results shared word"),
+      (3L, "code", "shared word compile compile compile shared"),
+      (4L, "code", "compile error shared word")
+    ).toDF("doc_id", "source", "text")
+    val out = Search.tfidfKeywords(docs, "source", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Int]("rk")))
+    // "election" only in news (df=1), "compile" only in code: each must
+    // outrank the cross-group "shared"/"word" (df=2, lower idf)
+    assert(out.contains(("news", "election", 1)), out.mkString(", "))
+    assert(out.contains(("code", "compile", 1)), out.mkString(", "))
+    // a term present in every group never reaches rank 1
+    assert(!out.exists(t => t._2 == "shared" && t._3 == 1))
+  }
+
   test("hybridRrf is partitioning-invariant") {
     val docs = graft.tables.Tables.documents(spark, sf())
     val emb = graft.tables.Tables.embeddings(spark, sf())

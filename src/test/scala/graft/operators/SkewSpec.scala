@@ -55,4 +55,39 @@ class SkewSpec extends SparkSpec {
       assert(out.count() == 100)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("skewReport: closed-form entropy/top-share on a known histogram, " +
+       "one scan, partitioning-invariant") {
+    import spark.implicits._
+    // hot: 6 of 8 rows share one value (top_share .75); uniform: 8
+    // distinct values (entropy ln 8, top_share .125)
+    val df = ((1 to 6).map(i => ("hot", i.toLong)) ++
+      Seq(("warm", 7L), ("cool", 8L)))
+      .toDF("k", "id")
+    val out = Skew.skewReport(df, Seq("k", "id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n") == 8 && k.getAs[Long]("n_distinct") == 3)
+    assert(k.getAs[String]("top_value") == "hot")
+    assert(k.getAs[Double]("top_share") == 0.75)
+    // H = ln(8) - q6(6 ln 6)/8 (counts of 1 contribute ln 1 = 0)
+    val expectH = math.log(8.0) - BigDecimal(6.0 * math.log(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble / 8.0
+    assert(math.abs(k.getAs[Double]("entropy") - expectH) < 1e-6,
+      s"entropy ${k.getAs[Double]("entropy")} vs $expectH")
+    val id = out("id")
+    assert(id.getAs[Long]("n_distinct") == 8 &&
+      id.getAs[Double]("top_share") == 0.125)
+    // uniform column: H = ln(n_distinct) exactly (all c = 1)
+    assert(math.abs(id.getAs[Double]("entropy") - math.log(8)) < 1e-5)
+    // single scan feeds both columns' histograms
+    val plan = Skew.skewReport(df, Seq("k", "id"))
+      .queryExecution.executedPlan.toString
+    val scans = "(?i)localtablescan".r.findAllIn(plan).size
+    assert(scans == 1, s"skewReport must be ONE scan, got $scans")
+    val rep = Skew.skewReport(df.repartition(13), Seq("k", "id"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("entropy")).toMap
+    assert(rep("k") == k.getAs[Double]("entropy"),
+      "entropy must be bit-stable under partitioning")
+  }
 }

@@ -257,6 +257,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("robustStream flags against static median/MAD stats, statelessly, " +
+       "matching the batch gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference: type "a" median 10, MAD 0.1; type "b" constant (MAD 0)
+    val snapshot = ((1 to 8).map(i => (i.toLong, "a", 10.0 + (i % 3) * 0.1)) ++
+      Seq((9L, "a", 500.0), (10L, "a", 520.0)) ++
+      (11 to 15).map(i => (i.toLong, "b", 5.0)))
+      .toDF("event_id", "event_type", "value")
+    val ref = EventStreams.robustReferenceStats(snapshot, "event_type", "value")
+    val mem = MemoryStream[Event]
+    val q = robustStream(mem.toDF(), ref, "event_type", "value", threshold = 3.5)
+      .writeStream.format("memory").queryName("rob").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "a", 10.2),   // within the MAD gate
+        Event(2, ts(1), 1, "a", 500.0),  // way out -> flagged
+        Event(3, ts(2), 1, "b", 42.0))   // zero-MAD ref -> never flagged
+      q.processAllAvailable()
+      val flagged = spark.table("rob").select("event_id").as[Long].collect().toSeq
+      assert(flagged == Seq(2L), s"got $flagged")
+      assert(q.lastProgress.stateOperators.isEmpty, "must be stateless")
+      // parity: the static stats match the batch op's internal ones —
+      // the batch gate flags the same snapshot rows the stream would
+      val batch = graft.operators.Events.robustOutliers(snapshot,
+        "event_type", "value", "event_id", 3.5)
+        .select("event_id").as[Long].collect().toSet
+      assert(batch == Set(9L, 10L))
+    } finally q.stop()
+  }
+
   test("upsertStream converges to last-writer-wins, late events don't regress") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
