@@ -78,4 +78,81 @@ object LanguageModel {
         round(exp(col("raw")), 2).as("ppl"))
     (out, () => { counts.unpersist(blocking = true); () })
   }
+
+  /** Bigram LM with stupid backoff (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" §4: score(w|prev) = c2(prev,w)/c1(prev)
+    * when the bigram is attested, else λ·p_uni(w) with λ = 0.4 — a score,
+    * not a normalized probability, which is exactly what a perplexity
+    * FILTER needs and what made stupid backoff tractable at web scale).
+    * One step up the n-gram ladder from [[perplexity]] toward CCNet's
+    * KenLM 5-gram, same pipeline shape.
+    *
+    * Model: bigrams with c2 ≥ `minCount` are attested; the unigram
+    * fallback is [[perplexity]]'s vocabulary (c1 ≥ minCount, OOV mass
+    * `oovAlpha`/N). A document's FIRST token has no context and scores
+    * pure unigram (λ = 1).
+    *
+    * Scale posture: the (doc, pos, tok) stream gets its `prev` from a
+    * per-doc lag window (one shuffle on doc_id, doc-bounded partitions);
+    * bigram counts partial-aggregate map-side (Zipf head collapses per
+    * task); the bigram relation joins scoring rows on (prev, tok) —
+    * size-gated broadcast, shuffle join past the gate (it is
+    * Zipf-bounded but grows faster than the vocabulary; the gate
+    * matters sooner). nll sums as DECIMAL(28,6) → bit-stable. Returns
+    * (plan, cleanup) like [[perplexityManaged]]. */
+  def bigramPerplexityManaged(docs: DataFrame, idCol: String,
+                              textCol: String, minCount: Long = 2,
+                              oovAlpha: Double = 0.5,
+                              maxBroadcast: Long = MaxBroadcastVocab)
+      : (DataFrame, () => Unit) = {
+    require(minCount >= 1 && oovAlpha > 0,
+      s"minCount must be >= 1 and oovAlpha > 0, got ($minCount, $oovAlpha)")
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(coalesce(col(textCol), lit("")), " "))
+        .as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val seq = pos.withColumn("prev", lag(col("tok"), 1).over(w))
+    val c1 = pos.groupBy("tok").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = c1.agg(sum(col("c"))).head().getLong(0).toDouble
+    val uni = c1.filter(col("c") >= minCount)
+    val uniGated =
+      if (uni.count() <= maxBroadcast) broadcast(uni) else uni
+    // attested bigrams carry their context mass c1(prev) along, so
+    // scoring needs ONE (prev, tok) join — grouped-to-grouped build
+    val big = seq.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+      .join(c1.select(col("tok").as("prev"), col("c").as("cprev")), "prev")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bigGated =
+      if (big.count() <= maxBroadcast) broadcast(big) else big
+    val pUni = coalesce(col("cu").cast("double"), lit(oovAlpha)) / lit(n)
+    val score = when(col("c2").isNotNull,
+        col("c2").cast("double") / col("cprev"))
+      .otherwise(when(col("prev").isNotNull, lit(0.4))
+        .otherwise(lit(1.0)) * pUni)
+    val out = seq.join(bigGated, Seq("prev", "tok"), "left")
+      .join(uniGated.select(col("tok"), col("c").as("cu")), Seq("tok"), "left")
+      .select(col("doc_id"), (-log(score)).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("nll").cast(Dec)).cast("double") / count(lit(1))).as("raw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("raw"), 4).as("avg_nll"),
+        round(exp(col("raw")), 2).as("ppl"))
+    (out, () => {
+      c1.unpersist(blocking = true)
+      big.unpersist(blocking = true)
+      ()
+    })
+  }
+
+  /** One-shot convenience over [[bigramPerplexityManaged]]. */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                       minCount: Long = 2, oovAlpha: Double = 0.5,
+                       maxBroadcast: Long = MaxBroadcastVocab): DataFrame =
+    bigramPerplexityManaged(docs, idCol, textCol, minCount, oovAlpha,
+      maxBroadcast)._1
 }

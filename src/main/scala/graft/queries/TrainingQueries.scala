@@ -209,6 +209,13 @@ object TrainingQueries {
       LanguageModel.perplexity(Tables.documents(s, d), "doc_id", "text",
         minCount = 2, oovAlpha = 0.5).orderBy("doc_id")),
 
+    // bigram stupid-backoff perplexity (Brants et al. 2007): attested
+    // bigrams score c2/c1(prev), else 0.4 x the unigram fallback; first
+    // token scores pure unigram. One ladder step toward CCNet's KenLM.
+    "q_lm_bigram" -> ((s, d) =>
+      LanguageModel.bigramPerplexity(Tables.documents(s, d), "doc_id",
+        "text", minCount = 2, oovAlpha = 0.5).orderBy("doc_id")),
+
     // the hash-prefiltered scale path MUST return exactly what the exact
     // path returns (superset prefilter + exact verify) — same oracle
     "q_decontaminate_hashfilter" -> ((s, d) => {
@@ -542,6 +549,34 @@ object TrainingQueries {
        "v AS (SELECT tok, c FROM cnt WHERE c >= 2), " +
        "sc AS (SELECT doc_id, -ln(coalesce(CAST(v.c AS DOUBLE), 0.5) / tot.n) AS nll " +
        "FROM toks LEFT JOIN v USING (tok) CROSS JOIN tot) " +
+       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+       "round(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_nll, " +
+       "round(exp(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*)), 2) AS ppl " +
+       "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+
+    // same model on both engines: attested (c2 >= 2) bigrams score
+    // c2/c1(prev); backoff = 4e-1 (double literal — DuckDB 0.4 is
+    // DECIMAL) x the unigram vocab/OOV fallback; first token lambda = 1
+    "q_lm_bigram" ->
+      ("WITH tk AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t " +
+       "FROM documents), " +
+       "pos AS (SELECT doc_id, unnest(t) AS tok, " +
+       "generate_subscripts(t, 1) AS pos FROM tk), " +
+       "seq AS (SELECT doc_id, pos, tok, " +
+       "lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM pos), " +
+       "c1 AS (SELECT tok, count(*) AS c FROM pos GROUP BY 1), " +
+       "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c1), " +
+       "uni AS (SELECT tok, c FROM c1 WHERE c >= 2), " +
+       "b AS (SELECT prev, tok, count(*) AS c2 FROM seq " +
+       "WHERE prev IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 2), " +
+       "bb AS (SELECT b.prev, b.tok, b.c2, c1.c AS cprev FROM b " +
+       "JOIN c1 ON b.prev = c1.tok), " +
+       "sc AS (SELECT s.doc_id, -ln(CASE WHEN bb.c2 IS NOT NULL " +
+       "THEN CAST(bb.c2 AS DOUBLE) / bb.cprev " +
+       "ELSE (CASE WHEN s.prev IS NOT NULL THEN 4e-1 ELSE 1e0 END) * " +
+       "coalesce(CAST(uni.c AS DOUBLE), 5e-1) / tot.n END) AS nll " +
+       "FROM seq s LEFT JOIN bb ON s.prev = bb.prev AND s.tok = bb.tok " +
+       "LEFT JOIN uni ON s.tok = uni.tok CROSS JOIN tot) " +
        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
        "round(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_nll, " +
        "round(exp(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*)), 2) AS ppl " +

@@ -338,6 +338,40 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.count() == n)
   }
 
+  test("bigram stupid-backoff perplexity: known corpus, closed-form check") {
+    // corpus: "a b a b" + "a b x" -> c1: a=3 b=3 x=1, N=7; attested
+    // bigrams (c2 >= 2): only (a,b) with c2=3, c1(a)=3 -> p(b|a)=1;
+    // (b,a) and (b,x) fall back to 0.4 * unigram; x is OOV (0.5)
+    val df = Seq((1L, "a b a b"), (2L, "a b x")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramPerplexity(df, "doc_id", "text",
+      minCount = 2, oovAlpha = 0.5)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    def nll(p: Double) = -math.log(p)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val d1 = (nll(3.0 / 7) + 0.0 + nll(0.4 * 3.0 / 7) + 0.0) / 4
+    val d2 = (nll(3.0 / 7) + 0.0 + nll(0.4 * 0.5 / 7)) / 3
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 4L), (2L, 3L)))
+    assert(math.abs(out(0)._3 - r4(d1)) < 2e-4, s"${out(0)._3} vs $d1")
+    assert(math.abs(out(1)._3 - r4(d2)) < 2e-4, s"${out(1)._3} vs $d2")
+    // the doc whose bigrams repeat scores less perplexing than the OOV doc
+    assert(out(0)._4 < out(1)._4)
+  }
+
+  test("bigram perplexity is partitioning-invariant and context-aware " +
+       "beyond the unigram model") {
+    val a = LanguageModel.bigramPerplexity(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val b = LanguageModel.bigramPerplexity(docs.repartition(13), "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b, "decimal-summed nll must be bit-stable under partitioning")
+    // same token totals as the unigram scorer, different model
+    val uni = LanguageModel.perplexity(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(a.map(t => (t._1, t._2)) == uni.map(t => (t._1, t._2)))
+    assert(a.exists { case (id, _, nllB, _) =>
+      uni.find(_._1 == id).exists(_._3 != nllB) })
+  }
+
   // ------------------------------------------------------ repetition stats
 
   test("repetition_stats matches a brute-force reference on edge cases") {
