@@ -209,6 +209,26 @@ object TrainingQueries {
       LanguageModel.perplexity(Tables.documents(s, d), "doc_id", "text",
         minCount = 2, oovAlpha = 0.5).orderBy("doc_id")),
 
+    // the report a pipeline actually publishes: contamination RATE per
+    // (lang, source) — flagged docs left-join the corpus, partial-agg
+    // counts; the expensive half is the unchanged decontamination op
+    "q_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("text", coalesce(col("text"), lit("")))
+      val corpus = docs.filter(col("doc_id") % 11 =!= 0)
+      val bench = docs.filter(col("doc_id") % 11 === 0)
+      val flagged = Decontaminate.report(corpus, bench, "doc_id", "text",
+          w = 5, minShared = 1)
+        .select(col("doc_id"), lit(1L).as("__c"))
+      corpus.join(flagged, Seq("doc_id"), "left")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__c"), lit(0L))).as("n_contaminated"),
+          round(sum(coalesce(col("__c"), lit(0L))).cast("double") /
+            count(lit(1)), 6).as("contamination_rate"))
+        .orderBy("lang", "source")
+    }),
+
     // bigram stupid-backoff perplexity (Brants et al. 2007): attested
     // bigrams score c2/c1(prev), else 0.4 x the unigram fallback; first
     // token scores pure unigram. One ladder step toward CCNet's KenLM.
@@ -286,14 +306,17 @@ object TrainingQueries {
       .as("text"))
 
   /** Shared by q_decontaminate and q_decontaminate_hashfilter. */
-  private val DecontaminateOracleSql: String =
+  private val DecontaminateCtesSql: String =
     ("WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), " +
      "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs), " +
      "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ') " +
      "for i in range(1, len(t)-3)]) AS s FROM toks), " +
      "bench AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 11 = 0), " +
-     "corp AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 11 != 0) " +
-     "SELECT doc_id, count(*) AS n_shared FROM corp JOIN bench USING (sg) " +
+     "corp AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 11 != 0)")
+
+  private val DecontaminateOracleSql: String =
+    (DecontaminateCtesSql +
+     " SELECT doc_id, count(*) AS n_shared FROM corp JOIN bench USING (sg) " +
      "GROUP BY doc_id HAVING count(*) >= 1 ORDER BY doc_id")
 
   val oracles: Map[String, String] = Map(
@@ -323,6 +346,18 @@ object TrainingQueries {
        "FROM c ORDER BY doc_id"),
 
     "q_decontaminate" -> DecontaminateOracleSql,
+
+    "q_contamination_report" ->
+      (DecontaminateCtesSql +
+       ", flag AS (SELECT doc_id FROM corp JOIN bench USING (sg) " +
+       "GROUP BY doc_id HAVING count(*) >= 1) " +
+       "SELECT lang, source, count(*) AS n_docs, " +
+       "CAST(count(flag.doc_id) AS BIGINT) AS n_contaminated, " +
+       "round(CAST(count(flag.doc_id) AS DOUBLE) / count(*), 6) " +
+       "AS contamination_rate " +
+       "FROM documents d LEFT JOIN flag ON d.doc_id = flag.doc_id " +
+       "WHERE d.doc_id % 11 != 0 " +
+       "GROUP BY 1, 2 ORDER BY 1, 2"),
 
     // the hash-prefiltered path is result-identical by construction —
     // the prefilter admits a superset, the exact join decides
