@@ -269,8 +269,8 @@ final case class Table(df: DataFrame, name: String) {
   def shape: (Long, Int) = (df.count(), df.columns.length)
 
   /** pandas-parity `describe()` over numeric columns, in long format
-    * (col_name, n, n_null, mean, std, min, p25, p50, p75, max), computed
-    * in ONE scan: all columns' sufficient statistics aggregate together,
+    * (col_name, n, n_null, mean, std, min, p25, p50, p75, max): all
+    * columns' statistics aggregate together (|cols|-independent shape),
     * then a bounded explode unpivots the single result row. mean/std
     * derive from exact DECIMAL sums in a fixed double-op sequence (sample
     * std, ddof=1 — pandas convention), so results are bit-stable under
@@ -281,7 +281,16 @@ final case class Table(df: DataFrame, name: String) {
     * repo's documented exact anchor; it buffers the column per agg, so at
     * 100 TB swap in the approx_percentile scale twin, cf.
     * q_stats_quantiles_approx). percentile ignores nulls like the other
-    * stats; an all-null column yields null quartiles. */
+    * stats; an all-null column yields null quartiles.
+    *
+    * TWO aggregates over the (pruned) scan, not one: a `percentile` in
+    * an aggregate forces the WHOLE aggregate onto the un-codegen'd
+    * ObjectHashAggregate path, turning the hot decimal sums interpreted
+    * (measured 2.4× slower at sf0.1 when fused). The moments run as a
+    * whole-stage-codegen HashAggregate, the quartiles as their own
+    * percentile-only aggregate, and the two 1-row results cross-join —
+    * the pruned column scan is paid twice, the codegen'd moment pass is
+    * what dominates. */
   def describe(cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "describe needs at least one column")
     val D = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
@@ -289,10 +298,14 @@ final case class Table(df: DataFrame, name: String) {
       Seq(count(col(c)).as(s"__cnt_$c"),
         sum(col(c).cast(D)).cast("double").as(s"__s_$c"),
         sum((col(c) * col(c)).cast(D)).cast("double").as(s"__ss_$c"),
-        min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
-        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"__q_$c"))
+        min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
     }
-    val row = df.agg(count(lit(1)).as("__nr"), aggs: _*)
+    val qAggs = cols.map { c =>
+      expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"__q_$c")
+    }
+    val moments = df.agg(count(lit(1)).as("__nr"), aggs: _*)
+    val quarts = df.agg(qAggs.head, qAggs.tail: _*)
+    val row = moments.crossJoin(quarts)
     val entries = cols.map { c =>
       val cnt = col(s"__cnt_$c")
       struct(lit(c).as("col_name"), cnt.as("n"),

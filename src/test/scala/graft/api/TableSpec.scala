@@ -223,11 +223,12 @@ class TableSpec extends SparkSpec {
       (3.0, Option.empty[Double], Option.empty[Double]))
       .toDF("a", "b", "allnull"), "x")
     val d = t.describe(Seq("a", "b", "allnull"))
-    // single aggregation over one scan (AQE hides children from collect —
-    // count scan nodes in the rendered plan instead)
+    // exactly TWO scans regardless of column count: one codegen'd moment
+    // aggregate + one percentile-only aggregate (fusing them would force
+    // the whole aggregate onto the interpreted ObjectHashAggregate path)
     val plan = d.queryExecution.executedPlan.toString
     val scans = "(?i)(localtablescan|scan parquet)".r.findAllIn(plan).size
-    assert(scans == 1, s"describe must be ONE scan, got $scans:\n$plan")
+    assert(scans == 2, s"describe must be TWO scans (moments + quartiles), got $scans:\n$plan")
     val rows = d.collect().map(r => r.getString(0) -> r).toMap
     assert(rows("a").getLong(1) == 3 && rows("a").getLong(2) == 0)
     assert(rows("a").getDouble(3) == 2.0)          // mean
