@@ -614,7 +614,21 @@ object Dedup {
     * spec uses 2×32: miss ≈ 7.7e-8 — only viable because the test corpus
     * is tiny). Verification joins the slim (id, vector, norm) relation
     * back to the capped candidate pairs rather than collecting vectors
-    * into bucket lists. */
+    * into bucket lists.
+    *
+    * KNOWN WORST CASE (the BENCH_sf100_r9 1000× finding): giant
+    * NEAR-threshold cliques — k vectors pairwise at cosine just UNDER
+    * tau (boilerplate/template mass at web scale; the 1000-shard
+    * ScaleUp corpus plants cos≈0.97 cliques of 2000 under tau=0.995).
+    * No bit count separates p(0.97) from p(0.995) efficiently, so all
+    * k²/2 clique pairs enter the candidate stream and die only at the
+    * exact verify — correct output, but candidate volume quadratic in
+    * the clique size. Mitigations, in preference order: (1) two-stage
+    * dedup — run a LOWER-tau pass + [[bestPerCluster]] first so each
+    * clique collapses to one representative before the fine pass;
+    * (2) a much tighter `maxBucket` (caps per-bucket fan-out at the
+    * cost of bounded recall loss on borderline pairs); (3) explicit
+    * few-bit/many-table settings when the loose regime is intended. */
   def embedPairsBanded(emb: DataFrame, idCol: String, vecCol: String,
                        tau: Double, bits: Int = 0, tables: Int = 32,
                        maxBucket: Int = DefaultMaxBucket): DataFrame = {

@@ -19,8 +19,15 @@ import graft.tables.Tables
   *     intra-shard similarity structure is preserved exactly, cross-shard
   *     token vocabularies are disjoint);
   *   - embeddings: per-(element, shard) deterministic ±30% scaling —
-  *     intra-shard geometry is distorted but consistent, cross-shard
-  *     cosines drop well below the near-dup thresholds.
+  *     intra-shard geometry is distorted but consistent; cross-shard
+  *     cosines between INDEPENDENT vectors drop well below the near-dup
+  *     thresholds, but same-origin copies concentrate near cos ≈ 0.97
+  *     (CLT over the element multipliers), so every vector gains a
+  *     `copies`-member near-threshold clique — pair mass quadratic in
+  *     `copies` BY CONSTRUCTION. That models boilerplate/template mass
+  *     and is exactly what broke q_dedup_embed_lsh's candidate stream at
+  *     copies=1000 (BENCH_sf100_r9 finding); it does NOT model a corpus
+  *     of independent documents at that scale.
   * Shard 0 is byte-identical to the source, so id-pinned query sets
   * (vec_id < 5 etc.) see the original rows.
   *
