@@ -37,6 +37,8 @@ object GraftExtensions {
           es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
       (FunctionIdentifier("word_shingles"), info(classOf[WordShingles], "word_shingles"),
         (es: Seq[Expression]) => WordShingles(es.head, es(1).eval().asInstanceOf[Int])),
+      (FunctionIdentifier("word_ngrams"), info(classOf[WordNgrams], "word_ngrams"),
+        (es: Seq[Expression]) => WordNgrams(es.head, es(1).eval().asInstanceOf[Int])),
       (FunctionIdentifier("word_chunks"), info(classOf[WordChunks], "word_chunks"),
         (es: Seq[Expression]) => WordChunks(es.head,
           es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
@@ -94,6 +96,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(bands))
   def word_shingles(text: Column, w: Int): Column =
     call_function("word_shingles", text, org.apache.spark.sql.functions.lit(w))
+  def word_ngrams(text: Column, n: Int): Column =
+    call_function("word_ngrams", text, org.apache.spark.sql.functions.lit(n))
   def word_chunks(text: Column, size: Int, stride: Int): Column =
     call_function("word_chunks", text,
       org.apache.spark.sql.functions.lit(size),

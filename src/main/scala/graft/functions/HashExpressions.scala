@@ -257,6 +257,53 @@ object WordShinglesImpl {
   }
 }
 
+/** ALL word n-grams of a space-separated string, in order, duplicates
+  * kept — the counting twin of [[WordShingles]] (which is
+  * first-occurrence-distinct, the set semantics LSH wants). Occurrence
+  * multiplicity is what bag-of-ngrams models (DSIR importance weights,
+  * n-gram LMs) need: a doc repeating one template 100× must contribute
+  * 100 counts, not 1. Same tokenization contract as WordShingles
+  * (split on every single ' ', empties kept ≡ DuckDB string_split);
+  * texts with fewer than n tokens yield an empty array. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams expects STRING, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    WordNgramsImpl.compute(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgramsImpl.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "word_ngrams"
+}
+
+object WordNgramsImpl {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object SimHash64Impl {
   /** FNV-1a offset basis (the standard one — part 0 of the wide variant). */
   val Basis = 0xcbf29ce484222325L

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Data Selection via Importance Resampling (Xie et al. 2023, DSIR):
+  * score every raw document by how target-like its hashed-n-gram bag is.
+  * The importance estimator is two bag-of-hashed-ngrams multinomials —
+  * p_target fit on the docs the caller marks as target (a trusted
+  * high-quality slice), p_raw on the rest — and a doc's log importance
+  * weight is the sum over its n-gram occurrences of
+  * log p_target(bucket) − log p_raw(bucket), Laplace-smoothed.
+  *
+  * The reference has no data-selection surface (it pages rows,
+  * base.py:1472); this is the §2.2 pipeline family's curation-by-target
+  * shape: the standard way a 100 TB crawl is skewed toward a quality
+  * domain before training.
+  *
+  * Cross-engine feature hashing: buckets are the first two hex chars of
+  * `md5(ngram)` — 256 string-keyed buckets with no hex→int conversion,
+  * reproducible verbatim in the DuckDB oracle (same trick as the
+  * md5-threshold samplers, Sampling.scala:17).
+  *
+  * Scale posture: features (unigrams + bigrams) come from one scan-side
+  * explode of two native codegen arrays — `word_ngrams` keeps duplicate
+  * n-grams, the multiplicity a counting model needs (vs the distinct
+  * `word_shingles` LSH wants) — so there is NO per-doc window/sort
+  * anywhere. The model is one partial-agg groupBy onto 256 rows (both
+  * multinomials in a single pass over the feature stream: conditional
+  * sums on the target flag); scoring broadcast-joins that bounded
+  * λ-table back onto the same feature stream and partial-aggregates
+  * per-doc sums. Two scans of the corpus total (fit, then score) — the
+  * canonical shape: a 1000-executor run shuffles 256 rows for the model
+  * and one partially-aggregated row per (doc, task) for the scores.
+  * Per-occurrence λ terms are cast DECIMAL(28,6) before summing so the
+  * per-doc sum is partition-order-proof (exact-sum discipline). */
+object Dsir {
+
+  /** Hashed-bucket count: 256 via the leading 2 hex chars of md5. */
+  val Buckets = 256
+
+  private def featStream(docs: DataFrame, idCol: String, textCol: String,
+                         isTarget: Column): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val t = coalesce(col(textCol), lit(""))
+    docs
+      .select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
+        explode(concat(TextOps.tokens(t), GraftFunctions.word_ngrams(t, 2)))
+          .as("feat"))
+      .withColumn("b", substring(md5(col("feat")), 1, 2))
+  }
+
+  /** Per-doc DSIR log importance weights: (doc_id, is_target, n_feats,
+    * log_weight). `isTarget` marks the trusted slice (e.g.
+    * `col("source") === "wiki"`); every doc is scored, so callers can
+    * sanity-check that the target slice itself ranks high. `alpha` is
+    * the Laplace pseudo-count. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, alpha: Double = 1.0): DataFrame = {
+    val feats = featStream(docs, idCol, textCol, isTarget)
+    // Both multinomials in ONE pass: conditional partial-agg sums onto
+    // 256 rows; totals via a window over the GROUPED rows (bounded at
+    // |buckets| rows regardless of corpus size — mixtureWeights pattern).
+    val w = Window.partitionBy()
+    val lam = feats
+      .groupBy("b")
+      .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_c"),
+        sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("raw_c"))
+      .withColumn("tgt_tot", sum(col("tgt_c")).over(w))
+      .withColumn("raw_tot", sum(col("raw_c")).over(w))
+      .select(col("b"),
+        (log((col("tgt_c") + alpha) / (col("tgt_tot") + alpha * Buckets)) -
+          log((col("raw_c") + alpha) / (col("raw_tot") + alpha * Buckets)))
+          .as("lam"))
+    feats
+      .join(broadcast(lam), "b")
+      .groupBy("doc_id")
+      .agg(max(col("is_tgt")).as("is_target"),
+        count(lit(1)).as("n_feats"),
+        // emitted at the sum's own 6-decimal precision, NOT re-rounded:
+        // the decimal sum terminates at 6 decimals, so a coarser
+        // half-up round would sit exactly ON half boundaries where
+        // decimal-string (Spark) and binary-double (DuckDB) rounding
+        // legitimately disagree — the exact sum is identical on both
+        sum(col("lam").cast("decimal(28,6)")).cast("double")
+          .as("log_weight"))
+  }
+}

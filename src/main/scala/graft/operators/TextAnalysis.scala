@@ -129,6 +129,84 @@ object TextAnalysis {
       repetitionCols(coalesce(col(textCol), lit(""))): _*)
   }
 
+  /** The Gopher stopword list (Rae et al. 2021 table A1's "must contain
+    * 2 of" set) — a document with none of these is very unlikely to be
+    * running English prose. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule gate (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * table A1): the pre-dedup document filters a web-scale curation
+    * pipeline applies before anything expensive runs. Eight rules, each
+    * surfaced as its own boolean plus the signal it gated on, so a
+    * pipeline can report WHY a document died, not just that it did:
+    *
+    *   1. word count within [minWords, maxWords]
+    *   2. mean word length within [minMeanWordLen, maxMeanWordLen]
+    *   3. symbol-to-word ratio ('#' or '...') ≤ maxSymbolRatio
+    *   4. fraction of lines starting with a bullet ≤ maxBulletFrac
+    *   5. fraction of lines ending in '...' ≤ maxEllipsisFrac
+    *   6. fraction of words with ≥1 alphabetic char ≥ minAlphaFrac
+    *   7. ≥ minStopHits distinct [[GopherStopwords]] present
+    *   8. passes_gopher = all of the above
+    *
+    * Scale posture: a pure single-scan projection — counts come from
+    * `regexp_count` over the raw string (no line/word array is
+    * materialized for the line rules) and one lowered token array probed
+    * by 8 codegen'd array_contains (shared via whole-stage-codegen
+    * subexpression elimination); no explode, no shuffle — at 100 TB this
+    * rides the documents scan like the other quality gates. Ratios are
+    * int/int double divisions, deterministic across engines. */
+  def gopherCols(t: Column,
+                 minWords: Int = 50, maxWords: Int = 100000,
+                 minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1,
+                 maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                 minAlphaFrac: Double = 0.8, minStopHits: Int = 2): Seq[Column] = {
+    val toks = TextOps.tokens(t)
+    val nWords = size(toks)
+    val meanWordLen = length(regexp_replace(t, " ", "")) / nWords
+    val symbolRatio =
+      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))) / nWords
+    val nLines = size(split(t, "\n"))
+    val bulletFrac = regexp_count(t, lit("(?m)^[-*•] ")) / nLines
+    val ellipsisFrac = regexp_count(t, lit("(?m)\\.\\.\\.$")) / nLines
+    val alphaFrac = regexp_count(t, lit("[^ ]*[A-Za-z][^ ]*")) / nWords
+    val toksLower = TextOps.tokens(lower(t))
+    val nStopHits = GopherStopwords
+      .map(w => array_contains(toksLower, w).cast("int")).reduce(_ + _)
+    val rWords = nWords.between(minWords, maxWords)
+    val rMeanLen = meanWordLen.between(minMeanWordLen, maxMeanWordLen)
+    val rSymbol = symbolRatio <= maxSymbolRatio
+    val rBullet = bulletFrac <= maxBulletFrac
+    val rEllipsis = ellipsisFrac <= maxEllipsisFrac
+    val rAlpha = alphaFrac >= minAlphaFrac
+    val rStop = nStopHits >= minStopHits
+    Seq(nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      nStopHits.as("n_stop_hits"),
+      rWords.as("rule_word_count"), rMeanLen.as("rule_mean_word_len"),
+      rSymbol.as("rule_symbol_ratio"), rBullet.as("rule_bullet_lines"),
+      rEllipsis.as("rule_ellipsis_lines"), rAlpha.as("rule_alpha_words"),
+      rStop.as("rule_stopwords"),
+      (rWords && rMeanLen && rSymbol && rBullet && rEllipsis && rAlpha && rStop)
+        .as("passes_gopher"))
+  }
+
+  /** Per-doc Gopher rule report (composable columns: [[gopherCols]]). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame =
+    docs.select(col(idCol) +:
+      gopherCols(coalesce(col(textCol), lit("")), minWords, maxWords,
+        minMeanWordLen, maxMeanWordLen, maxSymbolRatio, maxBulletFrac,
+        maxEllipsisFrac, minAlphaFrac, minStopHits): _*)
+
   /** Fingerprint columns (normalized text → md5 + polynomial rolling
     * hash) — composable into any single-scan projection, so pipelines can
     * ATTACH fingerprints without a self-join (a pure per-row fact never

@@ -325,6 +325,13 @@ object PipelineQueries {
         Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
         "doc_id", "text").orderBy("doc_id")),
 
+    // Gopher rule gate (Rae et al. 2021 table A1): eight per-doc rules
+    // plus the signals they gated on; word-count bounds tuned to the
+    // synthetic corpus (10..99 words) so that rule discriminates
+    "q_quality_gopher" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text",
+        minWords = 30, maxWords = 80).orderBy("doc_id")),
+
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(
         Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
@@ -738,6 +745,37 @@ object PipelineQueries {
        ", x))) / len(string_split(t, ' ')) AS stopword_ratio, " +
        "len(list_distinct(string_split(t, ' '))) / len(string_split(t, ' ')) AS distinct_ratio " +
        "FROM x ORDER BY doc_id"),
+
+    // same rule arithmetic as TextAnalysis.gopherCols: int/int double
+    // divisions, (?m) line anchors, BETWEEN bounds, 8-stopword presence
+    "q_quality_gopher" ->
+      ("WITH x AS (SELECT doc_id, coalesce(text,'') AS t FROM documents), " +
+       "m AS (SELECT doc_id, " +
+       "len(string_split(t, ' ')) AS n_words, " +
+       "length(regexp_replace(t, ' ', '', 'g')) / len(string_split(t, ' ')) AS mean_word_len, " +
+       "(len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.'))) " +
+       "/ len(string_split(t, ' ')) AS symbol_ratio, " +
+       "len(regexp_extract_all(t, '(?m)^[-*•] ')) / len(string_split(t, chr(10))) AS bullet_frac, " +
+       "len(regexp_extract_all(t, '(?m)\\.\\.\\.$')) / len(string_split(t, chr(10))) AS ellipsis_frac, " +
+       "len(regexp_extract_all(t, '[^ ]*[A-Za-z][^ ]*')) / len(string_split(t, ' ')) AS alpha_frac, " +
+       TextAnalysis.GopherStopwords.map(w =>
+         s"CAST(list_contains(string_split(lower(t), ' '), '$w') AS INT)")
+         .mkString(" + ") + " AS n_stop_hits " +
+       "FROM x) " +
+       "SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, " +
+       "ellipsis_frac, alpha_frac, n_stop_hits, " +
+       "n_words BETWEEN 30 AND 80 AS rule_word_count, " +
+       "mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len, " +
+       "symbol_ratio <= 0.1 AS rule_symbol_ratio, " +
+       "bullet_frac <= 0.9 AS rule_bullet_lines, " +
+       "ellipsis_frac <= 0.3 AS rule_ellipsis_lines, " +
+       "alpha_frac >= 0.8 AS rule_alpha_words, " +
+       "n_stop_hits >= 2 AS rule_stopwords, " +
+       "(n_words BETWEEN 30 AND 80) AND (mean_word_len BETWEEN 3.0 AND 10.0) " +
+       "AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 " +
+       "AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 " +
+       "AND n_stop_hits >= 2 AS passes_gopher " +
+       "FROM m ORDER BY doc_id"),
 
     "q_text_tokens" ->
       ("SELECT doc_id, len(regexp_extract_all(coalesce(text,''), '\\S+')) AS ws_tokens, " +

@@ -236,6 +236,14 @@ object TrainingQueries {
       LanguageModel.bigramPerplexity(Tables.documents(s, d), "doc_id",
         "text", minCount = 2, oovAlpha = 0.5).orderBy("doc_id")),
 
+    // DSIR importance weights (Xie et al. 2023): hashed uni+bigram bag,
+    // target = src0 docs, λ per 256-bucket broadcast back onto the
+    // feature stream; per-doc decimal-summed log weight (exact 6dp)
+    "q_dsir_weights" -> ((s, d) =>
+      graft.operators.Dsir.importanceWeights(Tables.documents(s, d),
+        "doc_id", "text", isTarget = col("source") === "src0")
+        .orderBy("doc_id")),
+
     // the hash-prefiltered scale path MUST return exactly what the exact
     // path returns (superset prefilter + exact verify) — same oracle
     "q_decontaminate_hashfilter" -> ((s, d) => {
@@ -588,6 +596,31 @@ object TrainingQueries {
        "round(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_nll, " +
        "round(exp(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*)), 2) AS ppl " +
        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+
+    // same estimator on both engines: features = unigrams ∪ bigram
+    // occurrences (t[i:i+1] inclusive slice = 2 tokens), bucket = first
+    // 2 hex chars of md5 (engine-portable string key, no hex→int), λ in
+    // double with the identical (+1e0)/(tot+256e0) association order,
+    // per-doc sum as DECIMAL(28,6), emitted at its exact 6dp
+    "q_dsir_weights" ->
+      ("WITH d AS (SELECT doc_id, source = 'src0' AS is_tgt, " +
+       "string_split(coalesce(text,''), ' ') AS t FROM documents), " +
+       "uni AS (SELECT doc_id, is_tgt, unnest(t) AS feat FROM d), " +
+       "big AS (SELECT doc_id, is_tgt, unnest([array_to_string(t[i:i+1], ' ') " +
+       "for i in range(1, len(t))]) AS feat FROM d), " +
+       "f AS (SELECT doc_id, is_tgt, feat, substr(md5(feat), 1, 2) AS b " +
+       "FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)), " +
+       "m AS (SELECT b, sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_c, " +
+       "sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS raw_c FROM f GROUP BY b), " +
+       "tot AS (SELECT sum(tgt_c) AS tgt_tot, sum(raw_c) AS raw_tot FROM m), " +
+       "lam AS (SELECT b, ln((tgt_c + 1e0) / (tgt_tot + 256e0)) - " +
+       "ln((raw_c + 1e0) / (raw_tot + 256e0)) AS lam FROM m CROSS JOIN tot) " +
+       "SELECT doc_id, max(is_tgt) AS is_target, " +
+       "CAST(count(*) AS BIGINT) AS n_feats, " +
+       // no 4dp re-round: the 6-decimal sum would sit exactly ON half
+       // boundaries where the engines' round semantics differ
+       "CAST(sum(CAST(lam AS DECIMAL(28,6))) AS DOUBLE) AS log_weight " +
+       "FROM f JOIN lam USING (b) GROUP BY doc_id ORDER BY doc_id"),
 
     // same model on both engines: attested (c2 >= 2) bigrams score
     // c2/c1(prev); backoff = 4e-1 (double literal — DuckDB 0.4 is

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import graft.tables.Tables
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Specs for the r9 quality-gating and data-selection operators: the
+  * Gopher rule gate (crafted per-rule failures), DSIR importance weights
+  * (target slice must outrank raw, partition-invariance), and the
+  * word_ngrams counting Expression they ride on. */
+class QualitySelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.ensureRegistered(spark)
+
+  // ---------------------------------------------------------- word_ngrams
+
+  test("word_ngrams keeps duplicate n-grams in order; shingles dedup") {
+    val df = Seq("a b a b a").toDF("t").select(
+      GraftFunctions.word_ngrams(col("t"), 2).as("ng"),
+      GraftFunctions.word_shingles(col("t"), 2).as("sh"))
+    val r = df.head()
+    assert(r.getSeq[String](0) == Seq("a b", "b a", "a b", "b a"),
+      "every occurrence, document order")
+    assert(r.getSeq[String](1) == Seq("a b", "b a"),
+      "shingles stay first-occurrence-distinct")
+  }
+
+  test("word_ngrams: short and empty texts, empty-token contract") {
+    val rows = Seq("one", "", "a  b").toDF("t")
+      .select(GraftFunctions.word_ngrams(col("t"), 2).as("ng"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(rows(0) == Nil, "fewer tokens than n yields empty")
+    assert(rows(1) == Nil, "'' has one empty token, still < 2")
+    assert(rows(2) == Seq("a ", " b"),
+      "double space keeps the empty middle token (string_split contract)")
+  }
+
+  // --------------------------------------------------------- Gopher rules
+
+  private def gopher(texts: (Long, String)*) =
+    TextAnalysis.gopherRules(
+      texts.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 3, maxWords = 10)
+
+  private def row(df: org.apache.spark.sql.DataFrame, id: Long): Row = {
+    val r = df.filter(col("doc_id") === id).collect()
+    assert(r.length == 1); r.head
+  }
+
+  test("gopher rules: each rule fails on its crafted document") {
+    val df = gopher(
+      1L -> "the cat sat with the dog", // healthy: passes everything
+      2L -> "a b", // too few words
+      3L -> ("supercalifragilistic extraordinarily " +
+        "incomprehensibilities"), // mean word length 56/3 >> 10
+      4L -> "the ## ## ## ## of it", // symbol-heavy
+      5L -> "- the x\n- of y\n- with z", // all bullet lines
+      6L -> "the end of it...\nthe rest too...", // ellipsis lines
+      7L -> "the 1 2 3 4 5 of 6", // numeric words
+      8L -> "cat sat dog ran far") // no stopwords
+    def flags(id: Long): Map[String, Boolean] = {
+      val r = row(df, id)
+      df.columns.zipWithIndex.collect {
+        case (c, i) if c.startsWith("rule_") || c == "passes_gopher" =>
+          c -> r.getBoolean(i)
+      }.toMap
+    }
+    assert(flags(1L).values.forall(identity), "doc 1 passes all rules")
+    assert(!flags(2L)("rule_word_count"))
+    assert(!flags(3L)("rule_mean_word_len"))
+    assert(!flags(4L)("rule_symbol_ratio"))
+    assert(!flags(5L)("rule_bullet_lines"))
+    assert(!flags(6L)("rule_ellipsis_lines"))
+    assert(!flags(7L)("rule_alpha_words"))
+    assert(!flags(8L)("rule_stopwords"))
+    Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L).foreach(id =>
+      assert(!flags(id)("passes_gopher"), s"doc $id must fail overall"))
+  }
+
+  test("gopher rules: signals carry the evidence, null text is safe") {
+    val df = TextAnalysis.gopherRules(
+      Seq((1L, "the cat sat with a dog"), (2L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+    val r1 = row(df, 1L)
+    assert(r1.getAs[Int]("n_words") == 6)
+    assert(r1.getAs[Int]("n_stop_hits") == 2) // the, with
+    val r2 = row(df, 2L)
+    assert(r2.getAs[Int]("n_words") == 1, "null coalesces to ''")
+  }
+
+  // ----------------------------------------------------------------- DSIR
+
+  private def corpusDocs = Tables.documents(spark, sf())
+
+  test("dsir: target slice scores higher than raw on a planted split") {
+    // Plant a vocabulary split: target docs speak 'alpha beta', raw docs
+    // 'gamma delta' — the estimator must separate them by a wide margin.
+    val docs = (0L until 40L).map { i =>
+      if (i < 10) (i, "alpha beta alpha beta alpha beta alpha", true)
+      else (i, "gamma delta gamma delta gamma delta gamma", false)
+    }.toDF("doc_id", "text", "tgt")
+    val w = Dsir.importanceWeights(docs, "doc_id", "text", col("tgt"))
+    val byTgt = w.groupBy("is_target").agg(avg("log_weight").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byTgt(true) > byTgt(false) + 1.0,
+      s"target must outrank raw, got $byTgt")
+  }
+
+  test("dsir: weights are partition-invariant and feature counts exact") {
+    val base = corpusDocs
+    val a = Dsir.importanceWeights(base, "doc_id", "text",
+      col("source") === "src0").orderBy("doc_id").collect().toSeq
+    val b = Dsir.importanceWeights(base.repartition(13), "doc_id", "text",
+      col("source") === "src0").orderBy("doc_id").collect().toSeq
+    assert(a == b, "decimal-summed weights must not depend on partitioning")
+    // n_feats = n_tokens + (n_tokens - 1) bigrams = 2n - 1
+    val chk = Dsir.importanceWeights(base, "doc_id", "text", lit(false))
+      .join(base.select(col("doc_id"),
+        size(split(coalesce(col("text"), lit("")), " ")).as("n_tok")),
+        "doc_id")
+      .filter(col("n_feats") =!= col("n_tok") * 2 - 1)
+    assert(chk.count() == 0, "n_feats must be exactly 2n-1")
+  }
+}
