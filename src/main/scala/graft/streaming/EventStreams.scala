@@ -161,6 +161,52 @@ object EventStreams {
       .drop("__h")
   }
 
+  /** Driver-collected distinct benchmark w-grams for
+    * [[decontaminateStream]], size-gated: an eval benchmark is thousands
+    * to ~10⁵ docs — the same legitimately-bounded shape as the broadcast
+    * codebooks (Similarity) and the LM vocabulary (LanguageModel). The
+    * limit+require gate bounds the one collect; an adversarially huge
+    * "benchmark" fails loudly instead of OOMing the driver (batch
+    * decontamination of corpus-sized sets belongs to
+    * Decontaminate.reportHashPrefiltered). */
+  def benchmarkNgrams(benchmark: DataFrame, textCol: String, w: Int = 5,
+                      maxVocab: Int = 200000): Seq[String] = {
+    graft.functions.GraftFunctions.ensureRegistered(benchmark.sparkSession)
+    val rows = benchmark
+      .select(explode(graft.functions.GraftFunctions.word_shingles(
+        coalesce(col(textCol), lit("")), w)).as("sg"))
+      .distinct().limit(maxVocab + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(rows.length <= maxVocab,
+      s"benchmark n-gram vocabulary exceeds $maxVocab — too large for the " +
+        "stateless stream gate; run batch Decontaminate.reportHashPrefiltered")
+    rows
+  }
+
+  /** Streaming benchmark decontamination — the streaming shape of
+    * Decontaminate.report for a document ingest stream: the bounded
+    * benchmark n-gram vocabulary ([[benchmarkNgrams]]) is compiled into
+    * ONE native marker_counts probe over each doc's (already-distinct)
+    * word_shingles, so `n_shared` is the same distinct-collision count
+    * the batch report computes — as a pure scan-side projection: zero
+    * streaming state, no join, no aggregation, append-mode trivially,
+    * and a restarted query flags exactly what a batch pass flags.
+    * Emits `n_shared` + `contaminated`; callers filter or fork on it. */
+  def decontaminateStream(stream: DataFrame, benchNgrams: Seq[String],
+                          textCol: String, w: Int = 5,
+                          minShared: Int = 1): DataFrame = {
+    require(w > 0 && minShared > 0,
+      s"w/minShared must be positive, got ($w, $minShared)")
+    graft.functions.GraftFunctions.ensureRegistered(stream.sparkSession)
+    val sh = graft.functions.GraftFunctions.word_shingles(
+      coalesce(col(textCol), lit("")), w)
+    stream
+      .withColumn("n_shared", element_at(
+        graft.functions.GraftFunctions.marker_counts(sh, Seq(benchNgrams)), 1)
+        .cast("long"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
   /** Streaming anomaly gate — the streaming shape of Events.anomalies:
     * the per-type mean/std come from a STATIC reference snapshot (the
     * monitoring convention: today's stream is judged against trained

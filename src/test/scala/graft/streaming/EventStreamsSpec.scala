@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{coalesce, lit}
 import org.apache.spark.sql.streaming.OutputMode
 
 class EventStreamsSpec extends SparkSpec {
@@ -322,5 +323,52 @@ class EventStreamsSpec extends SparkSpec {
       assert(u3.last.event_id == 8L && u3.last.event_type == "winner",
         s"micro-precision recency must decide, got ${u3.last}")
     } finally q.stop()
+  }
+
+  test("decontaminateStream flags exactly the batch report, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.tables.Tables.documents(spark, sf())
+      .select($"doc_id", coalesce($"text", lit("")).as("text"))
+      .as[(Long, String)].collect().toSeq
+    val bench = all.filter(_._1 % 11 == 0)
+    val corpus = all.filterNot(_._1 % 11 == 0)
+    val benchDf = bench.toDF("doc_id", "text")
+    val batch = graft.operators.Decontaminate
+      .report(corpus.toDF("doc_id", "text"), benchDf, "doc_id", "text",
+        w = 5, minShared = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(batch.nonEmpty && batch.size < corpus.size,
+      "fixture must have both contaminated and clean docs")
+    val vocab = EventStreams.benchmarkNgrams(benchDf, "text", w = 5)
+    val mem = MemoryStream[(Long, String)]
+    val q = decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), vocab, "text", w = 5)
+      .writeStream.format("memory").queryName("dec")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(corpus: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dec")
+        .select($"doc_id", $"n_shared", $"contaminated")
+        .as[(Long, Long, Boolean)].collect()
+      val flagged = streamed.filter(_._3).map(t => t._1 -> t._2).toMap
+      assert(flagged == batch,
+        "stream must flag exactly the docs the batch report flags, " +
+          "with identical distinct-collision counts")
+      assert(streamed.count(!_._3) == corpus.size - batch.size)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the gate must run with zero state-store operators")
+    } finally q.stop()
+  }
+
+  test("benchmarkNgrams gate refuses an oversized vocabulary") {
+    import spark.implicits._
+    val big = (1L to 50L)
+      .map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      EventStreams.benchmarkNgrams(big, "text", w = 5, maxVocab = 10)
+    }
   }
 }
