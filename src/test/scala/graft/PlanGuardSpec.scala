@@ -70,6 +70,30 @@ class PlanGuardSpec extends SparkSpec {
       s"q_linked_rollup_sum has no pruned fact scan: $roll")
   }
 
+  test("quality/selection queries keep their scale shapes") {
+    // the Gopher gate is a pure scan-side projection: pruned 2-column
+    // read, and no Exchange other than the final orderBy's range
+    // partitioning
+    val g = plan("q_quality_gopher")
+    val gCols = readCols(g)
+    assert(gCols.nonEmpty && gCols.forall(_.size <= 2),
+      s"q_quality_gopher reads unpruned schema: $gCols")
+    // tree lines only ("+- Exchange") — the detail section repeats each
+    // node name once more
+    assert("[+:]- Exchange".r.findAllIn(g).size <= 1,
+      s"q_quality_gopher gained a non-orderBy shuffle\n$g")
+    // DSIR: the 256-row lambda table must BROADCAST onto the feature
+    // stream — a sort-merge join there would shuffle every n-gram
+    // occurrence by bucket key
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_dsir_weights lost the lambda-table broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q_dsir_weights degraded to a sort-merge join\n$p")
+    assert(readCols(p).forall(_.size <= 3),
+      s"q_dsir_weights reads unpruned schema: ${readCols(p)}")
+  }
+
   test("dimension joins broadcast (no SortMergeJoin in q3_topk)") {
     val p = plan("q3_topk")
     assert(p.contains("BroadcastHashJoin"),
