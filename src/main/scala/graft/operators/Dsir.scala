@@ -87,4 +87,31 @@ object Dsir {
         sum(col("lam").cast("decimal(28,6)")).cast("double")
           .as("log_weight"))
   }
+
+  /** The SELECT step of DSIR — Gumbel-top-k importance resampling
+    * (Vieira 2014 / Kool et al. 2019: the k largest log wᵢ + Gᵢ are a
+    * without-replacement sample ∝ wᵢ): each doc perturbs its log weight
+    * with a DETERMINISTIC Gumbel draw, Gᵢ = −ln(−ln(Uᵢ)), where Uᵢ is
+    * the md5(seed|id) hash key's leading 8 hex chars mapped to
+    * (0,1) — the same pure-function-of-(seed,id) discipline as the
+    * md5-threshold samplers, so the selection is rerun/partition/
+    * ingestion-stable and a restarted job admits exactly the same docs.
+    *
+    * Scale posture: the Gumbel perturbation is a scan-side projection
+    * over [[importanceWeights]]' output; selection is orderBy+limit —
+    * Spark plans TakeOrderedAndProject (per-partition top-k, then a
+    * k-row driver merge), never a global sort. */
+  def resampleTopK(docs: DataFrame, idCol: String, textCol: String,
+                   isTarget: Column, k: Int, seed: String = "g42",
+                   alpha: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = importanceWeights(docs, idCol, textCol, isTarget, alpha)
+    val key = md5(concat(lit(seed + "|"), col("doc_id").cast("string")))
+    // 32 uniform bits; +0.5 centers so U is never 0 or 1 (ln-safe)
+    val v = conv(substring(key, 1, 8), 16, 10).cast("long")
+    val u = (v.cast("double") + 0.5) / 4294967296.0
+    w.withColumn("score", col("log_weight") + (-log(-log(u))))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -18,6 +18,22 @@ object TrainingQueries {
   private def keySql(id: String, seed: String = "s42"): String =
     s"substr(md5('$seed|' || CAST($id AS VARCHAR)), 1, 4)"
 
+  /** The DSIR estimator's CTE chain (through the per-bucket λ table) —
+    * shared by q_dsir_weights and q_dsir_select. */
+  private def dsirCtesSql: String =
+    ("WITH d AS (SELECT doc_id, source = 'src0' AS is_tgt, " +
+     "string_split(coalesce(text,''), ' ') AS t FROM documents), " +
+     "uni AS (SELECT doc_id, is_tgt, unnest(t) AS feat FROM d), " +
+     "big AS (SELECT doc_id, is_tgt, unnest([array_to_string(t[i:i+1], ' ') " +
+     "for i in range(1, len(t))]) AS feat FROM d), " +
+     "f AS (SELECT doc_id, is_tgt, feat, substr(md5(feat), 1, 2) AS b " +
+     "FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)), " +
+     "m AS (SELECT b, sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_c, " +
+     "sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS raw_c FROM f GROUP BY b), " +
+     "tot AS (SELECT sum(tgt_c) AS tgt_tot, sum(raw_c) AS raw_tot FROM m), " +
+     "lam AS (SELECT b, ln((tgt_c + 1e0) / (tgt_tot + 256e0)) - " +
+     "ln((raw_c + 1e0) / (raw_tot + 256e0)) AS lam FROM m CROSS JOIN tot)")
+
   /** Per-language fractions for the stratified sample: distinct
     * power-of-two rates (exact at the 1/2¹⁶ threshold granularity) plus a
     * keep-all stratum (zh) so the ≥1.0 fast path is driver-visible. */
@@ -243,6 +259,12 @@ object TrainingQueries {
       graft.operators.Dsir.importanceWeights(Tables.documents(s, d),
         "doc_id", "text", isTarget = col("source") === "src0")
         .orderBy("doc_id")),
+
+    // the SELECT step: Gumbel-top-50 importance resampling over the
+    // same weights — deterministic md5 Gumbel keys, TakeOrderedAndProject
+    "q_dsir_select" -> ((s, d) =>
+      graft.operators.Dsir.resampleTopK(Tables.documents(s, d),
+        "doc_id", "text", isTarget = col("source") === "src0", k = 50)),
 
     // the hash-prefiltered scale path MUST return exactly what the exact
     // path returns (superset prefilter + exact verify) — same oracle
@@ -601,26 +623,34 @@ object TrainingQueries {
     // occurrences (t[i:i+1] inclusive slice = 2 tokens), bucket = first
     // 2 hex chars of md5 (engine-portable string key, no hex→int), λ in
     // double with the identical (+1e0)/(tot+256e0) association order,
-    // per-doc sum as DECIMAL(28,6), emitted at its exact 6dp
+    // per-doc sum as DECIMAL(28,6), emitted at its exact 6dp (no 4dp
+    // re-round: the 6-decimal sum would sit exactly ON half boundaries
+    // where the engines' round semantics differ)
     "q_dsir_weights" ->
-      ("WITH d AS (SELECT doc_id, source = 'src0' AS is_tgt, " +
-       "string_split(coalesce(text,''), ' ') AS t FROM documents), " +
-       "uni AS (SELECT doc_id, is_tgt, unnest(t) AS feat FROM d), " +
-       "big AS (SELECT doc_id, is_tgt, unnest([array_to_string(t[i:i+1], ' ') " +
-       "for i in range(1, len(t))]) AS feat FROM d), " +
-       "f AS (SELECT doc_id, is_tgt, feat, substr(md5(feat), 1, 2) AS b " +
-       "FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)), " +
-       "m AS (SELECT b, sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_c, " +
-       "sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS raw_c FROM f GROUP BY b), " +
-       "tot AS (SELECT sum(tgt_c) AS tgt_tot, sum(raw_c) AS raw_tot FROM m), " +
-       "lam AS (SELECT b, ln((tgt_c + 1e0) / (tgt_tot + 256e0)) - " +
-       "ln((raw_c + 1e0) / (raw_tot + 256e0)) AS lam FROM m CROSS JOIN tot) " +
-       "SELECT doc_id, max(is_tgt) AS is_target, " +
+      (dsirCtesSql +
+       " SELECT doc_id, max(is_tgt) AS is_target, " +
        "CAST(count(*) AS BIGINT) AS n_feats, " +
-       // no 4dp re-round: the 6-decimal sum would sit exactly ON half
-       // boundaries where the engines' round semantics differ
        "CAST(sum(CAST(lam AS DECIMAL(28,6))) AS DOUBLE) AS log_weight " +
        "FROM f JOIN lam USING (b) GROUP BY doc_id ORDER BY doc_id"),
+
+    // the SELECT step: same weights chain + deterministic Gumbel keys
+    // (leading 8 md5 hex chars → 32 uniform bits via the strpos-nibble
+    // ladder, the epoch-shuffle trick), top-50 by perturbed weight
+    "q_dsir_select" ->
+      (dsirCtesSql +
+       ", wts AS (SELECT doc_id, max(is_tgt) AS is_target, " +
+       "CAST(count(*) AS BIGINT) AS n_feats, " +
+       "CAST(sum(CAST(lam AS DECIMAL(28,6))) AS DOUBLE) AS log_weight " +
+       "FROM f JOIN lam USING (b) GROUP BY doc_id), " +
+       "keyed AS (SELECT *, md5('g42|' || CAST(doc_id AS VARCHAR)) AS key " +
+       "FROM wts), " +
+       "scored AS (SELECT doc_id, is_target, n_feats, log_weight, " +
+       "log_weight + (-ln(-ln((CAST(" +
+       (0 until 8).map(i =>
+         s"(strpos('0123456789abcdef', substr(key, ${i + 1}, 1)) - 1) * " +
+           (1L << (4 * (7 - i)))).mkString(" + ") +
+       " AS DOUBLE) + 5e-1) / 4294967296e0))) AS score FROM keyed) " +
+       "SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 50"),
 
     // same model on both engines: attested (c2 >= 2) bigrams score
     // c2/c1(prev); backoff = 4e-1 (double literal — DuckDB 0.4 is

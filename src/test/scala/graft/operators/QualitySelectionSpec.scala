@@ -110,6 +110,26 @@ class QualitySelectionSpec extends SparkSpec {
       s"target must outrank raw, got $byTgt")
   }
 
+  test("dsir: gumbel-top-k resampling is deterministic, size-exact, " +
+       "and biased toward high weights") {
+    val sel = Dsir.resampleTopK(corpusDocs, "doc_id", "text",
+      col("source") === "src0", k = 50)
+    val rows = sel.collect()
+    assert(rows.length == 50)
+    val again = Dsir.resampleTopK(corpusDocs.repartition(7), "doc_id",
+      "text", col("source") === "src0", k = 50).collect()
+    assert(rows.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet,
+      "selection must be rerun/partition-invariant")
+    // ∝-weight sampling must pull the selected mean log-weight above the
+    // corpus mean by a clear margin
+    val selMean = rows.map(_.getAs[Double]("log_weight")).sum / rows.length
+    val all = Dsir.importanceWeights(corpusDocs, "doc_id", "text",
+      col("source") === "src0").collect()
+    val allMean = all.map(_.getAs[Double]("log_weight")).sum / all.length
+    assert(selMean > allMean,
+      s"selected mean $selMean must exceed corpus mean $allMean")
+  }
+
   test("dsir: weights are partition-invariant and feature counts exact") {
     val base = corpusDocs
     val a = Dsir.importanceWeights(base, "doc_id", "text",
