@@ -39,6 +39,10 @@ object GraftExtensions {
         (es: Seq[Expression]) => WordShingles(es.head, es(1).eval().asInstanceOf[Int])),
       (FunctionIdentifier("word_ngrams"), info(classOf[WordNgrams], "word_ngrams"),
         (es: Seq[Expression]) => WordNgrams(es.head, es(1).eval().asInstanceOf[Int])),
+      // the micros table arrives as a foldable array<bigint> literal,
+      // decoded once at resolution (vec_mat_cosines pattern)
+      (FunctionIdentifier("dsir_score"), info(classOf[DsirScore], "dsir_score"),
+        (es: Seq[Expression]) => DsirScore(es.head, DsirScore.fromLiteral(es(1)))),
       (FunctionIdentifier("word_chunks"), info(classOf[WordChunks], "word_chunks"),
         (es: Seq[Expression]) => WordChunks(es.head,
           es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
@@ -98,6 +102,9 @@ object GraftFunctions {
     call_function("word_shingles", text, org.apache.spark.sql.functions.lit(w))
   def word_ngrams(text: Column, n: Int): Column =
     call_function("word_ngrams", text, org.apache.spark.sql.functions.lit(n))
+  def dsir_score(feats: Column, lamMicros: Seq[Long]): Column =
+    call_function("dsir_score", feats,
+      org.apache.spark.sql.functions.typedLit(lamMicros))
   def word_chunks(text: Column, size: Int, stride: Int): Column =
     call_function("word_chunks", text,
       org.apache.spark.sql.functions.lit(size),

@@ -304,6 +304,63 @@ object WordNgramsImpl {
   }
 }
 
+/** Per-doc DSIR log-importance score against a FROZEN λ snapshot — the
+  * scan-side scoring half of graft.operators.Dsir for streams and
+  * model-reuse batch passes: each feature (an n-gram string) hashes to
+  * its md5-first-byte bucket and contributes that bucket's λ, already
+  * rounded to 6-decimal micros (long), so the sum is EXACT and matches
+  * the batch op's DECIMAL(28,6) accumulation bit-for-bit (the final
+  * micros→double division is one correctly-rounded IEEE op, identical
+  * to Decimal.toDouble of the same 6-decimal value). The 256-entry
+  * micros table rides as a codegen reference object (vec_mat_cosines
+  * pattern). */
+case class DsirScore(child: Expression, lamMicros: Array[Long])
+    extends UnaryExpression {
+  require(lamMicros.length == 256,
+    s"dsir_score needs a 256-bucket lambda table, got ${lamMicros.length}")
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"dsir_score expects ARRAY<STRING>, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    DsirScoreImpl.compute(input.asInstanceOf[ArrayData], lamMicros)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lamRef = ctx.addReferenceObj("graftDsirLam", lamMicros, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DsirScoreImpl.compute($c, $lamRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DsirScore =
+    copy(child = newChild)
+  override def prettyName: String = "dsir_score"
+}
+
+object DsirScore {
+  /** Decode an array<bigint> literal into the micros table. */
+  def fromLiteral(e: Expression): Array[Long] =
+    e.eval().asInstanceOf[ArrayData].toLongArray()
+}
+
+object DsirScoreImpl {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  def compute(feats: ArrayData, lam: Array[Long]): Double = {
+    val digest = md.get()
+    var sum = 0L
+    var i = 0
+    val n = feats.numElements()
+    while (i < n) {
+      digest.reset()
+      val b = digest.digest(feats.getUTF8String(i).getBytes)
+      // bucket = first md5 byte ≡ the first two hex chars of the text key
+      sum += lam(b(0) & 0xff)
+      i += 1
+    }
+    sum.toDouble / 1e6
+  }
+}
+
 object SimHash64Impl {
   /** FNV-1a offset basis (the standard one — part 0 of the wide variant). */
   val Basis = 0xcbf29ce484222325L

@@ -52,6 +52,58 @@ object Dsir {
       .withColumn("b", substring(md5(col("feat")), 1, 2))
   }
 
+  /** The per-bucket λ table with its totals attached: (b, lam, tgt_tot,
+    * raw_tot). Both multinomials in ONE pass: conditional partial-agg
+    * sums onto 256 rows; totals via a window over the GROUPED rows
+    * (bounded at |buckets| rows regardless of corpus size —
+    * mixtureWeights pattern). */
+  private def lambdaFrame(feats: DataFrame, alpha: Double): DataFrame = {
+    val w = Window.partitionBy()
+    feats
+      .groupBy("b")
+      .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_c"),
+        sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("raw_c"))
+      .withColumn("tgt_tot", sum(col("tgt_c")).over(w))
+      .withColumn("raw_tot", sum(col("raw_c")).over(w))
+      .withColumn("lam",
+        log((col("tgt_c") + alpha) / (col("tgt_tot") + alpha * Buckets)) -
+          log((col("raw_c") + alpha) / (col("raw_tot") + alpha * Buckets)))
+  }
+
+  /** The FROZEN λ snapshot for scan-side re-scoring (`dsir_score`
+    * Expression; streaming admission via EventStreams.dsirStream): all
+    * 256 buckets' λ as 6-decimal micros, indexed by bucket byte.
+    * Buckets the training corpus never hashed into get the zero-count λ
+    * (a NEW stream n-gram must score like any other unseen feature, not
+    * 0). Rounding to micros here uses the same shortest-repr HALF_UP
+    * path as the batch op's DECIMAL(28,6) cast, so scores from the
+    * snapshot match the batch weights bit-for-bit (spec-asserted). The
+    * collect is the legitimately-bounded codebook shape: 256 rows. */
+  def lambdaSnapshotMicros(docs: DataFrame, idCol: String, textCol: String,
+                           isTarget: Column,
+                           alpha: Double = 1.0): Array[Long] = {
+    val rows = lambdaFrame(featStream(docs, idCol, textCol, isTarget), alpha)
+      .select("b", "lam", "tgt_tot", "raw_tot").collect()
+    def micros(d: Double): Long =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    val out = Array.fill(256) {
+      if (rows.isEmpty) 0L
+      else {
+        val (tgtTot, rawTot) =
+          (rows.head.getAs[Long]("tgt_tot"), rows.head.getAs[Long]("raw_tot"))
+        micros(math.log(alpha / (tgtTot + alpha * Buckets)) -
+          math.log(alpha / (rawTot + alpha * Buckets)))
+      }
+    }
+    rows.foreach { r =>
+      out(Integer.parseInt(r.getAs[String]("b"), 16)) =
+        micros(r.getAs[Double]("lam"))
+    }
+    out
+  }
+
   /** Per-doc DSIR log importance weights: (doc_id, is_target, n_feats,
     * log_weight). `isTarget` marks the trusted slice (e.g.
     * `col("source") === "wiki"`); every doc is scored, so callers can
@@ -60,20 +112,7 @@ object Dsir {
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, alpha: Double = 1.0): DataFrame = {
     val feats = featStream(docs, idCol, textCol, isTarget)
-    // Both multinomials in ONE pass: conditional partial-agg sums onto
-    // 256 rows; totals via a window over the GROUPED rows (bounded at
-    // |buckets| rows regardless of corpus size — mixtureWeights pattern).
-    val w = Window.partitionBy()
-    val lam = feats
-      .groupBy("b")
-      .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_c"),
-        sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("raw_c"))
-      .withColumn("tgt_tot", sum(col("tgt_c")).over(w))
-      .withColumn("raw_tot", sum(col("raw_c")).over(w))
-      .select(col("b"),
-        (log((col("tgt_c") + alpha) / (col("tgt_tot") + alpha * Buckets)) -
-          log((col("raw_c") + alpha) / (col("raw_tot") + alpha * Buckets)))
-          .as("lam"))
+    val lam = lambdaFrame(feats, alpha).select("b", "lam")
     feats
       .join(broadcast(lam), "b")
       .groupBy("doc_id")

@@ -207,6 +207,28 @@ object EventStreams {
       .withColumn("contaminated", col("n_shared") >= minShared)
   }
 
+  /** Streaming DSIR admission scoring — the streaming shape of
+    * Dsir.importanceWeights: the 256-bucket λ snapshot
+    * (Dsir.lambdaSnapshotMicros, trained on a static corpus — a live
+    * stream has no stable multinomials to fit, same rationale as
+    * temperatureStream's rates) is compiled into ONE native dsir_score
+    * probe over each doc's unigram+bigram features, so `log_weight` is
+    * the batch op's decimal-summed score bit-for-bit as a pure
+    * scan-side projection: zero streaming state, no explode, no join,
+    * no aggregation. Emits `n_feats` + `log_weight`; callers threshold
+    * on it ("admit target-like docs at ingest"). */
+  def dsirStream(stream: DataFrame, lamMicros: Array[Long],
+                 textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(stream.sparkSession)
+    val t = coalesce(col(textCol), lit(""))
+    val feats = concat(graft.operators.TextOps.tokens(t),
+      graft.functions.GraftFunctions.word_ngrams(t, 2))
+    stream
+      .withColumn("n_feats", size(feats).cast("long"))
+      .withColumn("log_weight",
+        graft.functions.GraftFunctions.dsir_score(feats, lamMicros.toSeq))
+  }
+
   /** Streaming anomaly gate — the streaming shape of Events.anomalies:
     * the per-type mean/std come from a STATIC reference snapshot (the
     * monitoring convention: today's stream is judged against trained

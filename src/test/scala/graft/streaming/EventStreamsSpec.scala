@@ -362,6 +362,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirStream scores bit-for-bit like the batch weights, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .select($"doc_id", coalesce($"text", lit("")).as("text"),
+        ($"source" === "src0").as("tgt"))
+    val lam = graft.operators.Dsir.lambdaSnapshotMicros(
+      docs, "doc_id", "text", $"tgt")
+    val batch = graft.operators.Dsir
+      .importanceWeights(docs, "doc_id", "text", $"tgt")
+      .select($"doc_id", $"n_feats", $"log_weight")
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = dsirStream(mem.toDF().toDF("doc_id", "text"), lam, "text")
+      .select($"doc_id", $"n_feats", $"log_weight")
+      .writeStream.format("memory").queryName("dsirs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsirs")
+        .as[(Long, Long, Double)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(streamed == batch,
+        "stream scores must equal the batch decimal-summed weights exactly")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "scoring must run with zero state-store operators")
+    } finally q.stop()
+  }
+
   test("benchmarkNgrams gate refuses an oversized vocabulary") {
     import spark.implicits._
     val big = (1L to 50L)
