@@ -453,6 +453,23 @@ object Dedup {
                outCol: String = "doc_id", maxIter: Int = 20): DataFrame =
     clustersManaged(pairs, aCol, bCol, outCol, maxIter)._1
 
+  /** The dedup summary a pipeline publishes after clustering: the
+    * cluster-SIZE histogram — one row per distinct size with how many
+    * clusters have it, how many docs they hold, and how many docs a
+    * keep-one-per-cluster pass would remove. Two partial-agg groupBys
+    * over the (doc, cluster) labels: the first shuffles one row per
+    * cluster, the second one row per DISTINCT SIZE (≤ √(2·docs) values
+    * possible — cardinality-bounded, not data-bounded). */
+  def clusterSizeReport(labels: DataFrame,
+                        clusterCol: String = "cluster_id"): DataFrame =
+    labels
+      .groupBy(col(clusterCol)).agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1).as("n_removable"))
+      .orderBy("cluster_size")
+
   /** Cluster-representative selection: keep the BEST member of each
     * near-dup cluster by a caller-supplied quality column (ties resolve
     * to the minimum id — fully deterministic). "Keep one doc per

@@ -210,6 +210,16 @@ object PipelineQueries {
           "doc_id", "text", w = 3, tau = 0.5, prefixFilter = false),
         "doc_a", "doc_b").orderBy("doc_id")),
 
+    // the dedup summary a pipeline publishes: cluster-size histogram
+    // over the same clustering as q_dedup_clusters
+    "q_dedup_report" -> ((s, d) =>
+      Dedup.clusterSizeReport(
+        Dedup.clusters(
+          Dedup.ngramJaccardPairs(
+            Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
+            "doc_id", "text", w = 3, tau = 0.5, prefixFilter = false),
+          "doc_a", "doc_b"))),
+
     "q_dedup_embed" -> ((s, d) =>
       Dedup.embedPairs(Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4)),
 
@@ -603,6 +613,23 @@ object PipelineQueries {
        "UNION SELECT e.s, r.lab FROM edges e JOIN r ON r.id = e.d) " +
        "SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id " +
        "ORDER BY doc_id"),
+
+    // the clusters recursive CTE + two GROUP BYs: per-cluster sizes,
+    // then the per-size histogram
+    "q_dedup_report" ->
+      ("WITH RECURSIVE pr AS (" + jaccardPairsOracleSql(0.5) + "), " +
+       "edges AS (SELECT doc_a AS s, doc_b AS d FROM pr " +
+       "UNION ALL SELECT doc_b, doc_a FROM pr), " +
+       "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+       "r AS (SELECT id, id AS lab FROM nodes " +
+       "UNION SELECT e.s, r.lab FROM edges e JOIN r ON r.id = e.d), " +
+       "lab AS (SELECT id, min(lab) AS cluster_id FROM r GROUP BY id), " +
+       "sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab " +
+       "GROUP BY cluster_id) " +
+       "SELECT cluster_size, count(*) AS n_clusters, " +
+       "CAST(sum(cluster_size) AS BIGINT) AS n_docs, " +
+       "CAST(sum(cluster_size - 1) AS BIGINT) AS n_removable " +
+       "FROM sz GROUP BY cluster_size ORDER BY cluster_size"),
 
     // identical output to the exact path at this operating point (complete
     // banding recall + exact verify — see the query comment)

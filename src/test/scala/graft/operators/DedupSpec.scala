@@ -365,4 +365,17 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "text_deduped").as[(Long, String)].collect().sorted.toSeq
     assert(a == b)
   }
+
+  test("clusterSizeReport histogram accounts for every clustered doc") {
+    val labels = Seq( // two pairs, one triple, one singleton cluster
+      (1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L),
+      (5L, 5L), (6L, 5L), (7L, 5L), (8L, 8L))
+      .toDF("doc_id", "cluster_id")
+    val rep = Dedup.clusterSizeReport(labels)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rep == Seq((1L, 1L, 1L, 0L), (2L, 2L, 4L, 2L), (3L, 1L, 3L, 2L)))
+    // invariants: docs partition across rows; removable = docs - clusters
+    assert(rep.map(_._3).sum == 8L)
+    assert(rep.forall(r => r._4 == r._3 - r._2))
+  }
 }
