@@ -31,4 +31,27 @@ class WordShinglesPropertySpec extends SparkSpec {
         s"diverged on input '${r.getString(2)}'")
     }
   }
+
+  test("native word_ngrams ≡ driver-side sliding windows for random inputs") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(2027)
+    val vocab = Vector("a", "bb", "ccc", "", "x", "yy", "a")
+    val texts = (1 to 300).map { _ =>
+      val n = rnd.nextInt(13)
+      (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ "" :+ "one" :+ "one two" :+ "  " :+ "a a a a"
+    Seq(1, 2, 3).foreach { w =>
+      val rows = texts.toDF("t").select(
+        GraftFunctions.word_ngrams(col("t"), w).as("native"), col("t"))
+        .collect()
+      rows.foreach { r =>
+        val toks = r.getString(1).split(" ", -1).toSeq
+        val expect =
+          if (toks.length < w) Seq.empty[String]
+          else toks.sliding(w).map(_.mkString(" ")).toSeq
+        assert(r.getSeq[String](0) == expect,
+          s"w=$w diverged on input '${r.getString(1)}'")
+      }
+    }
+  }
 }
