@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Multinomial naive-Bayes document classification — the
+  * quality-classifier shape of the GPT-3/LLaMA curation pipelines
+  * (Brown et al. 2020 train a linear classifier on hashed features to
+  * score CommonCrawl against a trusted corpus; fastText's supervised
+  * mode is the same bag-of-tokens linear model). The multinomial NB
+  * estimator keeps training closed-form — two passes, no gradient
+  * loop — while exercising the identical pipeline: fit per-class token
+  * statistics, broadcast the model, score every document scan-side,
+  * route on the argmax.
+  *
+  * Model: per class ℓ, p(tok|ℓ) = (c_ℓ(tok)+α)/(tot_ℓ+α·(V+1)) over the
+  * vocabulary (corpus count ≥ `minCount`, Zipf-bounded); out-of-vocab
+  * tokens take the α numerator (the +1 in the denominator is their
+  * bucket). A document's class score is the log-prior plus the sum of
+  * per-token log-likelihoods; prediction is the argmax with ties
+  * resolved in `labels` order.
+  *
+  * The label domain is CALLER-SUPPLIED (`labels`), not probed — the
+  * same explicit-value-list discipline as the pivot query (no
+  * driver-side distinct over a 100 TB column); rows whose label is
+  * outside the list still score and predict, they just train nothing.
+  *
+  * Scale posture: training is ONE partial-aggregated groupBy over the
+  * token stream (the per-class conditional sums ride the same shuffle —
+  * |labels| longs per distinct token, map-side combined); the model
+  * totals and the priors are 1-row aggregates that ride as broadcast
+  * cross joins (the BM25 corpus-stats pattern). Scoring left-joins the
+  * size-gated broadcast vocabulary onto the token stream — document
+  * text never shuffles, only (doc_id, |labels| decimal sums) partials
+  * do — and the argmax is a scan-side when-chain (TextAnalysis
+  * .detectedCol pattern), never a per-(doc,label) shuffle. Per-token
+  * log-likelihoods are quantized DECIMAL(28,6) before summing (the
+  * Dsir.importanceWeights discipline), so scores are bit-stable under
+  * any partitioning and reproducible verbatim in the DuckDB oracle.
+  *
+  * The reference has no classifier surface (it pages rows,
+  * base.py:1472); this is the §2.2 curation family's routing step.
+  */
+object Classify {
+
+  /** Above this many vocabulary rows, scoring falls back to a shuffle
+    * join (same gate shape as LanguageModel.MaxBroadcastVocab). */
+  val MaxBroadcastVocab = 10000000L
+
+  private val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+
+  /** Per-document NB scores and prediction: (doc_id, label, n_tokens,
+    * score_<ℓ>..., pred). Returns (plan, cleanup) — the vocabulary
+    * counts are persisted because the size-gate probe and the scoring
+    * join both read them (LanguageModel.perplexityManaged pattern). */
+  def naiveBayesManaged(docs: DataFrame, idCol: String, labelCol: String,
+                        textCol: String, labels: Seq[String],
+                        alpha: Double = 1.0, minCount: Long = 1,
+                        maxBroadcast: Long = MaxBroadcastVocab)
+      : (DataFrame, () => Unit) = {
+    require(labels.nonEmpty && labels.distinct == labels,
+      s"labels must be a non-empty distinct list, got $labels")
+    require(alpha > 0 && minCount >= 1,
+      s"alpha must be > 0 and minCount >= 1, got ($alpha, $minCount)")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      col(labelCol).as("__lbl"),
+      explode(TextOps.tokens(coalesce(col(textCol), lit("")))).as("tok"))
+    // train: one partial-aggregated pass; the per-class conditional sums
+    // share the single shuffle on tok
+    val counts = toks.groupBy("tok")
+      .agg(count(lit(1)).as("c_all"),
+        labels.map(l => sum(when(col("__lbl") === l, 1L).otherwise(0L))
+          .as(s"c_$l")): _*)
+      .filter(col("c_all") >= minCount)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // bounded driver action: vocab row count for the broadcast gate
+    val gated =
+      if (counts.count() <= maxBroadcast) broadcast(counts) else counts
+    // 1-row model totals (per-class mass + vocab size) and 1-row priors
+    val tots = counts.agg(count(lit(1)).as("v"),
+      labels.map(l => sum(col(s"c_$l")).as(s"tot_$l")): _*)
+    val pri = docs.agg(count(lit(1)).as("n"),
+      labels.map(l => sum(when(col(labelCol) === l, 1L).otherwise(0L))
+        .as(s"n_$l")): _*)
+    def lam(l: String): Column =
+      log((coalesce(col(s"c_$l"), lit(0L)) + alpha) /
+        (col(s"tot_$l") + lit(alpha) * (col("v") + 1))).cast(Dec)
+    val sums = toks.join(gated.drop("c_all"), Seq("tok"), "left")
+      .crossJoin(broadcast(tots))
+      .groupBy("doc_id")
+      .agg(max(col("__lbl")).as("label"),
+        (count(lit(1)).as("n_tokens") +:
+          labels.map(l => sum(lam(l)).as(s"__s_$l"))): _*)
+    val scored = sums.crossJoin(broadcast(pri))
+      .select((col("doc_id") +: col("label") +: col("n_tokens") +:
+        labels.map(l => (col(s"__s_$l") +
+          log(col(s"n_$l").cast("double") / col("n")).cast(Dec))
+          .cast("double").as(s"score_$l"))): _*)
+    // argmax when-chain, ties → first label in `labels` order
+    val pred = labels.foldRight(lit(labels.last): Column) { case (l, rest) =>
+      val ge = labels.filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o"))
+        .foldLeft(lit(true): Column)(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+    (scored.withColumn("pred", pred),
+      () => { counts.unpersist(blocking = true); () })
+  }
+
+  /** Confusion matrix of [[naiveBayesManaged]]: (true_label, pred_label,
+    * n) — bounded at |labels|² rows, the router's acceptance report. */
+  def naiveBayesConfusion(docs: DataFrame, idCol: String, labelCol: String,
+                          textCol: String, labels: Seq[String],
+                          alpha: Double = 1.0, minCount: Long = 1)
+      : DataFrame = {
+    val (scored, _) =
+      naiveBayesManaged(docs, idCol, labelCol, textCol, labels, alpha, minCount)
+    scored.groupBy(col("label").as("true_label"), col("pred").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+}

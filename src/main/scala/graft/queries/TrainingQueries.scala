@@ -297,8 +297,69 @@ object TrainingQueries {
     // long-doc half of the packing/chunking pair, one native token walk
     "q_text_chunks" -> ((s, d) =>
       Packing.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
-        size = 64, stride = 48).orderBy("doc_id", "chunk_idx"))
+        size = 64, stride = 48).orderBy("doc_id", "chunk_idx")),
+
+    // multinomial NB language router (quality-classifier shape): a
+    // per-lang marker token is planted on 2/3 of docs (the corpus text
+    // itself is lang-uncorrelated), so the model genuinely learns the
+    // marker and the unmarked third exercises the prior/noise path;
+    // minCount=2 exercises the OOV fallback on singleton tokens
+    "q_classify_nb" -> ((s, d) =>
+      graft.operators.Classify.naiveBayesConfusion(
+        nbPlanted(Tables.documents(s, d)), "doc_id", "lang", "text",
+        labels = NbLabels, alpha = 1.0, minCount = 2))
   )
+
+  /** Label domain of the NB fixture (documents.lang, alphabetical — the
+    * argmax tie order on both engines). */
+  private val NbLabels = Seq("de", "en", "es", "fr", "zh")
+
+  /** NB fixture: plant ` mk<lang>` on docs with doc_id % 3 != 0. */
+  private def nbPlanted(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 3 === 0, coalesce(col("text"), lit("")))
+        .otherwise(concat(coalesce(col("text"), lit("")),
+          lit(" mk"), col("lang"))))
+
+  /** DuckDB twin of the NB confusion query — the per-label conditional
+    * sums, λ quantization and argmax when-chain are generated from the
+    * same [[NbLabels]] list the Spark side uses, so the two cannot
+    * drift. */
+  private def nbOracleSql: String = {
+    val L = NbLabels
+    val d = "SELECT doc_id, lang, CASE WHEN doc_id % 3 = 0 THEN " +
+      "coalesce(text, '') ELSE coalesce(text, '') || ' mk' || lang END " +
+      "AS text FROM documents"
+    val cnt = "SELECT tok, count(*) AS c_all, " +
+      L.map(l => s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS c_$l")
+        .mkString(", ") + " FROM tok GROUP BY tok"
+    val tot = "SELECT count(*) AS v, " +
+      L.map(l => s"sum(c_$l) AS tot_$l").mkString(", ") + " FROM voc"
+    val pri = "SELECT count(*) AS n, " +
+      L.map(l => s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS n_$l")
+        .mkString(", ") + " FROM d"
+    val sc = "SELECT t.doc_id, max(t.lang) AS lbl, " +
+      L.map(l => s"sum(CAST(ln((coalesce(c_$l, 0) + 1e0) / " +
+        s"(tot_$l + 1e0 * (v + 1))) AS DECIMAL(28,6))) AS s_$l")
+        .mkString(", ") +
+      " FROM tok t LEFT JOIN voc USING (tok) CROSS JOIN tot GROUP BY t.doc_id"
+    val fin = "SELECT doc_id, lbl, " +
+      L.map(l => s"CAST(s_$l + CAST(ln(CAST(n_$l AS DOUBLE) / n) " +
+        s"AS DECIMAL(28,6)) AS DOUBLE) AS sc_$l").mkString(", ") +
+      " FROM sc CROSS JOIN pri"
+    val pred = "CASE " + L.init.map { l =>
+      val ge = L.filter(_ != l).map(o => s"sc_$l >= sc_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ") + s" ELSE '${L.last}' END"
+    s"WITH d AS ($d), " +
+      "tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok " +
+      "FROM d), " +
+      s"cnt AS ($cnt), voc AS (SELECT * FROM cnt WHERE c_all >= 2), " +
+      s"tot AS ($tot), pri AS ($pri), sc AS ($sc), fin AS ($fin), " +
+      s"pr AS (SELECT lbl, $pred AS pred FROM fin) " +
+      "SELECT lbl AS true_label, pred AS pred_label, count(*) AS n " +
+      "FROM pr GROUP BY 1, 2 ORDER BY 1, 2"
+  }
 
   /** Deterministic PII fixture: plant an email on every 3rd doc, an IPv4
     * on every 5th, a phone on every 7th (cumulative, so counts vary 0-3
@@ -728,6 +789,8 @@ object TrainingQueries {
        "for i in range(1, len(tk) + 1, 48) if i = 1 or i - 48 + 64 <= len(tk)] AS cs " +
        "FROM t) " +
        "SELECT doc_id, CAST(generate_subscripts(cs, 1) - 1 AS INT) AS chunk_idx, " +
-       "unnest(cs) AS chunk FROM c ORDER BY doc_id, chunk_idx")
+       "unnest(cs) AS chunk FROM c ORDER BY doc_id, chunk_idx"),
+
+    "q_classify_nb" -> nbOracleSql
   )
 }

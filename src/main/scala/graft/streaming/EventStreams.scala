@@ -135,6 +135,24 @@ object EventStreams {
     graft.operators.Sampling.applyTemperature(stream, rates, stratumCol,
       idCol, seed)
 
+  /** Streaming Gopher quality gate — the streaming shape of
+    * TextAnalysis.gopherRules: the eight table-A1 rules are pure
+    * scan-side regexp/token projections, so the twin is STATELESS (zero
+    * state-store operators, no watermark) and a micro-batch admits
+    * exactly the rows a batch backfill keeps (spec-asserted parity).
+    * Non-passing docs are dropped at ingest — the point of the gate is
+    * that a 100 TB crawl dies HERE, before anything stateful or
+    * shuffled sees it; the per-rule booleans ride along so a sink can
+    * report why survivors nearly died. */
+  def gopherStream(docs: DataFrame, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select((docs.columns.map(col).toSeq ++
+        graft.operators.TextAnalysis.gopherCols(
+          coalesce(col(textCol), lit("")), minWords, maxWords)): _*)
+      .filter(col("passes_gopher"))
+  }
+
   /** Streaming ingest curation — the admission filter of Curation.curate
     * for a document stream: the stateless scan-side gates (language ID +
     * quality signals, pure per-row projections) run per micro-batch, then

@@ -130,6 +130,55 @@ class QualitySelectionSpec extends SparkSpec {
       s"selected mean $selMean must exceed corpus mean $allMean")
   }
 
+  // ---------------------------------------------------------- naive Bayes
+
+  test("naive bayes: planted-marker labels are learned; confusion sums to n") {
+    // Vocabulary split by class: 'foo'-docs vs 'bar'-docs, one noise doc
+    // per class sharing tokens — NB must classify the clean docs right.
+    val docs = (0L until 30L).map { i =>
+      val l = if (i % 2 == 0) "x" else "y"
+      val t = if (i < 28) { if (l == "x") "foo foo baz" else "bar bar baz" }
+        else "baz baz baz"
+      (i, l, t)
+    }.toDF("doc_id", "lbl", "text")
+    val (scored, cleanup) = Classify.naiveBayesManaged(
+      docs, "doc_id", "lbl", "text", labels = Seq("x", "y"))
+    val rows = scored.collect()
+    cleanup()
+    assert(rows.length == 30)
+    val clean = rows.filter(_.getAs[Long]("doc_id") < 28)
+    assert(clean.forall(r => r.getAs[String]("pred") == r.getAs[String]("label")),
+      "class-split vocabulary must classify every clean doc correctly")
+    val conf = Classify.naiveBayesConfusion(docs, "doc_id", "lbl", "text",
+      labels = Seq("x", "y")).collect()
+    assert(conf.map(_.getAs[Long]("n")).sum == 30,
+      "confusion matrix must account for every doc")
+  }
+
+  test("naive bayes: scores are partition-invariant; OOV takes the alpha path") {
+    val docs = corpusDocs.select(col("doc_id"), col("lang"),
+      coalesce(col("text"), lit("")).as("text"))
+    val labels = Seq("de", "en", "es", "fr", "zh")
+    val (a, ca) = Classify.naiveBayesManaged(docs, "doc_id", "lang", "text",
+      labels, minCount = 2)
+    val (b, cb) = Classify.naiveBayesManaged(docs.repartition(13), "doc_id",
+      "lang", "text", labels, minCount = 2)
+    val ra = a.orderBy("doc_id").collect().toSeq
+    val rb = b.orderBy("doc_id").collect().toSeq
+    ca(); cb()
+    assert(ra == rb, "decimal-summed scores must not depend on partitioning")
+    // every prediction must be the first label (in `labels` order)
+    // achieving the row's max score — the when-chain argmax contract —
+    // including docs whose tokens are all OOV (below minCount)
+    ra.foreach { r =>
+      val scores = labels.map(l => l -> r.getAs[Double](s"score_$l"))
+      val best = scores.maxBy(_._2)._2
+      val expect = scores.find(_._2 == best).get._1
+      assert(r.getAs[String]("pred") == expect,
+        s"pred must be the tie-broken argmax, got $r")
+    }
+  }
+
   test("dsir: weights are partition-invariant and feature counts exact") {
     val base = corpusDocs
     val a = Dsir.importanceWeights(base, "doc_id", "text",

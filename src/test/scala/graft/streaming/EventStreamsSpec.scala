@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{coalesce, lit}
+import org.apache.spark.sql.functions.{coalesce, concat, lit, when}
 import org.apache.spark.sql.streaming.OutputMode
 
 class EventStreamsSpec extends SparkSpec {
@@ -357,6 +357,40 @@ class EventStreamsSpec extends SparkSpec {
         "stream must flag exactly the docs the batch report flags, " +
           "with identical distinct-collision counts")
       assert(streamed.count(!_._3) == corpus.size - batch.size)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the gate must run with zero state-store operators")
+    } finally q.stop()
+  }
+
+  test("gopherStream admits exactly the batch Gopher survivors, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the synthetic vocabulary carries only one Gopher stopword ('the'),
+    // so every doc fails rule 7; plant ' of and that' on half the docs so
+    // the fixture has both classes — parity is the contract under test
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .select($"doc_id",
+        when($"doc_id" % 2 === 0,
+          concat(coalesce($"text", lit("")), lit(" of and that")))
+          .otherwise(coalesce($"text", lit(""))).as("text"))
+    val batch = graft.operators.TextAnalysis
+      .gopherRules(docs, "doc_id", "text", minWords = 30, maxWords = 80)
+      .filter($"passes_gopher").select($"doc_id").as[Long].collect().toSet
+    val rows = docs.as[(Long, String)].collect()
+    assert(batch.nonEmpty && batch.size < rows.length,
+      "fixture must have both passing and failing docs")
+    val mem = MemoryStream[(Long, String)]
+    val q = gopherStream(mem.toDF().toDF("doc_id", "text"), "text",
+        minWords = 30, maxWords = 80)
+      .writeStream.format("memory").queryName("goph")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("goph").select($"doc_id").as[Long]
+        .collect().toSet
+      assert(streamed == batch,
+        "stream must admit exactly the docs the batch gate keeps")
       assert(q.lastProgress.stateOperators.isEmpty,
         "the gate must run with zero state-store operators")
     } finally q.stop()
