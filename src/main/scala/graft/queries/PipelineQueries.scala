@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.HeavyHitters
-import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, Joins, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis}
 import graft.tables.Tables
 
 /** SURVEY.md §2.2 — LLM-data-pipeline operators over the `documents`,
@@ -498,6 +498,26 @@ object PipelineQueries {
         .orderBy("user_id", "a_id", "b_id")
     }),
 
+    // fuzzy (edit-distance ≤ 1) join of perturbed part names back onto
+    // the part table: one deterministic 1-edit perturbation per probe
+    // (deletion / substitution / insertion by probe_id % 3); the Spark
+    // side runs the q-gram prefix-filtered join, the oracle runs BRUTE
+    // FORCE — equality proves the prefilter complete on this corpus
+    "q_fuzzy_join" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val probes = part.filter(col("p_partkey") % 97 === 1)
+        .select(col("p_partkey").as("probe_id"),
+          when(col("p_partkey") % 3 === 0, expr("substring(p_name, 2)"))
+            .when(col("p_partkey") % 3 === 1,
+              concat(lit("z"), expr("substring(p_name, 2)")))
+            .otherwise(concat(lit("z"), col("p_name"))).as("probe_name"))
+      Joins.fuzzyJoin(probes, part, "probe_id", "probe_name",
+          "p_partkey", "p_name", maxDist = 1, q = 3)
+        .select(col("lid").as("probe_id"), col("rid").as("p_partkey"),
+          col("ls").as("probe_name"), col("rs").as("p_name"), col("dist"))
+        .orderBy("probe_id", "p_partkey")
+    }),
+
     // semi-structured scan surface: the props column is JSON; extraction
     // runs per-row ON THE SCAN (no shuffle until the aggregate), the
     // schema-on-read shape a 100 TB event log with evolving properties
@@ -910,6 +930,20 @@ object PipelineQueries {
        "AND a.event_id < b.event_id " +
        "AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000 " +
        "ORDER BY a.user_id, a_id, b_id"),
+
+    // brute force on purpose: the oracle's cross join + levenshtein IS
+    // the ground truth the prefix-filtered operator must reproduce
+    "q_fuzzy_join" ->
+      ("WITH pr AS (SELECT p_partkey AS probe_id, " +
+       "CASE WHEN p_partkey % 3 = 0 THEN substr(p_name, 2) " +
+       "WHEN p_partkey % 3 = 1 THEN 'z' || substr(p_name, 2) " +
+       "ELSE 'z' || p_name END AS probe_name " +
+       "FROM part WHERE p_partkey % 97 = 1) " +
+       "SELECT probe_id, p_partkey, probe_name, p_name, " +
+       "CAST(levenshtein(probe_name, p_name) AS INT) AS dist " +
+       "FROM pr CROSS JOIN part " +
+       "WHERE levenshtein(probe_name, p_name) <= 1 " +
+       "ORDER BY probe_id, p_partkey"),
 
     "q_events_props" ->
       // CAST SUM to BIGINT: DuckDB SUM(BIGINT) is HUGEINT (float64 in the

@@ -30,6 +30,56 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyJoin equals brute force on random perturbed strings (property)") {
+    // small alphabet + short lengths force near-collisions, duplicate
+    // grams, and the short-string bucket (lengths 0..11 vs q up to 3)
+    val rnd = new scala.util.Random(20260813L)
+    val alpha = "abcde"
+    def randStr(n: Int): String =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def edit(s: String): String = rnd.nextInt(3) match {
+      case 0 if s.nonEmpty => // deletion
+        val i = rnd.nextInt(s.length); s.substring(0, i) + s.substring(i + 1)
+      case 1 => // insertion
+        val i = rnd.nextInt(s.length + 1)
+        s.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + s.substring(i)
+      case _ if s.nonEmpty => // substitution
+        val i = rnd.nextInt(s.length)
+        s.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + s.substring(i + 1)
+      case _ => s
+    }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val rights = (0 until 120).map(i => (i.toLong, randStr(rnd.nextInt(12))))
+    val lefts = (0 until 80).map { i =>
+      val base = rights(rnd.nextInt(rights.length))._2
+      (i.toLong, edit(edit(base)))
+    }
+    val lDf = lefts.toDF("id", "s")
+    val rDf = rights.toDF("id", "s")
+    for (d <- Seq(1, 2); q <- Seq(2, 3)) {
+      val got = Joins.fuzzyJoin(lDf, rDf, "id", "s", "id", "s", d, q)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (li, ls) <- lefts; (ri, rs) <- rights if lev(ls, rs) <= d
+      } yield (li, ri)).toSet
+      assert(got == want,
+        s"d=$d q=$q: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
