@@ -693,4 +693,58 @@ object Dedup {
       .filter(col("cos") >= tau)
       .orderBy("id_a", "id_b")
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): CLUSTER-restricted
+    * embedding dedup — k-means the corpus into `nlist` cells, search for
+    * cosine-≥-tau pairs only WITHIN each cell, take connected components
+    * and remove every member but one. The clustering-based candidate
+    * twin of the hashing-based [[embedPairsBanded]]: LSH bounds
+    * candidates probabilistically per pair, SemDeDup bounds them
+    * structurally per cell (Σ cellᵢ² comparisons — the paper's premise
+    * is nlist ≈ √n keeping cells near-constant). The kept member is the
+    * MINIMUM id (deterministic fixpoint of [[clusters]]); the paper's
+    * keep-farthest-from-centroid variant trades that determinism for a
+    * diversity heuristic the oracle could not reproduce.
+    *
+    * Scale posture: the codebook is the deterministic spherical k-means
+    * of Similarity.kmeansCodebook (bounded nlist×dim driver matrix, the
+    * broadcast-codebook shape); cell assignment is a scan-side argmax
+    * (ONE native vec_mat_cosines call); candidate pairs come from an
+    * equi-join on cell id — vectors shuffle ONCE keyed by cell, the
+    * plan has no cartesian/nested-loop — and exact cosine verifies.
+    * Cross-cell near-dup pairs are missed BY DESIGN (the paper's
+    * recall trade-off); at the planted-twin operating point (scaled
+    * copies, cosine exactly 1, identical scale-invariant cell argmax)
+    * recall is provably complete, which is where the oracle poses it.
+    *
+    * Returns (vec_id, cluster_id, removed) for every doc in a dup
+    * component; docs with no in-cell neighbor at tau are absent
+    * (implicitly kept). Input vectors must be re-derivable cheaply —
+    * the codebook/assignment scans execute the plan several times;
+    * persist expensive upstreams first (kmeansCodebook discipline). */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String, tau: Double,
+               nlist: Int = 16, kmeansIters: Int = 2,
+               seed: Long = 42L): DataFrame = {
+    require(nlist >= 1 && kmeansIters >= 0,
+      s"need nlist >= 1 and kmeansIters >= 0, got ($nlist, $kmeansIters)")
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val codebook = Similarity.kmeansCodebook(e, nlist, kmeansIters, seed)
+    val cells = e
+      .withColumn("sims", GraftFunctions.vec_mat_cosines(col("v"), codebook))
+      .withColumn("cell", expr("array_position(sims, array_max(sims))").cast("int"))
+      .select("cell", "vid", "v", "nrm")
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= tau)
+    clusters(pairs, "id_a", "id_b", outCol = "vec_id")
+      .withColumn("removed", col("vec_id") =!= col("cluster_id"))
+      .orderBy("vec_id")
+  }
 }

@@ -249,6 +249,21 @@ object PipelineQueries {
         tau = 0.995, tables = 8)
     }),
 
+    // SemDeDup (Abbas et al. 2023): the clustering-based candidate twin
+    // of the LSH path, same planted corpus and operating point — scaled
+    // copies sit at cosine exactly 1 and share their original's cell
+    // (scale-invariant argmax), so cell-restricted search is provably
+    // complete here and the removal set equals the brute-force
+    // components the oracle computes
+    "q_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = e.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5d)).as("embedding"))
+      Dedup.semDedup(e.union(planted), "vec_id", "embedding",
+        tau = 0.995, nlist = 16)
+    }),
+
     "q_ann_topk" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
@@ -762,6 +777,27 @@ object PipelineQueries {
        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * " +
        "sqrt(list_dot_product(b.v, b.v))) AS cos FROM e a JOIN e b " +
        "ON a.vec_id < b.vec_id) WHERE cos >= 0.995 ORDER BY id_a, id_b"),
+
+    // brute-force pairs + recursive-CTE components + min-id keep rule:
+    // the ground truth the cell-restricted operator must reproduce at
+    // the planted operating point
+    "q_semdedup" ->
+      ("WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+       "FROM embeddings " +
+       "UNION ALL SELECT vec_id + 100000, [x * 1.5 FOR x IN CAST(embedding AS DOUBLE[])] " +
+       "FROM embeddings), " +
+       "pr AS (SELECT id_a, id_b FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+       "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * " +
+       "sqrt(list_dot_product(b.v, b.v))) AS cos FROM e a JOIN e b " +
+       "ON a.vec_id < b.vec_id) WHERE cos >= 0.995), " +
+       "edges AS (SELECT id_a AS s, id_b AS d FROM pr " +
+       "UNION ALL SELECT id_b, id_a FROM pr), " +
+       "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+       "r AS (SELECT id, id AS lab FROM nodes " +
+       "UNION SELECT e2.s, r.lab FROM edges e2 JOIN r ON r.id = e2.d), " +
+       "lab AS (SELECT id, min(lab) AS cluster_id FROM r GROUP BY id) " +
+       "SELECT id AS vec_id, cluster_id, id != cluster_id AS removed " +
+       "FROM lab ORDER BY vec_id"),
 
     "q_ann_topk" ->
       ("SELECT query_id, rank, neighbor_id, cos FROM (" +

@@ -216,6 +216,32 @@ class DedupSpec extends SparkSpec {
     assert(banded == exact)
   }
 
+  test("semDedup removes exactly one of each planted twin, keeping the min id") {
+    val e = graft.tables.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = e.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.5d)).as("embedding"))
+    val out = Dedup.semDedup(e.union(planted), "vec_id", "embedding",
+      tau = 0.995, nlist = 8).collect()
+    val n = e.count()
+    // every doc sits in exactly one twin component {i, i+100000}: the
+    // original is kept (min id), the scaled copy removed
+    assert(out.length == 2 * n, s"expected ${2 * n} component members")
+    val (removed, kept) = out.partition(_.getAs[Boolean]("removed"))
+    assert(kept.length == n && removed.length == n)
+    assert(removed.forall(_.getAs[Long]("vec_id") >= 100000L),
+      "only the scaled copies may be removed")
+    assert(kept.forall(r =>
+      r.getAs[Long]("vec_id") == r.getAs[Long]("cluster_id")),
+      "the kept member must be the component's min id")
+    // cell restriction really restricts: the pair join is an equi-join,
+    // never a cartesian/nested-loop over the corpus
+    val plan = Dedup.semDedup(e.union(planted), "vec_id", "embedding",
+      tau = 0.995, nlist = 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join in plan:\n$plan")
+  }
+
   test("exact embed pairs refuse a corpus above the cartesian guard") {
     val e = (1L to 50L).map(i => (i, Array(i.toFloat, 1.0f)))
       .toDF("vec_id", "embedding")
