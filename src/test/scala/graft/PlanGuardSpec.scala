@@ -94,6 +94,28 @@ class PlanGuardSpec extends SparkSpec {
       s"q_dsir_weights reads unpruned schema: ${readCols(p)}")
   }
 
+  test("r9-late additions keep their scale shapes") {
+    // NB scoring: the size-gated vocabulary must BROADCAST onto the
+    // token stream (a sort-merge join would shuffle every token
+    // occurrence by token), and the documents scan reads only
+    // (doc_id, lang, text)
+    val nb = plan("q_classify_nb")
+    assert(nb.contains("BroadcastHashJoin"),
+      s"q_classify_nb lost the vocabulary broadcast\n$nb")
+    assert(!nb.contains("SortMergeJoin"),
+      s"q_classify_nb degraded to a sort-merge join\n$nb")
+    assert(readCols(nb).forall(_.size <= 3),
+      s"q_classify_nb reads unpruned schema: ${readCols(nb)}")
+    // fuzzy join: every part scan reads only (p_partkey, p_name) — the
+    // one CartesianProduct in the plan is the bounded short-string
+    // bucket (empty on this fixture), not the candidate path, which
+    // DedupSpec-style equi-joins on grams
+    val fz = plan("q_fuzzy_join")
+    assert(readCols(fz).forall(_.size <= 2),
+      s"q_fuzzy_join reads unpruned schema: ${readCols(fz)}")
+    // (q_semdedup's no-cartesian pair join is asserted in DedupSpec)
+  }
+
   test("dimension joins broadcast (no SortMergeJoin in q3_topk)") {
     val p = plan("q3_topk")
     assert(p.contains("BroadcastHashJoin"),
