@@ -24,6 +24,44 @@ object Events {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col(typeCol), col("n_events"), col("sum_value"))
 
+  /** HOPPING (sliding) window aggregate — tumbling's overlapping twin:
+    * counts and exact-decimal sums per (window, event_type) for windows
+    * of `width` starting every `slide`. Spark's `window()` emits each
+    * event into width/slide windows scan-side (a bounded generate, no
+    * self-join); the aggregation partial-combines map-side exactly like
+    * [[tumblingAgg]] — one shuffle of (window, type) grouped rows. The
+    * dashboard shape for "hourly stats refreshed every 15 min". */
+  def hoppingAgg(events: DataFrame, ts: String, typeCol: String,
+                 valueCol: String, width: String, slide: String): DataFrame =
+    events.groupBy(window(col(ts), width, slide), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(Dec)).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col(typeCol), col("n_events"), col("sum_value"))
+
+  /** Equi-width histogram of `valueCol` per `typeCol` group: `nbins`
+    * buckets over [lo, hi), out-of-range values clamped into the edge
+    * buckets (the monitoring convention — a spike off the charts still
+    * shows at the edge). Bucket assignment is scan-side integer math on
+    * the raw double (floor((v−lo)/binWidth), one correctly-rounded IEEE
+    * op sequence — deterministic across engines); ONE partial-agg
+    * groupBy shuffles at most |types|·nbins grouped rows regardless of
+    * corpus size. Empty buckets are absent (a dense axis is a bounded
+    * client-side concern, not a cluster job). */
+  def histogram(events: DataFrame, typeCol: String, valueCol: String,
+                lo: Double, hi: Double, nbins: Int): DataFrame = {
+    require(nbins >= 1 && hi > lo,
+      s"need nbins >= 1 and hi > lo, got ($nbins, [$lo, $hi))")
+    val binWidth = (hi - lo) / nbins
+    val raw = floor((col(valueCol) - lo) / binWidth).cast("long")
+    val bucket = least(greatest(raw, lit(0L)), lit(nbins - 1L))
+    events.groupBy(col(typeCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(Dec)).cast("double").as("sum_value"))
+      .withColumn("bin_lo", lit(lo) + col("bucket") * binWidth)
+      .orderBy(typeCol, "bucket")
+  }
+
   /** Trailing time-range rolling aggregate: for every event, the count and
     * exact-decimal sum of `valueCol` over the SAME USER's events in the
     * last `windowSeconds` (inclusive of the current event and of peers at

@@ -379,6 +379,19 @@ object PipelineQueries {
       Events.tumblingAgg(Tables.events(s, d), "ts", "event_type", "value", "1 hour")
         .orderBy("win_start", "event_type")),
 
+    // hopping twin of the tumbling window: hourly stats sliding every
+    // 15 min — each event lands in exactly width/slide = 4 windows
+    "q_events_hopping" -> ((s, d) =>
+      Events.hoppingAgg(Tables.events(s, d), "ts", "event_type", "value",
+        width = "1 hour", slide = "15 minutes")
+        .orderBy("win_start", "event_type")),
+
+    // per-type equi-width histogram over [0, 450) in 9 bins: values to
+    // 490 exist, so the hi-edge clamp branch is driver-visible
+    "q_events_hist" -> ((s, d) =>
+      Events.histogram(Tables.events(s, d), "event_type", "value",
+        lo = 0.0, hi = 450.0, nbins = 9)),
+
     "q_events_sessionize" -> ((s, d) =>
       Events.sessionize(Tables.events(s, d), "user_id", "ts", "event_id",
         gapSeconds = 21600L)),
@@ -891,6 +904,29 @@ object PipelineQueries {
        "event_type, COUNT(*) AS n_events, " +
        "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value " +
        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // each event belongs to the 4 slide-grid starts in (ts-1h, ts]:
+    // s_i = floor(us/900e6)*900e6 - i*900e6, i = 0..3 — integer micros,
+    // no double epochs (Events.rolling discipline)
+    "q_events_hopping" ->
+      ("WITH w AS (SELECT event_type, value, " +
+       "make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000 " +
+       "- i * 900000000) AS ws " +
+       "FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS i)) " +
+       "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, " +
+       "COUNT(*) AS n_events, " +
+       "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value " +
+       "FROM w GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // same clamp-into-edge-buckets integer math; bin_lo mirrors the
+    // identical double op order (lo + bucket * binWidth)
+    "q_events_hist" ->
+      ("SELECT event_type, bucket, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value, " +
+       "0e0 + bucket * 50e0 AS bin_lo FROM (" +
+       "SELECT event_type, value, " +
+       "least(greatest(CAST(floor((value - 0e0) / 50e0) AS BIGINT), 0), 8) AS bucket " +
+       "FROM events) GROUP BY event_type, bucket ORDER BY event_type, bucket"),
 
     "q_events_sessionize" ->
       ("WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events), " +

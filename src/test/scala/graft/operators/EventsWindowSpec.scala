@@ -9,6 +9,35 @@ class EventsWindowSpec extends SparkSpec {
 
   private def ev = Tables.events(spark, sf())
 
+  test("hopping windows emit each event into exactly width/slide windows") {
+    val ev = Tables.events(spark, sf())
+    val n = ev.count()
+    val hop = Events.hoppingAgg(ev, "ts", "event_type", "value",
+      width = "1 hour", slide = "15 minutes")
+    assert(hop.agg(sum("n_events")).head().getLong(0) == 4 * n,
+      "every event must land in 4 hourly windows on the 15-min grid")
+    // the tumbling aggregate is the slide == width degenerate case
+    val tum = Events.tumblingAgg(ev, "ts", "event_type", "value", "1 hour")
+      .collect().toSet
+    val hop2 = Events.hoppingAgg(ev, "ts", "event_type", "value",
+      "1 hour", "1 hour").collect().toSet
+    assert(hop2 == tum, "slide == width must equal the tumbling aggregate")
+  }
+
+  test("histogram clamps out-of-range values into the edge buckets") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", -5.0), ("a", 0.0), ("a", 49.9), ("a", 50.0), ("a", 449.9),
+      ("a", 450.0), ("a", 9999.0)).toDF("event_type", "value")
+    val h = Events.histogram(ev, "event_type", "value",
+        lo = 0.0, hi = 450.0, nbins = 9)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    // -5 clamps into bucket 0; 450 and 9999 into bucket 8
+    assert(h(0L) == 3 && h(1L) == 1 && h(8L) == 3,
+      s"unexpected bucket counts: $h")
+    assert(h.values.sum == 7, "every row must land in exactly one bucket")
+  }
+
   test("rolling matches a brute-force self-join on a small slice") {
     val slice = ev.filter(col("user_id") < 20)
     val got = Events.rolling(slice, "user_id", "ts", "value", 3600L)
