@@ -53,4 +53,32 @@ object Cdc {
       df.withColumn(c, col(s"__p.$c"))
     }.drop("__v", "__p")
   }
+
+  /** SCD Type 2 — the warehouse twin of [[latestByKey]]: instead of
+    * keeping only the latest record, EVERY change becomes a version row
+    * with a validity interval. `valid_from` is the change's own
+    * timestamp; `valid_to` is the NEXT change's timestamp for the same
+    * key (exclusive upper bound, the half-open-interval convention an
+    * as-of lookup needs); the newest version has null `valid_to` and
+    * `is_current = true`.
+    *
+    * One `lead()` window per key — a single shuffle on the key columns,
+    * partitions bounded by per-key history length (per-key CDC history
+    * is operationally bounded; a key with a truly unbounded history is
+    * the pathology the compaction op exists to prevent). `orderCols`
+    * decides version order and should end in a unique tiebreaker, same
+    * contract as [[latestByKey]]'s versionCols. Emits epoch MICROS for
+    * the bounds (integer-exact; formatting is the caller's concern). */
+  def scdType2(log: DataFrame, keyCols: Seq[String], tsCol: String,
+               orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "keyCols and orderCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    log
+      .withColumn("valid_from_us", unix_micros(col(tsCol)))
+      .withColumn("valid_to_us", lead(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
 }

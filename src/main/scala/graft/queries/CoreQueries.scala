@@ -541,7 +541,17 @@ object CoreQueries {
         .select(col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           col("event_id"), col("event_type"), col("value"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // SCD Type 2: every change becomes a version row with a half-open
+    // [valid_from, valid_to) interval; newest version is_current. One
+    // lead() window per key (operators/Cdc.scala:scdType2)
+    "q_scd2" -> ((s, d) =>
+      Cdc.scdType2(Tables.events(s, d), Seq("user_id"), "ts",
+          Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+        .orderBy("user_id", "valid_from_us", "event_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -817,6 +827,15 @@ object CoreQueries {
        "event_type, value, ROW_NUMBER() OVER (PARTITION BY user_id " +
        "ORDER BY t DESC, event_id DESC) AS rn FROM events) " +
        "SELECT user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS ts_s, event_id, " +
-       "event_type, value FROM x WHERE rn = 1 ORDER BY user_id")
+       "event_type, value FROM x WHERE rn = 1 ORDER BY user_id"),
+
+    "q_scd2" ->
+      ("WITH x AS (SELECT user_id, event_id, value, " +
+       "epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us, " +
+       "lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id " +
+       "ORDER BY ts, event_id) AS valid_to_us FROM events) " +
+       "SELECT user_id, event_id, value, valid_from_us, valid_to_us, " +
+       "valid_to_us IS NULL AS is_current FROM x " +
+       "ORDER BY user_id, valid_from_us, event_id")
   )
 }

@@ -38,4 +38,21 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Hive-style DIRECTORY partitioning — the pruning-side half of the
+    * layout story (bucketing kills the join shuffle; partitioning kills
+    * the SCAN): rows land in `path/<col>=<value>/` directories, and a
+    * later filter on the partition column prunes whole directories at
+    * PLANNING time (`PartitionFilters` in the scan node) — the bytes of
+    * non-matching partitions are never opened, unlike a row-group
+    * `PushedFilters` which still reads footers. The 100 TB convention:
+    * partition by the coarse always-filtered dimensions (date, lang,
+    * source — low cardinality, or the small-files problem replaces the
+    * scan problem), bucket by the high-cardinality join key. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write.format("parquet").mode("overwrite")
+      .partitionBy(partitionCols: _*).save(path)
+  }
 }

@@ -32,6 +32,33 @@ class CdcSpec extends SparkSpec {
     assert(out == Seq((7L, 1, 5, "aaa")))
   }
 
+  test("scdType2 intervals tile each key's timeline; current row = latestByKey") {
+    val ev = graft.tables.Tables.events(spark, sf())
+    val scd = Cdc.scdType2(ev, Seq("user_id"), "ts", Seq("ts", "event_id"))
+      .select($"user_id", $"event_id", $"valid_from_us", $"valid_to_us",
+        $"is_current")
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect()
+    val byUser = scd.groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      // half-open intervals tile: each valid_to equals the next
+      // version's valid_from; only the last is open-ended/current
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4.contains(b._3), s"user $u: gap between $a and $b")
+        assert(!a._5, s"user $u: non-final row marked current: $a")
+      }
+      assert(sorted.last._4.isEmpty && sorted.last._5,
+        s"user $u: final version must be open-ended and current")
+    }
+    // the current rows are exactly the SCD-1 compaction winners
+    val current = scd.filter(_._5).map(r => r._1 -> r._2).toMap
+    val latest = Cdc.latestByKey(ev, Seq("user_id"), Seq("ts", "event_id"),
+        Seq("value")).select($"user_id", $"event_id")
+      .as[(Long, Long)].collect().toMap
+    assert(current == latest,
+      "is_current rows must equal the latestByKey winners")
+  }
+
   test("latestByKey plan is a partial-aggregated groupBy, not a window sort") {
     val log = (1 to 1000).map(i => (i % 10L, i, s"p$i")).toDF("key", "seq", "val")
     val df = Cdc.latestByKey(log, Seq("key"), Seq("seq"), Seq("val"))

@@ -62,4 +62,32 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_orders_agg")
     }
   }
+
+  test("directory partitioning prunes non-matching partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("part_prune").toString
+    val docs = Tables.documents(spark, sf())
+    Bucketing.writePartitioned(docs, dir, Seq("lang"))
+    val back = spark.read.parquet(dir)
+    val filtered = back.filter(col("lang") === "de")
+    // the lang predicate must land in PartitionFilters (directory-level
+    // pruning), NOT survive as a data filter over all partitions
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "lang")),
+      s"lang filter not in PartitionFilters: ${scan.partitionFilters}")
+    // pruning changed the read set — the scan's numFiles metric counts
+    // only the lang=de directory — and not the answer. collect() through
+    // the SAME plan instance the scan was captured from, so its metrics
+    // populate
+    assert(filtered.collect().length ==
+      docs.filter(col("lang") === "de").count())
+    val deFiles = new java.io.File(dir, "lang=de").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val allFiles = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val read = scan.metrics("numFiles").value
+    assert(read == deFiles && deFiles < allFiles,
+      s"scan read $read files; lang=de holds $deFiles of $allFiles")
+  }
 }
