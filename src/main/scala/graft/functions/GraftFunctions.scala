@@ -43,6 +43,15 @@ object GraftExtensions {
       // decoded once at resolution (vec_mat_cosines pattern)
       (FunctionIdentifier("dsir_score"), info(classOf[DsirScore], "dsir_score"),
         (es: Seq[Expression]) => DsirScore(es.head, DsirScore.fromLiteral(es(1)))),
+      // the NB model arrives as four foldable array literals (vocab,
+      // per-token lambda micros, OOV row, priors), decoded once at
+      // resolution into the expression's reference-object hash map
+      (FunctionIdentifier("nb_scores"), info(classOf[NbScores], "nb_scores"),
+        (es: Seq[Expression]) => NbScores(es.head,
+          NbScores.fromStringLiteral(es(1)),
+          NbScores.fromNestedLongLiteral(es(2)),
+          NbScores.fromLongLiteral(es(3)),
+          NbScores.fromLongLiteral(es(4)))),
       (FunctionIdentifier("word_chunks"), info(classOf[WordChunks], "word_chunks"),
         (es: Seq[Expression]) => WordChunks(es.head,
           es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
@@ -102,6 +111,13 @@ object GraftFunctions {
     call_function("word_shingles", text, org.apache.spark.sql.functions.lit(w))
   def word_ngrams(text: Column, n: Int): Column =
     call_function("word_ngrams", text, org.apache.spark.sql.functions.lit(n))
+  def nb_scores(toks: Column, vocab: Seq[String], lam: Seq[Seq[Long]],
+                oov: Seq[Long], prior: Seq[Long]): Column =
+    call_function("nb_scores", toks,
+      org.apache.spark.sql.functions.typedLit(vocab),
+      org.apache.spark.sql.functions.typedLit(lam),
+      org.apache.spark.sql.functions.typedLit(oov),
+      org.apache.spark.sql.functions.typedLit(prior))
   def dsir_score(feats: Column, lamMicros: Seq[Long]): Column =
     call_function("dsir_score", feats,
       org.apache.spark.sql.functions.typedLit(lamMicros))

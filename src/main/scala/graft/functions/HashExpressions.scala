@@ -361,6 +361,91 @@ object DsirScoreImpl {
   }
 }
 
+/** Per-label naive-Bayes scores from a frozen model snapshot
+  * (Classify.modelSnapshotMicros): for ARRAY<STRING> tokens, returns
+  * ARRAY<DOUBLE> of |labels| scores — log-prior plus the sum of
+  * per-token log-likelihood micros (exact long accumulation, one final
+  * double rounding), so the result equals the batch op's decimal sums
+  * BIT-FOR-BIT. The vocabulary rides as ONE reference-object hash map
+  * keyed by UTF8String (no per-token String allocation); OOV tokens
+  * take the α row. One token walk, pure scan-side — the streaming
+  * admission-router probe (EventStreams.nbStream). */
+case class NbScores(child: Expression, vocab: Array[String],
+                    lam: Array[Array[Long]], oov: Array[Long],
+                    prior: Array[Long])
+    extends UnaryExpression {
+  require(vocab.length == lam.length &&
+    lam.forall(_.length == prior.length) && oov.length == prior.length,
+    s"inconsistent NB model shapes: vocab ${vocab.length}, " +
+    s"lam ${lam.length}, oov ${oov.length}, prior ${prior.length}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nb_scores expects ARRAY<STRING>, got ${t.sql}")
+  }
+  // built once on the driver, shipped to executors inside the plan's
+  // reference array (vec_mat_cosines pattern)
+  private val table: java.util.HashMap[UTF8String, Array[Long]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Long]](vocab.length * 2)
+    var i = 0
+    while (i < vocab.length) {
+      m.put(UTF8String.fromString(vocab(i)), lam(i))
+      i += 1
+    }
+    m
+  }
+  override def nullSafeEval(input: Any): Any =
+    NbScoresImpl.compute(input.asInstanceOf[ArrayData], table, oov, prior)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tabRef = ctx.addReferenceObj("graftNbTable", table,
+      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, long[]>")
+    val oovRef = ctx.addReferenceObj("graftNbOov", oov, "long[]")
+    val priRef = ctx.addReferenceObj("graftNbPrior", prior, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NbScoresImpl.compute($c, $tabRef, $oovRef, $priRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NbScores =
+    copy(child = newChild)
+  override def prettyName: String = "nb_scores"
+}
+
+object NbScores {
+  def fromStringLiteral(e: Expression): Array[String] = {
+    val a = e.eval().asInstanceOf[ArrayData]
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toArray
+  }
+  def fromLongLiteral(e: Expression): Array[Long] =
+    e.eval().asInstanceOf[ArrayData].toLongArray()
+  def fromNestedLongLiteral(e: Expression): Array[Array[Long]] = {
+    val a = e.eval().asInstanceOf[ArrayData]
+    (0 until a.numElements()).map(i => a.getArray(i).toLongArray()).toArray
+  }
+}
+
+object NbScoresImpl {
+  def compute(toks: ArrayData,
+              table: java.util.HashMap[UTF8String, Array[Long]],
+              oov: Array[Long], prior: Array[Long]): ArrayData = {
+    val L = prior.length
+    val acc = prior.clone()
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      var row = if (t == null) oov else table.get(t)
+      if (row == null) row = oov
+      var l = 0
+      while (l < L) { acc(l) += row(l); l += 1 }
+      i += 1
+    }
+    val out = new Array[Double](L)
+    var l = 0
+    while (l < L) { out(l) = acc(l).toDouble / 1e6; l += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object SimHash64Impl {
   /** FNV-1a offset basis (the standard one — part 0 of the wide variant). */
   val Basis = 0xcbf29ce484222325L

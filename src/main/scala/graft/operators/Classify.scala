@@ -108,6 +108,59 @@ object Classify {
       () => { counts.unpersist(blocking = true); () })
   }
 
+  /** The FROZEN model snapshot for scan-side/streaming re-scoring (the
+    * Dsir.lambdaSnapshotMicros pattern): per-vocab-token per-label
+    * log-likelihoods, the OOV row, and the log-priors, all as 6-decimal
+    * micros. The driver-side arithmetic replays the batch Column ops
+    * step for step (same double op order, same Math.log, same HALF_UP
+    * 6dp quantization), so scores from the snapshot match the batch
+    * decimal sums bit-for-bit (spec-asserted). The collect is gated at
+    * `maxVocab` rows — the legitimately-bounded codebook shape; an
+    * unexpectedly huge vocabulary fails loudly instead of OOMing the
+    * driver. */
+  case class NbModelMicros(labels: Seq[String], vocab: Array[String],
+                           lam: Array[Array[Long]], oov: Array[Long],
+                           prior: Array[Long])
+
+  def modelSnapshotMicros(docs: DataFrame, idCol: String, labelCol: String,
+                          textCol: String, labels: Seq[String],
+                          alpha: Double = 1.0, minCount: Long = 1,
+                          maxVocab: Int = 1000000): NbModelMicros = {
+    require(labels.nonEmpty && alpha > 0 && minCount >= 1,
+      s"bad snapshot params ($labels, $alpha, $minCount)")
+    val toks = docs.select(col(labelCol).as("__lbl"),
+      explode(TextOps.tokens(coalesce(col(textCol), lit("")))).as("tok"))
+    val counts = toks.groupBy("tok")
+      .agg(count(lit(1)).as("c_all"),
+        labels.map(l => sum(when(col("__lbl") === l, 1L).otherwise(0L))
+          .as(s"c_$l")): _*)
+      .filter(col("c_all") >= minCount)
+      .limit(maxVocab + 1)
+      .collect()
+    require(counts.length <= maxVocab,
+      s"vocabulary exceeds the $maxVocab-row snapshot gate; " +
+      "raise maxVocab deliberately or raise minCount")
+    def micros(d: Double): Long =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    val v = counts.length.toLong
+    val tot = labels.map(l => counts.map(_.getAs[Long](s"c_$l")).sum).toArray
+    def lamOf(c: Long, li: Int): Long =
+      micros(math.log((c + alpha) / (tot(li) + alpha * (v + 1))))
+    val vocab = counts.map(_.getAs[String]("tok"))
+    val lam = counts.map(r => labels.indices.map(li =>
+      lamOf(r.getAs[Long](s"c_${labels(li)}"), li)).toArray)
+    val oov = labels.indices.map(li => lamOf(0L, li)).toArray
+    val priRow = docs.agg(count(lit(1)).as("n"),
+      labels.map(l => sum(when(col(labelCol) === l, 1L).otherwise(0L))
+        .as(s"n_$l")): _*).head()
+    val n = priRow.getAs[Long]("n")
+    val prior = labels.map(l =>
+      micros(math.log(priRow.getAs[Long](s"n_$l").toDouble / n))).toArray
+    NbModelMicros(labels, vocab, lam, oov, prior)
+  }
+
   /** Confusion matrix of [[naiveBayesManaged]]: (true_label, pred_label,
     * n) — bounded at |labels|² rows, the router's acceptance report. */
   def naiveBayesConfusion(docs: DataFrame, idCol: String, labelCol: String,

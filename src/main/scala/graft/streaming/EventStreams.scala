@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -245,6 +245,39 @@ object EventStreams {
       .withColumn("n_feats", size(feats).cast("long"))
       .withColumn("log_weight",
         graft.functions.GraftFunctions.dsir_score(feats, lamMicros.toSeq))
+  }
+
+  /** Streaming naive-Bayes admission router — the streaming shape of
+    * Classify: the frozen model snapshot (Classify.modelSnapshotMicros —
+    * a live stream has no stable class statistics to fit, the
+    * dsirStream/temperatureStream rationale) is compiled into ONE native
+    * `nb_scores` probe per document, so the per-label scores equal the
+    * batch op's decimal sums BIT-FOR-BIT (exact long-micros
+    * accumulation; spec asserts score and prediction equality) as a
+    * pure scan-side projection: zero streaming state, no explode, no
+    * join. Emits score_<label> columns + `pred` (argmax, ties to the
+    * first label — the batch when-chain rule); callers route or drop on
+    * it at ingest. */
+  def nbStream(stream: DataFrame,
+               model: graft.operators.Classify.NbModelMicros,
+               textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(stream.sparkSession)
+    val labels = model.labels
+    val toks = graft.operators.TextOps.tokens(coalesce(col(textCol), lit("")))
+    val scored = stream.withColumn("__sc",
+      graft.functions.GraftFunctions.nb_scores(toks, model.vocab.toSeq,
+        model.lam.map(_.toSeq).toSeq, model.oov.toSeq, model.prior.toSeq))
+    val withScores = labels.zipWithIndex.foldLeft(scored) {
+      case (df, (l, i)) =>
+        df.withColumn(s"score_$l", element_at(col("__sc"), i + 1))
+    }
+    val pred = labels.foldRight(lit(labels.last): Column) { case (l, rest) =>
+      val ge = labels.filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o"))
+        .foldLeft(lit(true): Column)(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+    withScores.drop("__sc").withColumn("pred", pred)
   }
 
   /** Streaming anomaly gate — the streaming shape of Events.anomalies:

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{coalesce, concat, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, lit, when}
 import org.apache.spark.sql.streaming.OutputMode
 
 class EventStreamsSpec extends SparkSpec {
@@ -423,6 +423,43 @@ class EventStreamsSpec extends SparkSpec {
         .map(t => t._1 -> ((t._2, t._3))).toMap
       assert(streamed == batch,
         "stream scores must equal the batch decimal-summed weights exactly")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "scoring must run with zero state-store operators")
+    } finally q.stop()
+  }
+
+  test("nbStream scores and routes bit-for-bit like the batch classifier, " +
+       "statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val labels = Seq("de", "en", "es", "fr", "zh")
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .select($"doc_id", $"lang", coalesce($"text", lit("")).as("text"))
+    val model = graft.operators.Classify.modelSnapshotMicros(
+      docs, "doc_id", "lang", "text", labels, minCount = 2)
+    val (batchDf, cleanup) = graft.operators.Classify.naiveBayesManaged(
+      docs, "doc_id", "lang", "text", labels, minCount = 2)
+    val batch = batchDf.select(
+        ($"doc_id" +: $"pred" +: labels.map(l => col(s"score_$l"))): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), labels.indices.map(i => r.getDouble(2 + i)))))
+      .toMap
+    cleanup()
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = nbStream(mem.toDF().toDF("doc_id", "text"), model, "text")
+      .writeStream.format("memory").queryName("nbs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("nbs").select(
+          (col("doc_id") +: col("pred") +: labels.map(l => col(s"score_$l"))): _*)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), labels.indices.map(i => r.getDouble(2 + i)))))
+        .toMap
+      assert(streamed == batch,
+        "stream scores and predictions must equal the batch classifier exactly")
       assert(q.lastProgress.stateOperators.isEmpty,
         "scoring must run with zero state-store operators")
     } finally q.stop()
