@@ -138,6 +138,30 @@ object Events {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * (prev_type, next_type, n, p) where p = n / Σ_next n — the
+    * what-happens-after report (and the input to next-event prediction
+    * / funnel discovery). One lag window per user (single shuffle,
+    * user-bounded partitions — the [[deltas]] layer), then a partial-agg
+    * count onto |types|² rows; the row-probability normalizer is a
+    * window over the GROUPED rows (cardinality-bounded, the
+    * mixtureWeights pattern). A user's first event has no predecessor
+    * and is excluded (no null-state row). p is int/int double division
+    * rounded 6dp on both engines. */
+  def transitions(events: DataFrame, userCol: String, ts: String,
+                  typeCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(ts), col(tieBreak))
+    events
+      .select(col(typeCol).as("next_type"),
+        lag(col(typeCol), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Z-score anomaly flags: events whose value deviates more than
     * `threshold` standard deviations from their TYPE's mean. The per-type
     * mean/std come from exact DECIMAL sufficient statistics (Σv, Σv² —

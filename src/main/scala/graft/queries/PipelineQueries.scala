@@ -386,6 +386,12 @@ object PipelineQueries {
         width = "1 hour", slide = "15 minutes")
         .orderBy("win_start", "event_type")),
 
+    // first-order Markov transition matrix over per-user sequences:
+    // the what-happens-after report, |types|^2-bounded output
+    "q_events_transitions" -> ((s, d) =>
+      Events.transitions(Tables.events(s, d), "user_id", "ts",
+        "event_type", "event_id")),
+
     // per-type equi-width histogram over [0, 450) in 9 bins: values to
     // 490 exist, so the hi-edge clamp branch is driver-visible
     "q_events_hist" -> ((s, d) =>
@@ -924,6 +930,18 @@ object PipelineQueries {
        "COUNT(*) AS n_events, " +
        "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value " +
        "FROM w GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // lag over (ts, event_id) mirrors the Spark window; first events
+    // drop out via prev IS NOT NULL; p = n/rowsum rounded 6dp
+    "q_events_transitions" ->
+      ("WITH s AS (SELECT event_type AS next_type, " +
+       "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+       "AS prev_type FROM events), " +
+       "c AS (SELECT prev_type, next_type, count(*) AS n FROM s " +
+       "WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+       "SELECT prev_type, next_type, n, " +
+       "round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p " +
+       "FROM c ORDER BY prev_type, next_type"),
 
     // same clamp-into-edge-buckets integer math; bin_lo mirrors the
     // identical double op order (lo + bucket * binWidth)

@@ -38,6 +38,20 @@ class EventsWindowSpec extends SparkSpec {
     assert(h.values.sum == 7, "every row must land in exactly one bucket")
   }
 
+  test("transitions count every non-first event once; rows sum to p=1") {
+    val ev = Tables.events(spark, sf())
+    val t = Events.transitions(ev, "user_id", "ts", "event_type", "event_id")
+      .collect()
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(t.map(_.getAs[Long]("n")).sum == nEvents - nUsers,
+      "each user's first event has no predecessor; all others transition")
+    t.groupBy(_.getAs[String]("prev_type")).foreach { case (pt, rows) =>
+      val psum = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"row $pt sums to $psum")
+    }
+  }
+
   test("rolling matches a brute-force self-join on a small slice") {
     val slice = ev.filter(col("user_id") < 20)
     val got = Events.rolling(slice, "user_id", "ts", "value", 3600L)

@@ -179,6 +179,17 @@ class QualitySelectionSpec extends SparkSpec {
     }
   }
 
+  test("naive bayes: the model snapshot gate refuses an oversized vocabulary") {
+    val docs = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "x" else "y",
+        s"w${i}a w${i}b w${i}a w${i}b w${i}c w${i}c"))
+      .toDF("doc_id", "lbl", "text")
+    intercept[IllegalArgumentException] {
+      Classify.modelSnapshotMicros(docs, "doc_id", "lbl", "text",
+        Seq("x", "y"), maxVocab = 10)
+    }
+  }
+
   test("dsir: weights are partition-invariant and feature counts exact") {
     val base = corpusDocs
     val a = Dsir.importanceWeights(base, "doc_id", "text",
