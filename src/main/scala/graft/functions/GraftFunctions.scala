@@ -52,6 +52,9 @@ object GraftExtensions {
           NbScores.fromNestedLongLiteral(es(2)),
           NbScores.fromLongLiteral(es(3)),
           NbScores.fromLongLiteral(es(4)))),
+      (FunctionIdentifier("fnv1a64"), info(classOf[Fnv1a64Col], "fnv1a64"),
+        (es: Seq[Expression]) => Fnv1a64Col(es.head,
+          es(1).eval().asInstanceOf[Long])),
       (FunctionIdentifier("word_chunks"), info(classOf[WordChunks], "word_chunks"),
         (es: Seq[Expression]) => WordChunks(es.head,
           es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
@@ -111,6 +114,8 @@ object GraftFunctions {
     call_function("word_shingles", text, org.apache.spark.sql.functions.lit(w))
   def word_ngrams(text: Column, n: Int): Column =
     call_function("word_ngrams", text, org.apache.spark.sql.functions.lit(n))
+  def fnv1a64(s: Column, basis: Long): Column =
+    call_function("fnv1a64", s, org.apache.spark.sql.functions.lit(basis))
   def nb_scores(toks: Column, vocab: Seq[String], lam: Seq[Seq[Long]],
                 oov: Seq[Long], prior: Seq[Long]): Column =
     call_function("nb_scores", toks,

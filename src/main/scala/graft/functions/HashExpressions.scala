@@ -446,6 +446,28 @@ object NbScoresImpl {
   }
 }
 
+/** Seeded FNV-1a-64 of a string's UTF-8 bytes as a column — the probe
+  * side of the Count-Min sketch (CmsSketch hashes keys with the same
+  * fold, so an estimate lookup must reproduce the same buckets
+  * scan-side). Codegen'd one-liner over [[SimHash64Impl.fnv1a64]]. */
+case class Fnv1a64Col(child: Expression, basis: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"fnv1a64 expects STRING, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SimHash64Impl.fnv1a64(input.asInstanceOf[UTF8String].getBytes, basis)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHash64Impl.fnv1a64($c.getBytes(), ${basis}L)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64Col =
+    copy(child = newChild)
+  override def prettyName: String = "fnv1a64"
+}
+
 object SimHash64Impl {
   /** FNV-1a offset basis (the standard one — part 0 of the wide variant). */
   val Basis = 0xcbf29ce484222325L

@@ -436,6 +436,35 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Count-Min point-frequency estimates (Cormode-Muthukrishnan 2005),
+    // completing the sketch family (distinct / heavy / quantile / NOW
+    // frequency). Unlike the bound-boolean checks, this oracle is
+    // VALUE-EXACT: the seeded FNV fold is reproduced in SQL, so the
+    // estimates themselves hash-match — any drift in hashing, bucket
+    // math, or merge breaks the gate. lower_ok (est >= true) is the
+    // sketch's guaranteed one-sided error
+    "q_cms_check" -> ((s, d) => {
+      import graft.functions.{CmsSketch, GraftFunctions}
+      GraftFunctions.ensureRegistered(s)
+      val dRows = 4; val w = 2048
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("string").as("t"), col("l_partkey"))
+      val sk = li.agg(CmsSketch.cms(dRows, w)(col("t")).as("cms"))
+      val probes = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_n"))
+        .filter(col("l_partkey") % 401 === 1)
+      val est = (0 until dRows).map { i =>
+        element_at(col("cms"),
+          (GraftFunctions.fnv1a64(col("l_partkey").cast("string"),
+            CmsSketch.basisFor(i)).bitwiseAND(lit((w - 1).toLong)) +
+            lit(i.toLong * w) + 1).cast("int"))
+      }.reduce(least(_, _))
+      probes.crossJoin(broadcast(sk))
+        .select(col("l_partkey"), col("exact_n"), est.as("est"),
+          (est >= col("exact_n")).as("lower_ok"),
+          (est - col("exact_n")).as("overcount"))
+        .orderBy("l_partkey")
+    }),
+
     // HLL++ twin of the KMV bound check: approx_count_distinct is the
     // builtin one-pass scale path for grouped distinct counts (the exact
     // path shuffles one row per distinct pair); rsd=0.05 → the 0.25 gate
@@ -780,6 +809,30 @@ object PipelineQueries {
     "q_count_distinct_check" ->
       ("SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct, " +
        "TRUE AS within_bound FROM lineitem GROUP BY 1 ORDER BY 1"),
+
+    // full CMS rebuild in SQL: the same seeded FNV folds (one UNION ALL
+    // arm per row i), bucket counts, and min-over-rows estimates — the
+    // estimate VALUES hash-match, not just a bound boolean
+    "q_cms_check" -> {
+      val w = 2048
+      def ub(l: Long): BigInt = (BigInt(l) + (BigInt(1) << 64)) % (BigInt(1) << 64)
+      val arms = (0 until 4).map { i =>
+        s"SELECT l_partkey, $i AS i, CAST(" +
+          fnv1a64Sql(ub(graft.functions.CmsSketch.basisFor(i))) +
+          s" % $w AS BIGINT) AS bkt FROM k"
+      }.mkString(" UNION ALL ")
+      "WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS t, l_partkey FROM lineitem), " +
+      s"h AS ($arms), " +
+      "cnt AS (SELECT i, bkt, count(*) AS c FROM h GROUP BY 1, 2), " +
+      "pr AS (SELECT l_partkey, count(*) AS exact_n FROM lineitem " +
+      "WHERE l_partkey % 401 = 1 GROUP BY 1), " +
+      "hd AS (SELECT DISTINCT l_partkey, i, bkt FROM h), " +
+      "pe AS (SELECT p.l_partkey, p.exact_n, min(c.c) AS est FROM pr p " +
+      "JOIN hd ON hd.l_partkey = p.l_partkey " +
+      "JOIN cnt c ON c.i = hd.i AND c.bkt = hd.bkt GROUP BY 1, 2) " +
+      "SELECT l_partkey, exact_n, est, est >= exact_n AS lower_ok, " +
+      "est - exact_n AS overcount FROM pe ORDER BY l_partkey"
+    },
 
     // the full composition re-run in SQL: scan-side gates → md5 exact
     // dedup (keep min id) → exact-Jaccard tau-0.8 near-dup anti-join
