@@ -173,4 +173,34 @@ object Classify {
       .agg(count(lit(1)).as("n"))
       .orderBy("true_label", "pred_label")
   }
+
+  /** Per-class precision/recall/F1 over the [[naiveBayesManaged]]
+    * predictions — the classification report a router publishes before
+    * anyone trusts its routing. Two partial-agg groupBys over the
+    * per-doc (label, pred) pairs (|labels|-bounded relations joined by
+    * label); ratios are long/long double divisions and the F1 uses the
+    * UNROUNDED precision/recall in one fixed op order, so all three
+    * reproduce bit-for-bit in the oracle. A class never predicted has
+    * null precision/F1 (not 0 — absence of evidence); a class with
+    * tp = 0 has null F1 (0/0 guard on both engines). */
+  def classificationReport(docs: DataFrame, idCol: String, labelCol: String,
+                           textCol: String, labels: Seq[String],
+                           alpha: Double = 1.0, minCount: Long = 1)
+      : DataFrame = {
+    val (scored, _) =
+      naiveBayesManaged(docs, idCol, labelCol, textCol, labels, alpha, minCount)
+    val perDoc = scored.select(col("label"), col("pred"))
+    val byTrue = perDoc.groupBy(col("label").as("lbl"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("tp"))
+    val byPred = perDoc.groupBy(col("pred").as("plbl"))
+      .agg(count(lit(1)).as("n_pred"))
+    val p = col("tp") / col("n_pred")
+    val r = col("tp") / col("support")
+    byTrue.join(byPred, col("lbl") === col("plbl"), "left")
+      .select(col("lbl").as("label"), col("support"), col("tp"),
+        round(p, 6).as("precision"), round(r, 6).as("recall"),
+        when(p + r > 0, round(lit(2) * p * r / (p + r), 6)).as("f1"))
+      .orderBy("label")
+  }
 }

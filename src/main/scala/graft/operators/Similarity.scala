@@ -463,6 +463,49 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** k-nearest-neighbor majority-vote classification — the
+    * instance-based third member of the classifier family (nearest
+    * CENTROID routes by class prototypes, naive Bayes by token
+    * statistics; kNN by the labels of the k most similar examples —
+    * Fix & Hodges 1951 / Cover & Hart 1967). For every probe (rows
+    * matching `probe` on the id), the k highest-cosine corpus
+    * neighbors (self excluded) vote; ties break (votes desc, label
+    * asc) — fully deterministic on both engines.
+    *
+    * Scale posture: the probe set broadcasts and the corpus is scanned
+    * ONCE (the annTopK shape — probes are the bounded side, a per-row
+    * routing probe belongs on the IVF/PQ candidate path instead); the
+    * top-k window partitions by probe, the vote is a |probes|·k-bounded
+    * partial agg. */
+  def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, probe: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"), col(labelCol).as("lbl"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(probe)
+      .select(col("vid").as("query_id"), col("lbl").as("true_label"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"), col("lbl").as("nlabel"),
+        col("vid").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val topk = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val votes = scored.withColumn("__rk", row_number().over(topk))
+      .filter(col("__rk") <= k)
+      .groupBy("query_id", "true_label", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+    val pick = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("nlabel"))
+    votes.withColumn("__vr", row_number().over(pick))
+      .filter(col("__vr") === 1)
+      .select(col("query_id").as("vec_id"), col("true_label"),
+        col("nlabel").as("pred_label"), col("votes"))
+      .orderBy("vec_id")
+  }
+
   /** Sign-random-projection signature (Charikar SRP-LSH) — native codegen'd
     * Expression (graft.functions.SrpSignature): hyperplane components are
     * hash-derived per (seed, plane, index), so there is no dim-sized

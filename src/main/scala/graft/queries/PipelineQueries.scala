@@ -268,6 +268,14 @@ object PipelineQueries {
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // kNN majority vote over ~1% of vectors as probes — the
+    // instance-based member of the classifier family (centroid / NB /
+    // kNN); deterministic (cos desc, id) rank and (votes desc, label)
+    // vote tie-breaks on both engines
+    "q_embed_knn" -> ((s, d) =>
+      Similarity.knnClassify(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", probe = col("vid") % 101 === 0, k = 10)),
+
     // class prototypes: per-label coordinate means, decimal-exact,
     // bounded |labels|*dim output
     "q_embed_centroids" -> ((s, d) =>
@@ -877,6 +885,21 @@ object PipelineQueries {
        "lab AS (SELECT id, min(lab) AS cluster_id FROM r GROUP BY id) " +
        "SELECT id AS vec_id, cluster_id, id != cluster_id AS removed " +
        "FROM lab ORDER BY vec_id"),
+
+    "q_embed_knn" ->
+      ("WITH sc AS (SELECT p.vec_id AS qid, p.label AS true_label, " +
+       "c.vec_id AS nid, c.label AS nlabel, " + cosSql("p", "c") + " AS cos " +
+       "FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id " +
+       "WHERE p.vec_id % 101 = 0), " +
+       "rk AS (SELECT *, row_number() OVER (PARTITION BY qid " +
+       "ORDER BY cos DESC, nid) AS rn FROM sc), " +
+       "vt AS (SELECT qid, true_label, nlabel, count(*) AS votes FROM rk " +
+       "WHERE rn <= 10 GROUP BY 1, 2, 3), " +
+       "pick AS (SELECT *, row_number() OVER (PARTITION BY qid " +
+       "ORDER BY votes DESC, nlabel) AS vr FROM vt) " +
+       "SELECT qid AS vec_id, true_label, nlabel AS pred_label, " +
+       "CAST(votes AS BIGINT) AS votes FROM pick WHERE vr = 1 " +
+       "ORDER BY vec_id"),
 
     "q_ann_topk" ->
       ("SELECT query_id, rank, neighbor_id, cos FROM (" +

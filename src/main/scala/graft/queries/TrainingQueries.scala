@@ -307,6 +307,13 @@ object TrainingQueries {
     "q_classify_nb" -> ((s, d) =>
       graft.operators.Classify.naiveBayesConfusion(
         nbPlanted(Tables.documents(s, d)), "doc_id", "lang", "text",
+        labels = NbLabels, alpha = 1.0, minCount = 2)),
+
+    // per-class precision/recall/F1 over the same NB predictions — the
+    // router's publishable acceptance report
+    "q_classify_report" -> ((s, d) =>
+      graft.operators.Classify.classificationReport(
+        nbPlanted(Tables.documents(s, d)), "doc_id", "lang", "text",
         labels = NbLabels, alpha = 1.0, minCount = 2))
   )
 
@@ -321,11 +328,17 @@ object TrainingQueries {
         .otherwise(concat(coalesce(col("text"), lit("")),
           lit(" mk"), col("lang"))))
 
-  /** DuckDB twin of the NB confusion query — the per-label conditional
-    * sums, λ quantization and argmax when-chain are generated from the
-    * same [[NbLabels]] list the Spark side uses, so the two cannot
-    * drift. */
-  private def nbOracleSql: String = {
+  /** DuckDB twin of the NB queries — the per-label conditional sums, λ
+    * quantization and argmax when-chain are generated from the same
+    * [[NbLabels]] list the Spark side uses, so the two cannot drift.
+    * [[nbCtesSql]] ends at the per-doc (lbl, pred) relation `pr`;
+    * confusion and classification-report selects build on it. */
+  private def nbOracleSql: String =
+    nbCtesSql +
+      " SELECT lbl AS true_label, pred AS pred_label, count(*) AS n " +
+      "FROM pr GROUP BY 1, 2 ORDER BY 1, 2"
+
+  private def nbCtesSql: String = {
     val L = NbLabels
     val d = "SELECT doc_id, lang, CASE WHEN doc_id % 3 = 0 THEN " +
       "coalesce(text, '') ELSE coalesce(text, '') || ' mk' || lang END " +
@@ -356,9 +369,7 @@ object TrainingQueries {
       "FROM d), " +
       s"cnt AS ($cnt), voc AS (SELECT * FROM cnt WHERE c_all >= 2), " +
       s"tot AS ($tot), pri AS ($pri), sc AS ($sc), fin AS ($fin), " +
-      s"pr AS (SELECT lbl, $pred AS pred FROM fin) " +
-      "SELECT lbl AS true_label, pred AS pred_label, count(*) AS n " +
-      "FROM pr GROUP BY 1, 2 ORDER BY 1, 2"
+      s"pr AS (SELECT lbl, $pred AS pred FROM fin)"
   }
 
   /** Deterministic PII fixture: plant an email on every 3rd doc, an IPv4
@@ -791,6 +802,23 @@ object TrainingQueries {
        "SELECT doc_id, CAST(generate_subscripts(cs, 1) - 1 AS INT) AS chunk_idx, " +
        "unnest(cs) AS chunk FROM c ORDER BY doc_id, chunk_idx"),
 
-    "q_classify_nb" -> nbOracleSql
+    "q_classify_nb" -> nbOracleSql,
+
+    // F1 from the UNROUNDED ratios in one fixed op order; never-predicted
+    // classes get null precision/f1 via the LEFT JOIN, tp=0 null f1
+    "q_classify_report" ->
+      (nbCtesSql +
+       ", bt AS (SELECT lbl, count(*) AS support, " +
+       "sum(CASE WHEN pred = lbl THEN 1 ELSE 0 END) AS tp " +
+       "FROM pr GROUP BY lbl), " +
+       "bp AS (SELECT pred AS plbl, count(*) AS n_pred FROM pr GROUP BY pred) " +
+       // CAST tp: DuckDB SUM(int) is HUGEINT (float64 in the comparator)
+       "SELECT lbl AS label, support, CAST(tp AS BIGINT) AS tp, " +
+       "round(tp / n_pred, 6) AS precision, " +
+       "round(tp / support, 6) AS recall, " +
+       "CASE WHEN tp / n_pred + tp / support > 0 THEN " +
+       "round(2 * (tp / n_pred) * (tp / support) / " +
+       "(tp / n_pred + tp / support), 6) END AS f1 " +
+       "FROM bt LEFT JOIN bp ON lbl = plbl ORDER BY label")
   )
 }

@@ -5,6 +5,32 @@ import graft.tables.Tables
 
 class SimilaritySpec extends SparkSpec {
 
+  test("knnClassify votes with the planted neighborhood and breaks ties " +
+       "deterministically") {
+    import spark.implicits._
+    // probe 0 at the origin axis; 6 label-1 vectors very close, 5
+    // label-2 vectors further, the rest orthogonal noise
+    val rows =
+      Seq((0L, Array(1.0f, 0.0f, 0.0f), 9)) ++
+      (1L to 6L).map(i => (i, Array(1.0f, 0.01f * i, 0.0f), 1)) ++
+      (7L to 11L).map(i => (i, Array(1.0f, 0.4f + 0.01f * i, 0.0f), 2)) ++
+      (12L to 30L).map(i => (i, Array(0.0f, 1.0f, 0.01f * i), 3))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+      probe = org.apache.spark.sql.functions.col("vid") === 0L, k = 11)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    // k=11 pool: 6 label-1 + 5 label-2 votes -> label 1 wins
+    assert(r.getAs[Int]("pred_label") == 1 && r.getAs[Long]("votes") == 6L,
+      s"unexpected vote: $r")
+    // k=10: 6-vs-4 -> still label 1; k=12 pulls one label-3 in: 6/5/1
+    val o10 = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+      probe = org.apache.spark.sql.functions.col("vid") === 0L, k = 10)
+      .head()
+    assert(o10.getAs[Int]("pred_label") == 1 && o10.getAs[Long]("votes") == 6L)
+  }
+
   test("annTopK matches a driver-side brute force on sf0.001") {
     val emb = Tables.embeddings(spark, sf())
     val out = Similarity.annTopK(emb, "vec_id", "embedding", Seq(0L), k = 5)
