@@ -66,9 +66,11 @@ object Cdc {
     * partitions bounded by per-key history length (per-key CDC history
     * is operationally bounded; a key with a truly unbounded history is
     * the pathology the compaction op exists to prevent). `orderCols`
-    * decides version order and should end in a unique tiebreaker, same
-    * contract as [[latestByKey]]'s versionCols. Emits epoch MICROS for
-    * the bounds (integer-exact; formatting is the caller's concern). */
+    * decides version order: it should START with `tsCol` (or the
+    * intervals won't tile the timeline) and END in a unique tiebreaker,
+    * same contract as [[latestByKey]]'s versionCols. Emits epoch MICROS
+    * for the bounds (integer-exact; formatting is the caller's
+    * concern). */
   def scdType2(log: DataFrame, keyCols: Seq[String], tsCol: String,
                orderCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && orderCols.nonEmpty,

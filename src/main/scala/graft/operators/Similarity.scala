@@ -436,23 +436,32 @@ object Similarity {
     * row (array_position returns the first occurrence), i.e. the
     * smallest label — the (cos desc, label asc) rule the window had.
     * `idCol` is kept for API stability; scoring no longer needs ids. */
-  def nearestCentroid(emb: DataFrame, idCol: String, vecCol: String,
-                      labelCol: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
-    // long-format (label, pos, c) rows, label-then-pos ordered, fold into
-    // the label-major matrix; decimal-exact means, so the collected
-    // centroids are bit-identical to what the oracle's CTE computes
+  /** The collected (label values, label-major centroid matrix) snapshot —
+    * the bounded |labels|·dim codebook [[nearestCentroid]] scores
+    * against, exposed so the streaming twin (EventStreams
+    * .centroidStream) can route against the same frozen prototypes.
+    * Decimal-exact means → bit-identical to the oracle's CTE. */
+  def centroidSnapshot(emb: DataFrame, vecCol: String, labelCol: String)
+      : (Array[Any], Array[Array[Double]]) = {
     val centRows = labelCentroids(emb, vecCol, labelCol)
       .orderBy("label", "pos").collect()
-    require(centRows.nonEmpty, "nearestCentroid needs at least one vector")
+    require(centRows.nonEmpty, "centroidSnapshot needs at least one vector")
     val byLabel = scala.collection.mutable.LinkedHashMap
       .empty[Any, scala.collection.mutable.ArrayBuffer[Double]]
     centRows.foreach { r =>
       byLabel.getOrElseUpdate(r.get(0),
         scala.collection.mutable.ArrayBuffer.empty[Double]) += r.getDouble(2)
     }
-    val labelVals = byLabel.keys.toArray
-    val mat: Array[Array[Double]] = byLabel.values.map(_.toArray).toArray
+    (byLabel.keys.toArray, byLabel.values.map(_.toArray).toArray)
+  }
+
+  def nearestCentroid(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    // long-format (label, pos, c) rows, label-then-pos ordered, fold into
+    // the label-major matrix; decimal-exact means, so the collected
+    // centroids are bit-identical to what the oracle's CTE computes
+    val (labelVals, mat) = centroidSnapshot(emb, vecCol, labelCol)
     val labelArr = array(labelVals.map(v => lit(v)).toIndexedSeq: _*)
     emb.select(col(labelCol).as("true_label"),
         graft.functions.GraftFunctions.vec_mat_cosines(
@@ -468,7 +477,8 @@ object Similarity {
     * CENTROID routes by class prototypes, naive Bayes by token
     * statistics; kNN by the labels of the k most similar examples —
     * Fix & Hodges 1951 / Cover & Hart 1967). For every probe (rows
-    * matching `probe` on the id), the k highest-cosine corpus
+    * matching `probe` — the predicate sees the NORMALIZED id column
+    * `vid`, e.g. `col("vid") % 101 === 0`), the k highest-cosine corpus
     * neighbors (self excluded) vote; ties break (votes desc, label
     * asc) — fully deterministic on both engines.
     *

@@ -280,6 +280,27 @@ object EventStreams {
     withScores.drop("__sc").withColumn("pred", pred)
   }
 
+  /** Streaming nearest-centroid router — the embedding twin of
+    * [[nbStream]]: the frozen class-prototype snapshot
+    * (Similarity.centroidSnapshot, decimal-exact means) is scored with
+    * ONE native vec_mat_cosines call per row and the argmax picks the
+    * label (first matrix row on ties — the batch op's rule), so the
+    * stream routes exactly like a batch nearestCentroid pass over the
+    * same snapshot (confusion-parity spec): zero state, no explode, no
+    * join. */
+  def centroidStream(stream: DataFrame, labelVals: Array[Any],
+                     centroids: Array[Array[Double]],
+                     vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(stream.sparkSession)
+    val labelArr = array(labelVals.map(v => lit(v)).toIndexedSeq: _*)
+    stream
+      .withColumn("__sims", graft.functions.GraftFunctions.vec_mat_cosines(
+        col(vecCol).cast("array<double>"), centroids))
+      .withColumn("pred_label", element_at(labelArr,
+        expr("array_position(__sims, array_max(__sims))").cast("int")))
+      .drop("__sims")
+  }
+
   /** Streaming anomaly gate — the streaming shape of Events.anomalies:
     * the per-type mean/std come from a STATIC reference snapshot (the
     * monitoring convention: today's stream is judged against trained

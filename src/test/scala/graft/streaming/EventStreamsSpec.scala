@@ -465,6 +465,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("centroidStream routes to the same confusion matrix as the batch op, " +
+       "statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.tables.Tables.embeddings(spark, sf())
+    val batch = graft.operators.Similarity
+      .nearestCentroid(emb, "vec_id", "embedding", "label")
+      .as[(Int, Int, Long)].collect().toSet
+    val (labelVals, mat) = graft.operators.Similarity
+      .centroidSnapshot(emb, "embedding", "label")
+    val rows = emb.select($"label", $"embedding".cast("array<double>"))
+      .as[(Int, Seq[Double])].collect()
+    val mem = MemoryStream[(Int, Seq[Double])]
+    val q = centroidStream(mem.toDF().toDF("true_label", "v"),
+        labelVals, mat, "v")
+      .writeStream.format("memory").queryName("cstr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cstr")
+        .groupBy($"true_label", $"pred_label")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .as[(Int, Int, Long)].collect().toSet
+      assert(streamed == batch,
+        "stream routing must reproduce the batch confusion matrix")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "routing must run with zero state-store operators")
+    } finally q.stop()
+  }
+
   test("benchmarkNgrams gate refuses an oversized vocabulary") {
     import spark.implicits._
     val big = (1L to 50L)
