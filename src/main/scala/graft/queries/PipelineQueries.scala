@@ -268,13 +268,17 @@ object PipelineQueries {
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
-    // kNN majority vote over ~1% of vectors as probes — the
+    // kNN majority vote over a FIXED probe batch (ids ≡ 0 mod 101 under
+    // 5000 — constant as the corpus grows, so the brute-force scan stays
+    // linear in n; a corpus-proportional probe set is quadratic by
+    // definition and belongs on the IVF/PQ candidate path: the first
+    // fixture measured 57.7× at 100× for exactly that reason) — the
     // instance-based member of the classifier family (centroid / NB /
     // kNN); deterministic (cos desc, id) rank and (votes desc, label)
     // vote tie-breaks on both engines
     "q_embed_knn" -> ((s, d) =>
       Similarity.knnClassify(Tables.embeddings(s, d), "vec_id", "embedding",
-        "label", probe = col("vid") % 101 === 0, k = 10)),
+        "label", probe = col("vid") % 101 === 0 && col("vid") < 5000, k = 10)),
 
     // class prototypes: per-label coordinate means, decimal-exact,
     // bounded |labels|*dim output
@@ -890,7 +894,7 @@ object PipelineQueries {
       ("WITH sc AS (SELECT p.vec_id AS qid, p.label AS true_label, " +
        "c.vec_id AS nid, c.label AS nlabel, " + cosSql("p", "c") + " AS cos " +
        "FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id " +
-       "WHERE p.vec_id % 101 = 0), " +
+       "WHERE p.vec_id % 101 = 0 AND p.vec_id < 5000), " +
        "rk AS (SELECT *, row_number() OVER (PARTITION BY qid " +
        "ORDER BY cos DESC, nid) AS rn FROM sc), " +
        "vt AS (SELECT qid, true_label, nlabel, count(*) AS votes FROM rk " +
