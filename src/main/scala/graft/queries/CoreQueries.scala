@@ -532,6 +532,26 @@ object CoreQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // quantile discretizer (the ML feature-binning shape): quartile
+    // edges from ONE exact-percentile aggregate (the documented exact
+    // anchor — approx_percentile is the 100 TB twin, same trade as
+    // q_stats_quantiles), broadcast as a 1-row cross join; bin = count
+    // of edges ≤ v, a scan-side integer CASE sum; the per-bin audit
+    // report (n, lo, hi) is a 4-row partial agg
+    "q_quantile_bins" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val edges = o.agg(
+        expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("qs"))
+      o.crossJoin(broadcast(edges))
+        .withColumn("bin", (1 to 3).map(i =>
+          when(col("o_totalprice") >= element_at(col("qs"), i), 1)
+            .otherwise(0)).reduce(_ + _))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("bin")
+    }),
+
     // CDC compaction (last-writer-wins upsert over a change log): the
     // max(struct) agg combines map-side — one shuffled row per key, never
     // a per-key history sort (operators/Cdc.scala)
@@ -828,6 +848,19 @@ object CoreQueries {
        "ORDER BY t DESC, event_id DESC) AS rn FROM events) " +
        "SELECT user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS ts_s, event_id, " +
        "event_type, value FROM x WHERE rn = 1 ORDER BY user_id"),
+
+    // quantile_cont ≡ Spark percentile bit-for-bit (the exact-anchor
+    // equivalence all the quantile oracles rely on)
+    "q_quantile_bins" ->
+      ("WITH q AS (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) " +
+       "AS qs FROM orders), " +
+       "b AS (SELECT o_totalprice AS v, " +
+       "(CASE WHEN o_totalprice >= qs[1] THEN 1 ELSE 0 END + " +
+       "CASE WHEN o_totalprice >= qs[2] THEN 1 ELSE 0 END + " +
+       "CASE WHEN o_totalprice >= qs[3] THEN 1 ELSE 0 END) AS bin " +
+       "FROM orders CROSS JOIN q) " +
+       "SELECT bin, count(*) AS n, min(v) AS lo, max(v) AS hi FROM b " +
+       "GROUP BY bin ORDER BY bin"),
 
     "q_scd2" ->
       ("WITH x AS (SELECT user_id, event_id, value, " +
