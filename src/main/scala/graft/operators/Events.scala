@@ -138,6 +138,34 @@ object Events {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Exponentially-decayed (time-weighted) aggregates per type — the
+    * trending-score primitive: recent events count ~1, events a
+    * half-life ago count ½. The reference instant is the corpus max(ts)
+    * (a deterministic 1-row agg broadcast back — never wall-clock
+    * "now", which no oracle could reproduce); ages are integer epoch
+    * MICROS turned into seconds by one exact double division, the
+    * decay weight is exp(−λ·age) with λ = ln2/halfLife precomputed ON
+    * THE DRIVER and planted as one double literal (computing ln(2) on
+    * each engine risks a last-ulp split), and every per-event term is
+    * quantized DECIMAL(28,6) before summing (the Dsir discipline) so
+    * the totals are bit-stable under any partitioning and reproducible
+    * in SQL. ONE partial-agg groupBy — |types| grouped rows shuffle. */
+  def decayedAgg(events: DataFrame, typeCol: String, ts: String,
+                 valueCol: String, halfLifeSeconds: Double): DataFrame = {
+    require(halfLifeSeconds > 0,
+      s"halfLifeSeconds must be positive, got $halfLifeSeconds")
+    val lambda = math.log(2.0) / halfLifeSeconds
+    val ref = events.agg(max(unix_micros(col(ts))).as("__ref_us"))
+    val age = (col("__ref_us") - unix_micros(col(ts))).cast("double") / 1e6
+    val wgt = exp(lit(-lambda) * age)
+    events.crossJoin(broadcast(ref))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        sum(wgt.cast(Dec)).cast("double").as("decayed_n"),
+        sum((col(valueCol) * wgt).cast(Dec)).cast("double").as("decayed_sum"))
+      .orderBy(typeCol)
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * (prev_type, next_type, n, p) where p = n / Σ_next n — the
     * what-happens-after report (and the input to next-event prediction

@@ -398,6 +398,12 @@ object PipelineQueries {
         width = "1 hour", slide = "15 minutes")
         .orderBy("win_start", "event_type")),
 
+    // exponentially-decayed per-type aggregates (1-day half-life vs the
+    // corpus max timestamp) — the trending-score primitive
+    "q_events_decayed" -> ((s, d) =>
+      Events.decayedAgg(Tables.events(s, d), "event_type", "ts", "value",
+        halfLifeSeconds = 86400.0)),
+
     // first-order Markov transition matrix over per-user sequences:
     // the what-happens-after report, |types|^2-bounded output
     "q_events_transitions" -> ((s, d) =>
@@ -1010,6 +1016,22 @@ object PipelineQueries {
        "COUNT(*) AS n_events, " +
        "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value " +
        "FROM w GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // λ is computed ONCE in Scala and planted verbatim in both engines
+    // (Double.toString round-trips); exp's last-ulp divergence is
+    // absorbed by the DECIMAL(28,6) per-term quantization
+    "q_events_decayed" -> {
+      val lambda = math.log(2.0) / 86400.0
+      ("WITH r AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS ref_us " +
+       "FROM events), " +
+       "w AS (SELECT event_type, value, " +
+       s"exp(-($lambda) * (CAST(ref_us - epoch_us(CAST(ts AS TIMESTAMP)) " +
+       "AS DOUBLE) / 1e6)) AS wgt FROM events CROSS JOIN r) " +
+       "SELECT event_type, count(*) AS n, " +
+       "CAST(SUM(CAST(wgt AS DECIMAL(28,6))) AS DOUBLE) AS decayed_n, " +
+       "CAST(SUM(CAST(value * wgt AS DECIMAL(28,6))) AS DOUBLE) AS decayed_sum " +
+       "FROM w GROUP BY event_type ORDER BY event_type")
+    },
 
     // lag over (ts, event_id) mirrors the Spark window; first events
     // drop out via prev IS NOT NULL; p = n/rowsum rounded 6dp
