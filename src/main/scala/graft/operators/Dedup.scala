@@ -287,6 +287,44 @@ object Dedup {
     }
   }
 
+  /** Directional CONTAINMENT pairs — quote/subset detection: a doc
+    * whose shingle set is mostly inside another's (|A∩B| / |A| ≥ tau)
+    * is quoted/excerpted by it, even when symmetric Jaccard is tiny
+    * because the container is much longer (the case every symmetric
+    * near-dup pass structurally misses; Broder 1997 defines both
+    * resemblance AND this containment measure). Same exact
+    * inverted-index machinery as the count-based [[ngramJaccardPairs]]
+    * path — ONE pair count, both directions scored from it — with the
+    * same hot-shingle cap; emits (contained, container, containment).
+    * Deterministic long/long double division ⇒ hard oracle. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int, tau: Double,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val sh = docs.select(col(idCol).as("doc_id"),
+      GraftFunctions.word_shingles(col(textCol), w).as("sh"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    bucketPairs(inv, Seq("s"), col("doc_id"), maxBucket)
+      .filter(col("__a") < col("__b"))
+      .groupBy(col("__a").as("doc_a"), col("__b").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id"), col("n").as("na")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(explode(array(
+        struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+          (col("shared") / col("na")).as("containment")),
+        struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+          (col("shared") / col("nb")).as("containment")))).as("e"))
+      .select(col("e.contained").as("contained"),
+        col("e.container").as("container"),
+        col("e.containment").as("containment"))
+      .filter(col("containment") >= tau)
+      .orderBy("contained", "container")
+  }
+
   /** Exact shared-span pairs — substring-level duplication (Lee et al.
     * 2021, "Deduplicating Training Data Makes Language Models Better",
     * whose ExactSubstr pass flags training examples sharing any

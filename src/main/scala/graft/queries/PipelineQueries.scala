@@ -220,6 +220,22 @@ object PipelineQueries {
             "doc_id", "text", w = 3, tau = 0.5, prefixFilter = false),
           "doc_a", "doc_b"))),
 
+    // directional containment (Broder's second measure): every 13th doc
+    // gets a planted half-length excerpt (id + 20000) whose shingles are
+    // a subset of its source's — the quoted-in-a-longer-doc case
+    // symmetric Jaccard structurally misses
+    "q_dedup_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val toks = split(col("text"), " ")
+      val planted = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest((size(toks) / 2).cast("int"), lit(1)))).as("text"))
+      Dedup.containmentPairs(docs.union(planted), "doc_id", "text",
+        w = 3, tau = 0.8)
+    }),
+
     "q_dedup_embed" -> ((s, d) =>
       Dedup.embedPairs(Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4)),
 
@@ -860,6 +876,31 @@ object PipelineQueries {
       (PipelineQueries.curationKeptCtesSql +
        " SELECT lang_detected, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
        "FROM kept GROUP BY lang_detected ORDER BY lang_detected"),
+
+    // planted-excerpt corpus rebuilt in SQL; both directions scored from
+    // one pair count, shared/|contained| long/long double division
+    "q_dedup_containment" ->
+      ("WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents " +
+       "UNION ALL SELECT doc_id + 20000, array_to_string(" +
+       "(string_split(coalesce(text, ''), ' '))[1:greatest(" +
+       "len(string_split(coalesce(text, ''), ' ')) // 2, 1)], ' ') " +
+       "FROM documents WHERE doc_id % 13 = 0), " +
+       "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d), " +
+       "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
+       "for i in range(1, len(t)-1)]) AS s FROM toks), " +
+       "inv AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+       "sizes AS (SELECT doc_id, len(s) AS n FROM sh), " +
+       "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+       "COUNT(*) AS shared FROM inv a JOIN inv b " +
+       "ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+       "sc AS (SELECT doc_a, doc_b, shared, na.n AS na, nb.n AS nb " +
+       "FROM pairs JOIN sizes na ON na.doc_id = doc_a " +
+       "JOIN sizes nb ON nb.doc_id = doc_b), " +
+       "dir AS (SELECT doc_a AS contained, doc_b AS container, " +
+       "shared / na AS containment FROM sc " +
+       "UNION ALL SELECT doc_b, doc_a, shared / nb FROM sc) " +
+       "SELECT contained, container, containment FROM dir " +
+       "WHERE containment >= 0.8 ORDER BY contained, container"),
 
     "q_dedup_embed" ->
       ("SELECT id_a, id_b, cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +

@@ -216,6 +216,25 @@ class DedupSpec extends SparkSpec {
     assert(banded == exact)
   }
 
+  test("containment finds a short doc quoted in a long one that jaccard misses") {
+    import spark.implicits._
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "a b c d e"), (2L, s"a b c d e $filler"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", w = 3, tau = 0.9)
+      .collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getAs[Long]("contained") == 1L &&
+      r.getAs[Long]("container") == 2L &&
+      r.getAs[Double]("containment") == 1.0,
+      s"doc 1's shingles are all inside doc 2: $r")
+    // the symmetric measure can't see it: 3 shared of 63 union shingles
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      w = 3, tau = 0.5, prefixFilter = false).collect()
+    assert(jac.isEmpty, "symmetric jaccard must miss the quoted-in pair")
+  }
+
   test("semDedup removes exactly one of each planted twin, keeping the min id") {
     val e = graft.tables.Tables.embeddings(spark, sf())
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
