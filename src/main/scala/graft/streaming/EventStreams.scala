@@ -397,25 +397,36 @@ object EventStreams {
   def sessionize(events: Dataset[Event], gapSeconds: Long,
                  watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
+
+    // full-precision epoch MICROS, not Timestamp.getTime: the batch op
+    // (Events.sessionize) compares unix_micros gaps, and getTime truncates
+    // to milliseconds — two events 1s + 500µs apart would land in the SAME
+    // streaming session but DIFFERENT batch sessions. State carries micros;
+    // emitted Timestamps rebuild the sub-ms part via Instant.
+    def micros(e: Event): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+    def tsOf(us: Long): Timestamp = Timestamp.from(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L))
 
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[SessionState]): Iterator[Session] = {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator(Session(userId, new Timestamp(s.sStart), new Timestamp(s.sEnd), s.nEv, s.sumV))
+        Iterator(Session(userId, tsOf(s.sStart), tsOf(s.sEnd), s.nEv, s.sumV))
       } else {
-        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = rows.toSeq.sortBy(e => (micros(e), e.event_id))
         var closed = List.empty[Session]
         var cur = state.getOption
         sorted.foreach { e =>
-          val t = e.ts.getTime
+          val t = micros(e)
           cur match {
-            case Some(s) if t - s.sEnd <= gapMs =>
+            case Some(s) if t - s.sEnd <= gapUs =>
               cur = Some(SessionState(s.sStart, math.max(s.sEnd, t), s.nEv + 1, s.sumV + e.value))
             case Some(s) =>
-              closed ::= Session(userId, new Timestamp(s.sStart), new Timestamp(s.sEnd), s.nEv, s.sumV)
+              closed ::= Session(userId, tsOf(s.sStart), tsOf(s.sEnd), s.nEv, s.sumV)
               cur = Some(SessionState(t, t, 1L, e.value))
             case None =>
               cur = Some(SessionState(t, t, 1L, e.value))
@@ -423,7 +434,9 @@ object EventStreams {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.sEnd + gapMs)
+          // setTimeoutTimestamp is millisecond-granularity; round UP so the
+          // timeout never fires before end + gap has truly elapsed
+          state.setTimeoutTimestamp(Math.floorDiv(s.sEnd + gapUs + 999L, 1000L))
         }
         closed.reverseIterator
       }

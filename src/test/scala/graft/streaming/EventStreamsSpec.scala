@@ -237,6 +237,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize splits on microsecond-precision gaps like the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // B lands gap + 500µs after A: the batch op (integer-micros compare)
+    // puts them in DIFFERENT sessions; a millisecond-truncating stream
+    // would merge them (600000ms <= 600000ms). Assert the split.
+    val a = ts(0)
+    val b = new Timestamp(ts(0).getTime + 600000L)
+    b.setNanos(500000) // +500µs beyond the exact gap boundary
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapSeconds = 600, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sess_us").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, a, 1, "a", 1.0), Event(2, b, 1, "a", 2.0))
+      q.processAllAvailable()
+      // far-future event times out the open second session
+      mem.addData(Event(9, ts(120), 2, "b", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts(240), 2, "b", 1.0))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_us").as[Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(u1.length == 2, s"expected 2 sessions, got ${u1.toSeq}")
+      assert(u1(0).n_events == 1L && u1(0).session_start == a)
+      assert(u1(1).n_events == 1L && u1(1).session_start == b &&
+        u1(1).session_end.getNanos == 500000)
+    } finally q.stop()
+  }
+
   test("anomalyStream flags against static reference stats, statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
