@@ -83,7 +83,19 @@ object GraftExtensions {
           if (es.length > 2) es(2).eval() match {
             case i: Int => i.toLong
             case l: Long => l
-          } else 0L))
+          } else 0L)),
+      (FunctionIdentifier("dec6_micros"), info(classOf[Dec6Micros], "dec6_micros"),
+        (es: Seq[Expression]) => Dec6Micros(es.head)),
+      // drop-in exact-quantile anchor: bit-compatible with the builtin
+      // percentile but with an unboxed flat buffer (see ExactPercentile);
+      // the analyzer wraps the returned AggregateFunction like any builtin
+      (FunctionIdentifier("exact_percentile"),
+        info(classOf[ExactPercentile], "exact_percentile"),
+        (es: Seq[Expression]) => {
+          val (ps, isArray) = ExactPercentile.percentagesFromLiteral(es(1))
+          ExactPercentile(org.apache.spark.sql.catalyst.expressions.Cast(
+            es.head, org.apache.spark.sql.types.DoubleType), ps, isArray)
+        })
     )
 
   def inject(e: SparkSessionExtensions): Unit =
