@@ -48,6 +48,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the default 100-entry generated-class cache thrashes when ~67
       // queries' codegen units cycle through it once per interleaved

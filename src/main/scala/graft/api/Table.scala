@@ -293,6 +293,7 @@ final case class Table(df: DataFrame, name: String) {
     * what dominates. */
   def describe(cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "describe needs at least one column")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val D = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),
@@ -301,7 +302,7 @@ final case class Table(df: DataFrame, name: String) {
         min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
     }
     val qAggs = cols.map { c =>
-      expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"__q_$c")
+      expr(s"exact_percentile($c, array(0.25, 0.5, 0.75))").as(s"__q_$c")
     }
     val moments = df.agg(count(lit(1)).as("__nr"), aggs: _*)
     val quarts = df.agg(qAggs.head, qAggs.tail: _*)

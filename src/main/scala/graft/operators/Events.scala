@@ -240,11 +240,12 @@ object Events {
     * threshold filter, same guard as [[anomalies]]). */
   def robustOutliers(events: DataFrame, typeCol: String, valueCol: String,
                      idCol: String, threshold: Double = 3.5): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
     val med = events.groupBy(col(typeCol))
-      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+      .agg(expr(s"exact_percentile($valueCol, 0.5)").as("__med"))
     val withMed = events.join(broadcast(med), typeCol)
     val mad = withMed.groupBy(col(typeCol))
-      .agg(expr(s"percentile(abs($valueCol - __med), 0.5)").as("__mad"))
+      .agg(expr(s"exact_percentile(abs($valueCol - __med), 0.5)").as("__mad"))
     withMed.join(broadcast(mad), typeCol)
       .withColumn("z", when(col("__mad") =!= 0.0,
         (col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad"))))

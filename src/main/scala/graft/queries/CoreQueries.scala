@@ -371,13 +371,14 @@ object CoreQueries {
         .orderBy("o_custkey", "rnk")
     }),
 
-    // exact per-group quantiles: Spark `percentile` and DuckDB
-    // quantile_cont share the linear-interpolation definition and produce
-    // bit-identical doubles (verified on this data)
+    // exact per-group quantiles: `exact_percentile` (the unboxed-buffer
+    // twin of Spark's `percentile`, bit-identical — ExactPercentileSpec)
+    // and DuckDB quantile_cont share the linear-interpolation definition
+    // and produce bit-identical doubles (verified on this data)
     "q_stats_quantiles" -> ((s, d) =>
       Tables.orders(s, d).groupBy("o_orderstatus")
-        .agg(expr("percentile(o_totalprice, 0.5)").as("med_total"),
-          expr("percentile(o_totalprice, 0.9)").as("p90_total"),
+        .agg(expr("exact_percentile(o_totalprice, 0.5)").as("med_total"),
+          expr("exact_percentile(o_totalprice, 0.9)").as("p90_total"),
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
@@ -514,15 +515,15 @@ object CoreQueries {
     }),
 
     // winsorized robust sum: clip each group's values at its exact
-    // p05/p95 (percentile ≡ DuckDB quantile_cont bit-for-bit — the
-    // documented exact anchor; approx_percentile is the 100 TB twin),
-    // then exact-decimal sum of the clipped column — outlier-robust
-    // aggregation, the data-cleaning shape
+    // p05/p95 (exact_percentile ≡ builtin percentile ≡ DuckDB
+    // quantile_cont bit-for-bit — the documented exact anchor;
+    // approx_percentile is the 100 TB twin), then exact-decimal sum of
+    // the clipped column — outlier-robust aggregation
     "q_winsorize" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val bounds = o.groupBy("o_orderstatus")
-        .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
-          expr("percentile(o_totalprice, 0.95)").as("p95"))
+        .agg(expr("exact_percentile(o_totalprice, 0.05)").as("p05"),
+          expr("exact_percentile(o_totalprice, 0.95)").as("p95"))
       o.join(broadcast(bounds), "o_orderstatus")
         .select(col("o_orderstatus"),
           least(greatest(col("o_totalprice"), col("p05")), col("p95"))
@@ -541,7 +542,7 @@ object CoreQueries {
     "q_quantile_bins" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val edges = o.agg(
-        expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("qs"))
+        expr("exact_percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("qs"))
       o.crossJoin(broadcast(edges))
         .withColumn("bin", (1 to 3).map(i =>
           when(col("o_totalprice") >= element_at(col("qs"), i), 1)

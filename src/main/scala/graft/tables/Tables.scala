@@ -17,8 +17,13 @@ import org.apache.spark.sql.types.LongType
   * the scan. No collect(), no driver-side materialization here.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // the catalog is every query's entry point, so it also installs the
+    // native function surface (idempotent) — queries built from these
+    // scans can use expr("exact_percentile(...)") etc. unconditionally
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
@@ -35,9 +40,21 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // newer readers ignore nanosAsLong and surface TIMESTAMP(NANOS)
+        // as a micros-truncated TIMESTAMP_NTZ; ops downstream use
+        // unix_micros, which requires TimestampType — cast NTZ → TZ.
+        // Every session this library owns (Verify/Bench/PlanAudit/specs)
+        // pins spark.sql.session.timeZone=UTC, so the cast reads the
+        // wall-clock as UTC and yields the same epoch micros as the
+        // legacy `ts div 1000` path.
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
