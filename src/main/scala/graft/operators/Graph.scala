@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationally-derived edge lists.
+  *
+  * The near-dup clustering op (Dedup.scala `clusters`) already covers
+  * connected components; this adds the centrality family. The reference
+  * exposes linked rows (seaserpent/base.py `link` columns) whose natural
+  * whole-graph question — "which entity is most central to the link
+  * structure?" — is PageRank (Brin & Page 1998). The Spark-first shape:
+  *
+  *  - the GRAPH PROJECTION is the heavy pass — a fact-table join fan
+  *    aggregated down to a bounded (src, dst, w) adjacency (at 100 TB:
+  *    trillions of fact rows partial-agg into |V|² edge rows at most,
+  *    map-side combine doing the crushing);
+  *  - the ITERATION runs on the aggregated adjacency, which for entity
+  *    graphs (nations, languages, sources) is cardinality-bounded — each
+  *    round is a bounded broadcast join + partial-agg, localCheckpoint
+  *    keeps the lineage flat (the Dedup.clusters discipline).
+  *
+  * Bit-stability discipline (the q_events_decayed pattern): per-edge
+  * contributions are quantized DECIMAL(28,6) BEFORE summing (exact,
+  * order-independent — safe under any partitioning), rank state is
+  * itself DECIMAL(28,6), and the per-round scalar arithmetic is one
+  * fixed IEEE op sequence, so DuckDB reproduces every round bit-for-bit.
+  */
+object Graph {
+  private val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+
+  /** Weighted PageRank with uniform teleport. Simplified variant with NO
+    * dangling-mass redistribution: a node without out-edges keeps only
+    * its teleport share and its rank mass leaks (documented; the trade
+    * graph has no dangling nodes, spec-asserted via sum≈1). Ranks
+    * initialize to 1/|V| and update as
+    *   r(v) = (1-d)/|V| + d · Σ_{u→v} r(u) · w(u,v)/outw(u).
+    *
+    * `edges` must be an AGGREGATED adjacency (one row per (src, dst));
+    * node count rides as a broadcast 1-row agg — no driver scalar probe.
+    */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+               wCol: String, iters: Int, damping: Double): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
+    // one heavy pass materializes the bounded adjacency; everything
+    // after iterates on checkpointed |V|²-bounded rows with flat lineage
+    val outw = edges.groupBy(col(srcCol))
+      .agg(sum(col(wCol)).as("__outw"))
+    val share = edges.join(outw, srcCol)
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        (col(wCol) / col("__outw")).as("__share"))
+      .localCheckpoint()
+    val nodes = share.select(col("__src").as("node"))
+      .union(share.select(col("__dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).as("__n"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("__n")).cast(Dec).as("rank"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contribs = share.join(broadcast(ranks), col("__src") === col("node"))
+        .select(col("__dst"),
+          (col("rank").cast("double") * col("__share")).cast(Dec).as("__c"))
+        .groupBy(col("__dst"))
+        .agg(sum(col("__c")).cast("double").as("__s"))
+      ranks = nodes
+        .join(broadcast(contribs), col("node") === col("__dst"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) / col("__n") +
+            lit(damping) * coalesce(col("__s"), lit(0.0))).cast(Dec)
+            .as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
+  /** The trade-graph projection: customer nation → supplier nation, one
+    * edge per distinct pair weighted by lineitem count. lineitem⋈orders
+    * is the one big-big shuffle (both sides keyed on orderkey);
+    * customer/supplier/nation-sized dims broadcast; the groupBy crushes
+    * fact rows into ≤|nations|² edges with map-side partial aggregation. */
+  def tradeEdges(lineitem: DataFrame, orders: DataFrame,
+                 customer: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+}

@@ -715,8 +715,58 @@ object PipelineQueries {
         .filter(col("cnt") * 32 > col("n_total"))
         .select(col("tok"), col("cnt"))
         .orderBy(desc("cnt"), col("tok"))
+    }),
+
+    // graph centrality over the relationally-projected trade graph:
+    // which nation is most central to the customer→supplier flow. The
+    // heavy pass is the fact-table projection (lineitem⋈orders shuffle +
+    // broadcast dims partial-agged to ≤|nations|² edges); 10 PageRank
+    // rounds then iterate on the bounded checkpointed adjacency. Per-edge
+    // contributions quantize DECIMAL(28,6) pre-sum and rank state is
+    // decimal, so every round is bit-stable under any partitioning and
+    // DuckDB replays the iteration exactly (unrolled-CTE oracle).
+    "q_graph_pagerank" -> ((s, d) => {
+      val edges = graft.operators.Graph.tradeEdges(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d), Tables.supplier(s, d))
+      graft.operators.Graph.pagerank(edges, "src", "dst", "w",
+          iters = 10, damping = 0.85)
+        .select(col("node").as("nationkey"),
+          col("rank").cast("double").as("pagerank"))
+        .orderBy("nationkey")
     })
   )
+
+  /** Unrolled-iteration PageRank oracle: the same decimal-quantized
+    * update replayed as chained CTEs. Every float op is CAST AS DOUBLE
+    * (DuckDB would otherwise run 1.0 - 0.85 in exact DECIMAL and diverge
+    * from the engine's IEEE subtraction by one ulp). */
+  private def pagerankOracleSql(iters: Int): String = {
+    val base =
+      "WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, " +
+      "count(*) AS w FROM lineitem l " +
+      "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+      "JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2), " +
+      "ow AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1), " +
+      "sh AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.outw AS share " +
+      "FROM edges e JOIN ow o ON e.src = o.src), " +
+      "nodes AS (SELECT src AS node FROM sh UNION SELECT dst FROM sh), " +
+      "nn AS (SELECT count(*) AS n FROM nodes), " +
+      "r0 AS (SELECT node, CAST(CAST(1.0 AS DOUBLE) / n AS DECIMAL(28,6)) " +
+      "AS rank FROM nodes CROSS JOIN nn)"
+    val steps = (1 to iters).map { k =>
+      s"r$k AS (SELECT nd.node, CAST((CAST(1.0 AS DOUBLE) - " +
+      "CAST(0.85 AS DOUBLE)) / nn.n + CAST(0.85 AS DOUBLE) * " +
+      "COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS DECIMAL(28,6)) AS rank " +
+      "FROM nodes nd CROSS JOIN nn LEFT JOIN " +
+      "(SELECT e.dst AS node, CAST(SUM(CAST(CAST(r.rank AS DOUBLE) * " +
+      s"e.share AS DECIMAL(28,6))) AS DOUBLE) AS s FROM sh e " +
+      s"JOIN r${k - 1} r ON e.src = r.node GROUP BY 1) c " +
+      "ON nd.node = c.node)"
+    }.mkString(", ", ", ", "")
+    base + steps + s" SELECT node AS nationkey, CAST(rank AS DOUBLE) AS " +
+      s"pagerank FROM r$iters ORDER BY nationkey"
+  }
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1309,6 +1359,8 @@ object PipelineQueries {
        "tot AS (SELECT COUNT(*) AS n FROM toks), " +
        "c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok) " +
        "SELECT tok, cnt FROM c, tot WHERE cnt * 32 > n " +
-       "ORDER BY cnt DESC, tok")
+       "ORDER BY cnt DESC, tok"),
+
+    "q_graph_pagerank" -> pagerankOracleSql(10)
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long, Long)], parts: Int = 2) = {
+    val df = edges.toDF("src", "dst", "w").repartition(parts)
+    Graph.pagerank(df, "src", "dst", "w", iters = 10, damping = 0.85)
+      .select(col("node").as[Long], col("rank").cast("double").as[Double])
+      .collect().toMap
+  }
+
+  test("uniform cycle gives every node exactly 1/n") {
+    val r = ranksOf(Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)))
+    assert(r.keySet == Set(1L, 2L, 3L))
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-5, r.toString))
+  }
+
+  test("a node every other node points at ranks strictly highest") {
+    // star into 9: sources split their vote between 9 and a backlink
+    val edges = (1L to 8L).flatMap(u =>
+      Seq((u, 9L, 3L), (u, (u % 8) + 1, 1L))) ++ Seq((9L, 1L, 1L))
+    val r = ranksOf(edges)
+    val top = r.maxBy(_._2)._1
+    assert(top == 9L, s"expected hub 9 on top, got $r")
+  }
+
+  test("rank mass is conserved when no node is dangling (sum = 1)") {
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 2L), (3L, 1L, 7L), (2L, 1L, 3L))
+    val sum = ranksOf(edges).values.sum
+    // decimal(28,6) state: per-round quantization loses < 1e-6 per node
+    assert(math.abs(sum - 1.0) < 1e-4, s"rank mass $sum")
+  }
+
+  test("output is bit-identical under different partitionings") {
+    val edges = (1L to 40L).flatMap { u =>
+      Seq((u, u % 7 + 1, u % 3 + 1), (u % 7 + 1, u % 11 + 2, 2L))
+    }
+    assert(ranksOf(edges, parts = 1) == ranksOf(edges, parts = 7),
+      "decimal-quantized contributions must make rounds order-independent")
+  }
+
+  test("tradeEdges conserves lineitem count and is nation-bounded") {
+    val d = sf()
+    val li = Tables.lineitem(spark, d)
+    val e = Graph.tradeEdges(li, Tables.orders(spark, d),
+      Tables.customer(spark, d), Tables.supplier(spark, d))
+    val (nEdges, wSum) = e.agg(count(lit(1)), sum("w"))
+      .as[(Long, Long)].head()
+    assert(wSum == li.count(), "every lineitem lands in exactly one edge")
+    assert(nEdges <= 25L * 25L, "adjacency must be nation-bounded")
+  }
+}
