@@ -89,6 +89,12 @@ object GraftExtensions {
       // drop-in exact-quantile anchor: bit-compatible with the builtin
       // percentile but with an unboxed flat buffer (see ExactPercentile);
       // the analyzer wraps the returned AggregateFunction like any builtin
+      // k rides as a literal (like byte_histogram's nbins); the probe is
+      // a pure scan-side boolean — the pre-shuffle pruning filter
+      (FunctionIdentifier("bloom_contains"),
+        info(classOf[BloomContains], "bloom_contains"),
+        (es: Seq[Expression]) => BloomContains(es.head, es(1),
+          es(2).eval().asInstanceOf[Int])),
       (FunctionIdentifier("exact_percentile"),
         info(classOf[ExactPercentile], "exact_percentile"),
         (es: Seq[Expression]) => {
@@ -143,6 +149,9 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(size),
       org.apache.spark.sql.functions.lit(stride))
   def nfc_normalize(text: Column): Column = call_function("nfc_normalize", text)
+  def bloom_contains(words: Column, key: Column, k: Int): Column =
+    call_function("bloom_contains", words, key,
+      org.apache.spark.sql.functions.lit(k))
   def media_header(payload: Column): Column = call_function("media_header", payload)
   def marker_counts(toks: Column, vocabs: Seq[Seq[String]]): Column =
     call_function("marker_counts", toks,

@@ -717,6 +717,21 @@ object PipelineQueries {
         .orderBy(desc("cnt"), col("tok"))
     }),
 
+    // Bloom-filtered selective semi-join: orders placed by high-balance
+    // customers. The Bloom sketch of the dim keys broadcasts as ONE row
+    // and the codegen bloom_contains probe prunes fact rows at the scan,
+    // pre-shuffle; the exact semi-join absorbs false positives, so the
+    // result provably equals the plain semi-join (the oracle) — only
+    // the shuffled bytes differ. Spec proves the no-false-negative and
+    // partitioning-determinism guarantees.
+    "q_bloom_join" -> ((s, d) => {
+      val dim = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      graft.operators.Joins.bloomSemiJoin(Tables.orders(s, d), dim,
+          "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // graph centrality over the relationally-projected trade graph:
     // which nation is most central to the customer→supplier flow. The
     // heavy pass is the fact-table projection (lineitem⋈orders shuffle +
@@ -1361,6 +1376,11 @@ object PipelineQueries {
        "SELECT tok, cnt FROM c, tot WHERE cnt * 32 > n " +
        "ORDER BY cnt DESC, tok"),
 
-    "q_graph_pagerank" -> pagerankOracleSql(10)
+    "q_graph_pagerank" -> pagerankOracleSql(10),
+
+    "q_bloom_join" ->
+      ("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN " +
+       "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000) " +
+       "ORDER BY o_orderkey")
   )
 }
