@@ -89,6 +89,8 @@ object GraftExtensions {
       // drop-in exact-quantile anchor: bit-compatible with the builtin
       // percentile but with an unboxed flat buffer (see ExactPercentile);
       // the analyzer wraps the returned AggregateFunction like any builtin
+      (FunctionIdentifier("char_pairs"), info(classOf[CharPairs], "char_pairs"),
+        (es: Seq[Expression]) => CharPairs(es.head)),
       // k rides as a literal (like byte_histogram's nbins); the probe is
       // a pure scan-side boolean — the pre-shuffle pruning filter
       (FunctionIdentifier("bloom_contains"),
@@ -149,6 +151,7 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(size),
       org.apache.spark.sql.functions.lit(stride))
   def nfc_normalize(text: Column): Column = call_function("nfc_normalize", text)
+  def char_pairs(text: Column): Column = call_function("char_pairs", text)
   def bloom_contains(words: Column, key: Column, k: Int): Column =
     call_function("bloom_contains", words, key,
       org.apache.spark.sql.functions.lit(k))

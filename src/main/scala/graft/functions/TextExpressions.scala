@@ -277,6 +277,61 @@ object WordChunksImpl {
   }
 }
 
+/** Within-word adjacent character pairs — the pair statistics of BPE
+  * vocabulary induction's FIRST merge step (Sennrich et al. 2016 §3.2:
+  * count symbol pairs over all word occurrences, merge the most
+  * frequent). ONE pass over the text: anything outside [A-Za-z] is a
+  * word separator, letters lowercase, and each ≥2-letter word emits its
+  * adjacent pairs with multiplicity. ASCII-only tokenization BY DESIGN:
+  * substr/char semantics on multi-byte text diverge between engines
+  * (code points vs grapheme clusters), while the a-z subset is
+  * bit-identical everywhere — the oracle rebuilds the same pairs with
+  * string_split_regex + per-word substr fan-out. */
+case class CharPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_pairs expects STRING, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    CharPairsImpl.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharPairsImpl.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharPairs =
+    copy(child = newChild)
+  override def prettyName: String = "char_pairs"
+}
+
+object CharPairsImpl {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = text.toString
+    val buf = new scala.collection.mutable.ArrayBuffer[Any]()
+    val pair = new Array[Char](2)
+    var prev: Char = 0 // 0 = no previous letter (word boundary)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val lower =
+        if (c >= 'a' && c <= 'z') c
+        else if (c >= 'A' && c <= 'Z') (c + 32).toChar
+        else 0.toChar
+      if (lower != 0) {
+        if (prev != 0) {
+          pair(0) = prev; pair(1) = lower
+          buf += org.apache.spark.unsafe.types.UTF8String
+            .fromString(new String(pair))
+        }
+        prev = lower
+      } else prev = 0
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+}
+
 /** Unicode NFC normalization (canonical composition) — the text-
   * canonicalization step that runs BEFORE any hash-based dedup: the same
   * visible string can arrive as composed ("é") or decomposed ("e"+U+0301)

@@ -717,6 +717,20 @@ object PipelineQueries {
         .orderBy(desc("cnt"), col("tok"))
     }),
 
+    // BPE first-merge pair statistics (Sennrich et al. 2016): count
+    // within-word adjacent character pairs over all word occurrences,
+    // rank the merge candidates. The native char_pairs Expression does
+    // the whole tokenize+pair walk in ONE codegen pass on the scan;
+    // the count is a partial-agg groupBy bounded at 26² pairs and the
+    // top-k plans TakeOrderedAndProject (no global sort).
+    "q_bpe_pairs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(graft.functions.GraftFunctions.char_pairs(
+          coalesce(col("text"), lit("")))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("pair"))
+        .limit(50)),
+
     // Bloom-filtered selective semi-join: orders placed by high-balance
     // customers. The Bloom sketch of the dim keys broadcasts as ONE row
     // and the codegen bloom_contains probe prunes fact rows at the scan,
@@ -1381,6 +1395,18 @@ object PipelineQueries {
     "q_bloom_join" ->
       ("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN " +
        "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000) " +
-       "ORDER BY o_orderkey")
+       "ORDER BY o_orderkey"),
+
+    // same ASCII tokenization rule as the native expression: anything
+    // outside [a-z] (after lower()) separates words; each >=2-letter
+    // word fans into its adjacent substr pairs
+    "q_bpe_pairs" ->
+      ("WITH w AS (SELECT unnest(string_split_regex(lower(coalesce(text, " +
+       "'')), '[^a-z]+')) AS w FROM documents), " +
+       "p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair FROM " +
+       "(SELECT w, unnest(range(1, length(w))) AS i FROM w " +
+       "WHERE length(w) >= 2)) " +
+       "SELECT pair, count(*) AS n FROM p GROUP BY pair " +
+       "ORDER BY n DESC, pair LIMIT 50")
   )
 }
