@@ -361,6 +361,67 @@ object EventStreams {
           lit(0.0))).as("ref_std"))
   }
 
+  /** Per-user funnel progress (emitted every update). `b_us` is
+    * Long.MaxValue while no qualifying step-B exists (Option[Long] would
+    * need a null-safe encoder in the state store's generated code). */
+  case class FunnelUpdate(user_id: Long, a_us: Long, b_us: Long,
+                          converted: Boolean)
+
+  /** Internal per-key funnel accumulator: min step-A micros + the
+    * B-candidate list (see funnelStream invariant). */
+  case class FunnelState(aUs: Long, bCands: List[Long])
+
+  /** Streaming two-step funnel — the streaming shape of Events.funnel
+    * (same semantics: anchor = min A over the user's whole history,
+    * b = min B at-or-after the anchor, converted ⇔ b − a ≤ window).
+    * `mapGroupsWithState` keyed by user; every batch re-emits the
+    * user's current (a, b, converted) row, so an upsert sink converges
+    * to the batch funnel under ARBITRARY event disorder (spec-asserted).
+    *
+    * Out-of-order subtlety the state must survive: a LATE, EARLIER step-A
+    * lowers the anchor, which can make a previously-useless B (one that
+    * arrived BEFORE the then-anchor) become the new first-qualifying B.
+    * State therefore keeps, besides min-A, the B candidates that could
+    * still win: every B ≤ the current answer (the answer only ever
+    * decreases — new Bs above it are dropped on arrival, stored Bs above
+    * it are pruned after each update). Users with no A yet hold their Bs
+    * and emit nothing (the batch op is anchor-driven). Per-user state is
+    * bounded by the user's B events below the final answer; production
+    * adds an event-time timeout to retire converged users — kept
+    * timeout-free here so the convergence contract stays exact. */
+  def funnelStream(events: Dataset[Event], stepA: String, stepB: String,
+                   windowSeconds: Long): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val windowUs = windowSeconds * 1000000L
+    def micros(e: Event): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+    events.filter(e => e.event_type == stepA || e.event_type == stepB)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (userId, rows, state) =>
+          val prev = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, Nil))
+          var aUs = prev.aUs
+          var bs = prev.bCands
+          def answer: Long = {
+            val qualifying = bs.filter(_ >= aUs)
+            if (qualifying.isEmpty) Long.MaxValue else qualifying.min
+          }
+          rows.foreach { e =>
+            val t = micros(e)
+            if (e.event_type == stepA) { if (t < aUs) aUs = t }
+            else if (t <= answer) bs = t :: bs
+          }
+          val ans = answer
+          bs = bs.filter(_ <= ans).distinct
+          state.update(FunnelState(aUs, bs))
+          if (aUs == Long.MaxValue) Iterator.empty
+          else Iterator(FunnelUpdate(userId, aUs, ans,
+            ans != Long.MaxValue && ans - aUs <= windowUs))
+      }
+  }
+
   /** Streaming CDC compaction — the streaming shape of
     * operators.Cdc.latestByKey: one fixed-size state record per key
     * holding the current last-writer-wins winner by (ts, event_id), the

@@ -354,6 +354,54 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream converges to the batch funnel under event disorder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // users: 1 converts in-window; 2's only B precedes its A until a LATE
+    // EARLIER A admits the stored B; 3 has A but no B; 4's B is outside
+    // the window (b_us set, converted=false); 5 has B only (never emits)
+    val evs = Seq(
+      Event(10, ts(0), 1, "click", 0), Event(11, ts(3), 1, "purchase", 0),
+      Event(20, ts(10), 2, "click", 0), Event(21, ts(6), 2, "purchase", 0),
+      Event(30, ts(1), 3, "click", 0),
+      Event(40, ts(0), 4, "click", 0), Event(41, ts(500), 4, "purchase", 0),
+      Event(50, ts(2), 5, "purchase", 0))
+    val lateA = Event(22, ts(5), 2, "click", 0) // lowers user 2's anchor
+    val mem = MemoryStream[Event]
+    val q = funnelStream(mem.toDS(), "click", "purchase",
+        windowSeconds = 3600)
+      .writeStream.format("memory").queryName("fun")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // adversarial order: B-before-A within a batch, A split across
+      // batches, the anchor-lowering A arriving last
+      mem.addData(evs(1), evs(3), evs(7)); q.processAllAvailable()
+      mem.addData(evs(0), evs(2), evs(5), evs(6)); q.processAllAvailable()
+      val early = spark.table("fun").as[FunnelUpdate].collect()
+        .groupBy(_.user_id).map { case (u, r) => u -> r.last }
+      assert(!early(2L).converted && early(2L).b_us == Long.MaxValue,
+        "user 2's stored B must not qualify before the late earlier A")
+      mem.addData(evs(4), lateA); q.processAllAvailable()
+      val fin = spark.table("fun").as[FunnelUpdate].collect()
+        .groupBy(_.user_id).map { case (u, r) => u -> r.last }
+      assert(fin.keySet == Set(1L, 2L, 3L, 4L), "anchor-driven: no A, no row")
+      def us(t: Timestamp) = t.getTime * 1000L
+      assert(fin(1L) == FunnelUpdate(1, us(ts(0)), us(ts(3)), true))
+      assert(fin(2L) == FunnelUpdate(2, us(ts(5)), us(ts(6)), true),
+        s"late earlier A must admit the stored B, got ${fin(2L)}")
+      assert(fin(3L) == FunnelUpdate(3, us(ts(1)), Long.MaxValue, false))
+      assert(fin(4L) == FunnelUpdate(4, us(ts(0)), us(ts(500)), false),
+        "B outside the window: b_us set, converted false")
+      // batch parity on the identical history
+      val batch = graft.operators.Events.funnel(
+          (evs :+ lateA).toDS().toDF(), "user_id", "ts", "event_type",
+          "click", "purchase", 3600L)
+        .select(col("user_id"),
+          col("converted")).as[(Long, Boolean)].collect().toMap
+      assert(batch == fin.view.mapValues(_.converted).toMap)
+    } finally q.stop()
+  }
+
   test("decontaminateStream flags exactly the batch report, statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
