@@ -481,6 +481,27 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ntile completes the window-rank family (rank / percent_rank /
+    // cume_dist / ntile): equal-count bucket assignment per group. The
+    // window orders by (price, orderkey) — a deterministic TOTAL order,
+    // because ntile splits ties by row position (unlike percent_rank,
+    // which gives ties equal ranks), so without the unique tiebreak the
+    // engines could legally disagree on which tied row crosses a bucket
+    // boundary. Report = per-(status, tile) count + price range, a
+    // cardinality-bounded second agg.
+    "q_ntile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_totalprice"),
+          ntile(4).over(w).as("tile"))
+        .groupBy("o_orderstatus", "tile")
+        .agg(count(lit(1)).as("n"), min("o_totalprice").as("lo"),
+          max("o_totalprice").as("hi"))
+        .orderBy("o_orderstatus", "tile")
+    }),
+
     // pandas-parity describe() in one scan (api/Table.scala): decimal
     // sufficient statistics, sample std, long-format unpivot
     "q_describe" -> ((s, d) =>
@@ -797,6 +818,13 @@ object CoreQueries {
        "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd " +
        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice) " +
        "ORDER BY o_orderkey"),
+
+    "q_ntile" ->
+      ("WITH t AS (SELECT o_orderstatus, o_totalprice, ntile(4) OVER " +
+       "(PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) " +
+       "AS tile FROM orders) " +
+       "SELECT o_orderstatus, tile, count(*) AS n, min(o_totalprice) AS lo, " +
+       "max(o_totalprice) AS hi FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "q_describe" ->
       (Seq("l_discount", "l_extendedprice", "l_quantity").map { c =>
