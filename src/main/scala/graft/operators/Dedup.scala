@@ -671,19 +671,37 @@ object Dedup {
     * back to the capped candidate pairs rather than collecting vectors
     * into bucket lists.
     *
-    * KNOWN WORST CASE (the BENCH_sf100_r9 1000× finding): giant
-    * NEAR-threshold cliques — k vectors pairwise at cosine just UNDER
-    * tau (boilerplate/template mass at web scale; the 1000-shard
-    * ScaleUp corpus plants cos≈0.97 cliques of 2000 under tau=0.995).
-    * No bit count separates p(0.97) from p(0.995) efficiently, so all
-    * k²/2 clique pairs enter the candidate stream and die only at the
-    * exact verify — correct output, but candidate volume quadratic in
-    * the clique size. Mitigations, in preference order: (1) two-stage
-    * dedup — run a LOWER-tau pass + [[bestPerCluster]] first so each
-    * clique collapses to one representative before the fine pass;
-    * (2) a much tighter `maxBucket` (caps per-bucket fan-out at the
-    * cost of bounded recall loss on borderline pairs); (3) explicit
-    * few-bit/many-table settings when the loose regime is intended. */
+    * NEAR-THRESHOLD-CLIQUE MITIGATION (the BENCH_sf100_r9 1000×
+    * finding, now implemented): giant cliques of k vectors pairwise at
+    * cosine just UNDER tau (boilerplate/template mass at web scale; the
+    * 1000-shard ScaleUp corpus plants cos≈0.97 cliques of 2000 under
+    * tau=0.995) defeat band geometry alone — no bit count separates
+    * p(0.97) from p(0.995) efficiently, so all k²/2 clique pairs enter
+    * the candidate stream and previously died only at the exact-verify
+    * JOIN, whose per-candidate cost is a shuffled vector fetch (~KB):
+    * candidate volume quadratic in clique size × KB = the r9 failure.
+    * The fix is a compact-sketch Hamming prefilter CARRIED THROUGH
+    * candidate generation: every vector computes a 992-bit SRP sketch
+    * (16 extra `srp_signature` words of 62 planes, seeds disjoint from
+    * the table seeds) that rides with the id into the band buckets, so
+    * each emitted pair is gated IN-TASK by sketch Hamming distance
+    * (16 xor+popcounts, ~ns) before any pair row is shuffled. For a
+    * pair at angle θ the per-plane disagree probability is θ/π, so
+    * Hamming ~ Binomial(992, θ/π); the gate keeps pairs with
+    * Hamming ≤ 992·fτ + 4σ (fτ = acos(tau)/π) — a pair AT tau is kept
+    * with prob ≥ 1 − 3e−5 (and a cos=1 pair deterministically: its
+    * sketch is bit-identical, Hamming 0), while a cos≈0.97 clique pair
+    * under tau=0.995 reaches the verify join with prob ~4e−3. The
+    * quadratic term degrades from KB-shuffle-per-pair to
+    * popcount-per-pair; the verify join input returns to ~O(true
+    * pairs). Recall multiplies by the ≥ 1−3e−5 gate factor — absorbed
+    * into the banding's own probabilistic-recall contract.
+    *
+    * Residual guidance for removal pipelines: when enumeration of
+    * pairs is NOT required, a two-stage dedup (a LOWER-tau pass +
+    * [[bestPerCluster]] collapsing each template clique to one
+    * representative before the fine pass) cuts even the popcount
+    * quadratic; `maxBucket` remains the hard cap of last resort. */
   def embedPairsBanded(emb: DataFrame, idCol: String, vecCol: String,
                        tau: Double, bits: Int = 0, tables: Int = 32,
                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -713,13 +731,34 @@ object Dedup {
         val log2n = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
         math.min(62, math.max(12, 2 * log2n + 2))
       }
-    val sigs = e.select(col("vid"),
-      posexplode(array((0 until tables).map(t =>
-        GraftFunctions.srp_signature(col("v"), b, t.toLong)): _*))
-        .as(Seq("tbl", "sig")))
-    val cand = bucketPairs(sigs, Seq("tbl", "sig"), col("vid"), maxBucket)
-      .filter(col("__a") < col("__b"))
-      .select(col("__a").as("id_a"), col("__b").as("id_b"))
+    // 992-bit SRP sketch for the in-task Hamming prefilter (scaladoc):
+    // 16 words × 62 planes, seeds offset 2^32 so they never collide with
+    // the table seeds 0..tables-1. A cos=1 pair (scaled copy) has a
+    // bit-identical sketch — Hamming 0 — so the exact-dup/planted-twin
+    // operating point passes the gate deterministically.
+    val sketchWords = 16
+    val planesPerWord = 62
+    val sketchBits = sketchWords * planesPerWord
+    val fTau = math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+    val hamGate = math.min(sketchBits.toDouble,
+      sketchBits * fTau + 4.0 * math.sqrt(sketchBits * fTau * (1.0 - fTau)))
+      .ceil.toInt
+    val sigs = e
+      .withColumn("sk", array((0 until sketchWords).map(w =>
+        GraftFunctions.srp_signature(col("v"), planesPerWord,
+          (1L << 32) + w)): _*))
+      .select(col("vid"), col("sk"),
+        posexplode(array((0 until tables).map(t =>
+          GraftFunctions.srp_signature(col("v"), b, t.toLong)): _*))
+          .as(Seq("tbl", "sig")))
+      .select(struct(col("vid"), col("sk")).as("pay"), col("tbl"), col("sig"))
+    val ham = aggregate(
+      zip_with(col("__a.sk"), col("__b.sk"),
+        (x, y) => call_function("bit_count", x.bitwiseXOR(y))),
+      lit(0), (acc, h) => acc + h)
+    val cand = bucketPairs(sigs, Seq("tbl", "sig"), col("pay"), maxBucket)
+      .filter(col("__a.vid") < col("__b.vid") && ham <= lit(hamGate))
+      .select(col("__a.vid").as("id_a"), col("__b.vid").as("id_b"))
       .distinct()
     cand
       .join(e.select(col("vid"), col("v").as("va"), col("nrm").as("na")),
