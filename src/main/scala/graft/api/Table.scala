@@ -291,7 +291,7 @@ final case class Table(df: DataFrame, name: String) {
     * percentile-only aggregate, and the two 1-row results cross-join —
     * the pruned column scan is paid twice, the codegen'd moment pass is
     * what dominates. */
-  def describe(cols: Seq[String]): DataFrame = {
+  def describe(cols: Seq[String], approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "describe needs at least one column")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val D = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
@@ -301,8 +301,17 @@ final case class Table(df: DataFrame, name: String) {
         sum((col(c) * col(c)).cast(D)).cast("double").as(s"__ss_$c"),
         min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
     }
+    // approx=true is the 100 TB mode: approx_percentile's fixed-size
+    // KLL-style sketch aggregates partially map-side and the final merge
+    // combines 1 sketch per partition, where exact `percentile`'s partial
+    // state is the full value buffer (the whole column ends up in the one
+    // final-merge task — the r9 scale-killer). Values carry the
+    // ±n/accuracy rank guarantee (checked by q_describe_approx's oracle).
     val qAggs = cols.map { c =>
-      expr(s"exact_percentile($c, array(0.25, 0.5, 0.75))").as(s"__q_$c")
+      val e =
+        if (approx) s"approx_percentile($c, array(0.25D, 0.5D, 0.75D), 10000)"
+        else s"exact_percentile($c, array(0.25, 0.5, 0.75))"
+      expr(e).cast("array<double>").as(s"__q_$c")
     }
     val moments = df.agg(count(lit(1)).as("__nr"), aggs: _*)
     val quarts = df.agg(qAggs.head, qAggs.tail: _*)
