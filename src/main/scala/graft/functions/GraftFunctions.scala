@@ -76,6 +76,9 @@ object GraftExtensions {
         })),
       (FunctionIdentifier("repetition_stats"), info(classOf[RepetitionStats], "repetition_stats"),
         (es: Seq[Expression]) => RepetitionStats(es.head)),
+      (FunctionIdentifier("text_quality_stats"),
+        info(classOf[QualityStats], "text_quality_stats"),
+        (es: Seq[Expression]) => QualityStats(es.head)),
       (FunctionIdentifier("byte_histogram"), info(classOf[ByteHistogram], "byte_histogram"),
         (es: Seq[Expression]) => ByteHistogram(es.head, es(1).eval().asInstanceOf[Int])),
       (FunctionIdentifier("srp_signature"), info(classOf[SrpSignature], "srp_signature"),
@@ -163,6 +166,8 @@ object GraftFunctions {
     call_function("vec_mat_cosines", v,
       org.apache.spark.sql.functions.typedLit(mat.map(_.toSeq).toSeq))
   def repetition_stats(toks: Column): Column = call_function("repetition_stats", toks)
+  def text_quality_stats(text: Column): Column =
+    call_function("text_quality_stats", text)
   def byte_histogram(payload: Column, buckets: Int): Column =
     call_function("byte_histogram", payload,
       org.apache.spark.sql.functions.lit(buckets))
