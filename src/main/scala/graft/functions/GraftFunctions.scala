@@ -99,7 +99,15 @@ object GraftExtensions {
       (FunctionIdentifier("bloom_contains"),
         info(classOf[BloomContains], "bloom_contains"),
         (es: Seq[Expression]) => BloomContains(es.head, es(1),
-          es(2).eval().asInstanceOf[Int])),
+          // a typed analysis error beats the ClassCastException/NPE a
+          // BIGINT literal or non-foldable k would otherwise throw here
+          es(2).eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"bloom_contains: the k argument must be an INT or BIGINT " +
+                s"literal, got ${Option(other).getOrElse("a non-foldable expression")}")
+          })),
       (FunctionIdentifier("exact_percentile"),
         info(classOf[ExactPercentile], "exact_percentile"),
         (es: Seq[Expression]) => {

@@ -1398,11 +1398,13 @@ object PipelineQueries {
        "ORDER BY o_orderkey"),
 
     // same ASCII tokenization rule as the native expression: anything
-    // outside [a-z] (after lower()) separates words; each >=2-letter
-    // word fans into its adjacent substr pairs
+    // outside [A-Za-z] separates words, THEN the word lowercases — the
+    // split must happen before lower() so a Unicode char whose lowercase
+    // maps into [a-z] (U+212A KELVIN SIGN → 'k') stays a separator
+    // exactly as the ASCII-only native CharPairs treats it
     "q_bpe_pairs" ->
-      ("WITH w AS (SELECT unnest(string_split_regex(lower(coalesce(text, " +
-       "'')), '[^a-z]+')) AS w FROM documents), " +
+      ("WITH w AS (SELECT lower(unnest(string_split_regex(coalesce(text, " +
+       "''), '[^A-Za-z]+'))) AS w FROM documents), " +
        "p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair FROM " +
        "(SELECT w, unnest(range(1, length(w))) AS i FROM w " +
        "WHERE length(w) >= 2)) " +

@@ -371,6 +371,10 @@ object EventStreams {
     * B-candidate list (see funnelStream invariant). */
   case class FunnelState(aUs: Long, bCands: List[Long])
 
+  /** B-candidate cap for users with no step-A yet (funnelStream): 8 KB
+    * of state per pathological B-only user instead of unbounded. */
+  val MaxBOnlyCands = 1024
+
   /** Streaming two-step funnel — the streaming shape of Events.funnel
     * (same semantics: anchor = min A over the user's whole history,
     * b = min B at-or-after the anchor, converted ⇔ b − a ≤ window).
@@ -385,10 +389,17 @@ object EventStreams {
     * still win: every B ≤ the current answer (the answer only ever
     * decreases — new Bs above it are dropped on arrival, stored Bs above
     * it are pruned after each update). Users with no A yet hold their Bs
-    * and emit nothing (the batch op is anchor-driven). Per-user state is
-    * bounded by the user's B events below the final answer; production
-    * adds an event-time timeout to retire converged users — kept
-    * timeout-free here so the convergence contract stays exact. */
+    * and emit nothing (the batch op is anchor-driven) — for THOSE users
+    * every B is a potential answer (answer = min B ≥ a whatever the late
+    * anchor a turns out to be), so their candidate list is capped at
+    * [[MaxBOnlyCands]] KEEPING THE SMALLEST: under bounded disorder a
+    * late first A lands below the observed Bs, where min-B is the exact
+    * answer; a pathological user with more than the cap's Bs before any
+    * A converges to a conservative — never-earlier — B. With the cap,
+    * per-user state is bounded: A-less users by the cap, anchored users
+    * by {Bs < anchor} ∪ {answer} (the prune invariant). Production adds
+    * an event-time timeout to retire converged users — kept timeout-free
+    * here so the convergence contract stays exact. */
   def funnelStream(events: Dataset[Event], stepA: String, stepB: String,
                    windowSeconds: Long): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
@@ -415,6 +426,8 @@ object EventStreams {
           }
           val ans = answer
           bs = bs.filter(_ <= ans).distinct
+          if (aUs == Long.MaxValue && bs.length > MaxBOnlyCands)
+            bs = bs.sorted.take(MaxBOnlyCands)
           state.update(FunnelState(aUs, bs))
           if (aUs == Long.MaxValue) Iterator.empty
           else Iterator(FunnelUpdate(userId, aUs, ans,

@@ -47,10 +47,13 @@ object Tables {
         // newer readers ignore nanosAsLong and surface TIMESTAMP(NANOS)
         // as a micros-truncated TIMESTAMP_NTZ; ops downstream use
         // unix_micros, which requires TimestampType — cast NTZ → TZ.
+        // The cast is only epoch-correct when the session zone is UTC.
         // Every session this library owns (Verify/Bench/PlanAudit/specs)
-        // pins spark.sql.session.timeZone=UTC, so the cast reads the
-        // wall-clock as UTC and yields the same epoch micros as the
-        // legacy `ts div 1000` path.
+        // pins it, but this is a public entry point: a caller-built
+        // session in another zone would silently shift every epoch, so
+        // pin the conf here too (session-wide, like nanosAsLong above —
+        // timestamps in this library are UTC by contract).
+        s.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw

@@ -402,6 +402,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream caps a B-only user's candidate state and still " +
+    "answers exactly when the late first A lands below the backlog") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 1500 step-Bs (over the 1024 cap) before ANY step-A: state must cap
+    // (keep-smallest), and a late A below every B must still yield the
+    // exact answer min B — which keep-smallest retains by construction
+    val bs = (0 until 1500).map(i =>
+      Event(1000L + i, ts(10 + i), 9, "purchase", 0))
+    val lateA = Event(1, ts(2), 9, "click", 0)
+    val mem = MemoryStream[Event]
+    val q = funnelStream(mem.toDS(), "click", "purchase",
+        windowSeconds = 3600)
+      .writeStream.format("memory").queryName("funcap")
+      .outputMode(OutputMode.Update).start()
+    try {
+      bs.grouped(400).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      assert(spark.table("funcap").isEmpty, "no A yet → no emission")
+      mem.addData(lateA); q.processAllAvailable()
+      val fin = spark.table("funcap").as[FunnelUpdate].collect().last
+      def us(t: Timestamp) = t.getTime * 1000L
+      assert(fin == FunnelUpdate(9, us(ts(2)), us(ts(10)), true),
+        s"late A below the capped backlog must see the exact min B: $fin")
+    } finally q.stop()
+  }
+
   test("decontaminateStream flags exactly the batch report, statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
