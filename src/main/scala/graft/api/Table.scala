@@ -262,11 +262,25 @@ final case class Table(df: DataFrame, name: String) {
     copy(df = df.withColumnRenamed(from, to))
 
   /** `Table.columns` / `Table.dtypes` / `Table.shape` (base.py:176, :1248).
-    * shape's row count is an action (one job), like the reference's
-    * count query. */
+    * NOTE: `shape` is the ONE introspection method that RUNS A JOB — its
+    * row count is `df.count()`, a full (column-pruned) scan, exactly like
+    * the reference's remote count query. Callers wanting metadata only
+    * should use `columnNames`/`dtypes`, which never touch data. */
   def columnNames: Seq[String] = df.columns.toSeq
   def dtypes: Seq[(String, String)] = df.dtypes.toSeq
   def shape: (Long, Int) = (df.count(), df.columns.length)
+
+  /** Whole-table `Table.delete` (base.py:942): the drop-table analog.
+    * Spark-native there is no remote table to destroy — deletion is
+    * unregistering the temp view [[query]] may have created (catalog
+    * lookup-after-delete fails, like the reference's deleted table) and
+    * unpersisting any cached plan data. The parquet files behind the
+    * frame belong to the caller (the reference's base, not its tables)
+    * and are not touched. */
+  def delete(spark: SparkSession): Unit = {
+    spark.catalog.dropTempView(name)
+    df.unpersist()
+  }
 
   /** pandas-parity `describe()` over numeric columns, in long format
     * (col_name, n, n_null, mean, std, min, p25, p50, p75, max): all

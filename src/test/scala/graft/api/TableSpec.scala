@@ -257,4 +257,16 @@ class TableSpec extends SparkSpec {
     val r = t.describe(Seq("v")).collect().head
     assert(r.getDouble(4) == 0.0, s"constant column std must be 0.0, got ${r.getDouble(4)}")
   }
+
+  test("whole-table delete unregisters the temp view (base.py:942 analog)") {
+    val t = Table(Seq((1L, "a")).toDF("id", "v"), "del_me")
+    assert(t.query(spark, "SELECT count(*) AS n FROM del_me")
+      .collect().head.getLong(0) == 1L)
+    t.delete(spark)
+    assert(!spark.catalog.tableExists("del_me"),
+      "deleted table must vanish from the catalog")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM del_me").collect()
+    }
+  }
 }
