@@ -32,6 +32,8 @@ object GraftExtensions {
         (es: Seq[Expression]) => SimHashWide(es.head, es(1).eval().asInstanceOf[Int])),
       (FunctionIdentifier("vec_dot"), info(classOf[VecDot], "vec_dot"),
         (es: Seq[Expression]) => VecDot(es.head, es(1))),
+      (FunctionIdentifier("ham_xor"), info(classOf[HamXor], "ham_xor"),
+        (es: Seq[Expression]) => HamXor(es.head, es(1))),
       (FunctionIdentifier("minhash_bands"), info(classOf[MinHashBands], "minhash_bands"),
         (es: Seq[Expression]) => MinHashBands(es.head,
           es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
@@ -137,6 +139,7 @@ object GraftFunctions {
   def simhash_wide(c: Column, parts: Int): Column =
     call_function("simhash_wide", c, org.apache.spark.sql.functions.lit(parts))
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def ham_xor(a: Column, b: Column): Column = call_function("ham_xor", a, b)
   def minhash_bands(shingles: Column, numPerm: Int, bands: Int): Column =
     call_function("minhash_bands", shingles,
       org.apache.spark.sql.functions.lit(numPerm),

@@ -739,3 +739,51 @@ object ByteHistogramImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** XOR-popcount Hamming distance between two equal-length ARRAY<BIGINT>
+  * bit sketches: sum over words of popcount(a[i] ^ b[i]).
+  *
+  * The embed-LSH near-threshold-clique gate (operators/Dedup.scala
+  * `embedPairsBanded`) evaluates this once per CANDIDATE PAIR — on a
+  * template-heavy corpus that is the quadratic term, so it must cost
+  * nanoseconds, not microseconds. The `aggregate(zip_with(..))` HOF
+  * composition it replaces evaluates interpreted and allocates an
+  * intermediate array per pair; this is a branch-free primitive loop that
+  * stays inside whole-stage codegen (the r1 measured HOF→native pattern,
+  * 38-250×). */
+case class HamXor(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ham_xor expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got (${l.sql}, ${r.sql})")
+    }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HamXorImpl.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HamXorImpl.compute($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HamXor =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "ham_xor"
+}
+
+object HamXorImpl {
+  /** Callable from generated Java. Arrays of unequal length compare over
+    * the common prefix (the sketches graft builds are fixed-width, so the
+    * lengths only differ on caller error — matching VecDot's contract). */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+}

@@ -752,10 +752,12 @@ object Dedup {
           GraftFunctions.srp_signature(col("v"), b, t.toLong)): _*))
           .as(Seq("tbl", "sig")))
       .select(struct(col("vid"), col("sk")).as("pay"), col("tbl"), col("sig"))
-    val ham = aggregate(
-      zip_with(col("__a.sk"), col("__b.sk"),
-        (x, y) => call_function("bit_count", x.bitwiseXOR(y))),
-      lit(0), (acc, h) => acc + h)
+    // native codegen xor-popcount: this runs once per CANDIDATE pair —
+    // the quadratic term on template-heavy corpora — so the interpreted
+    // aggregate(zip_with(..)) HOF form it replaces (array alloc + boxed
+    // lambda per pair) would put microseconds back into the clique path
+    // the gate exists to collapse
+    val ham = GraftFunctions.ham_xor(col("__a.sk"), col("__b.sk"))
     val cand = bucketPairs(sigs, Seq("tbl", "sig"), col("pay"), maxBucket)
       .filter(col("__a.vid") < col("__b.vid") && ham <= lit(hamGate))
       .select(col("__a.vid").as("id_a"), col("__b.vid").as("id_b"))

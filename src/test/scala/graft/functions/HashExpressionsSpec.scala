@@ -115,6 +115,34 @@ class HashExpressionsSpec extends SparkSpec {
     assert(near <= 8)
   }
 
+
+  test("ham_xor equals the zip_with/aggregate HOF form, through codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(60)((Array.fill(16)(rnd.nextLong()), Array.fill(16)(rnd.nextLong()))) ++
+      Seq((Array.fill(16)(7L), Array.fill(16)(7L)))            // identical -> 0
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      GraftFunctions.ham_xor(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => call_function("bit_count", x.bitwiseXOR(y)).cast("int")),
+        lit(0), (acc, h) => acc + h).as("hof"))
+      .as[(Int, Int)].collect()
+    assert(out.forall(r => r._1 == r._2))
+    assert(out.last._1 == 0)
+    // direct impl agrees (interpreted path)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val (a0, b0) = rows.head
+    val direct = HamXorImpl.compute(
+      new GenericArrayData(a0.map(x => Long.box(x): Any)),
+      new GenericArrayData(b0.map(x => Long.box(x): Any)))
+    assert(direct == out.head._1)
+    // null on either side -> null (BinaryExpression null semantics)
+    val nulls = Seq((Some(Array(1L)), Option.empty[Array[Long]])).toDF("a", "b")
+      .select(GraftFunctions.ham_xor(col("a"), col("b"))).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("srp_signature is scale-invariant and seed-sensitive, through codegen") {
     GraftFunctions.ensureRegistered(spark)
     val rnd = new scala.util.Random(11)
