@@ -649,6 +649,32 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** 992-bit SRP sketch geometry shared by the banded/incremental
+    * embedding paths (near-threshold-clique gate — scaladoc on
+    * [[embedPairsBanded]]): 16 words × 62 planes, seeds offset 2^32 so
+    * they never collide with the table seeds 0..tables-1. A cos=1 pair
+    * (scaled copy) has a bit-identical sketch — Hamming 0 — so the
+    * exact-dup/planted-twin operating point passes the gate
+    * deterministically. */
+  private val SketchWords = 16
+  private val SketchPlanesPerWord = 62
+
+  private def sketchCol(v: Column): Column =
+    array((0 until SketchWords).map(w =>
+      GraftFunctions.srp_signature(v, SketchPlanesPerWord, (1L << 32) + w)): _*)
+
+  /** Keep-threshold for the sketch Hamming gate at threshold `tau`: for
+    * a pair at angle θ the per-plane disagree probability is θ/π, so
+    * Hamming ~ Binomial(992, θ/π); keeping Hamming ≤ 992·fτ + 4σ
+    * (fτ = acos(tau)/π) retains a pair AT tau with prob ≥ 1 − 3e−5. */
+  private def hamGateFor(tau: Double): Int = {
+    val sketchBits = SketchWords * SketchPlanesPerWord
+    val fTau = math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+    math.min(sketchBits.toDouble,
+      sketchBits * fTau + 4.0 * math.sqrt(sketchBits * fTau * (1.0 - fTau)))
+      .ceil.toInt
+  }
+
   /** Embedding near-dup pairs, LSH-banded — the 100 TB path. Candidate
     * generation is `tables` independent SRP-LSH tables of `bits` hyperplanes
     * each (native `srp_signature` Expression, seeds 0..tables-1): vectors
@@ -731,22 +757,9 @@ object Dedup {
         val log2n = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
         math.min(62, math.max(12, 2 * log2n + 2))
       }
-    // 992-bit SRP sketch for the in-task Hamming prefilter (scaladoc):
-    // 16 words × 62 planes, seeds offset 2^32 so they never collide with
-    // the table seeds 0..tables-1. A cos=1 pair (scaled copy) has a
-    // bit-identical sketch — Hamming 0 — so the exact-dup/planted-twin
-    // operating point passes the gate deterministically.
-    val sketchWords = 16
-    val planesPerWord = 62
-    val sketchBits = sketchWords * planesPerWord
-    val fTau = math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
-    val hamGate = math.min(sketchBits.toDouble,
-      sketchBits * fTau + 4.0 * math.sqrt(sketchBits * fTau * (1.0 - fTau)))
-      .ceil.toInt
+    val hamGate = hamGateFor(tau)
     val sigs = e
-      .withColumn("sk", array((0 until sketchWords).map(w =>
-        GraftFunctions.srp_signature(col("v"), planesPerWord,
-          (1L << 32) + w)): _*))
+      .withColumn("sk", sketchCol(col("v")))
       .select(col("vid"), col("sk"),
         posexplode(array((0 until tables).map(t =>
           GraftFunctions.srp_signature(col("v"), b, t.toLong)): _*))
@@ -771,6 +784,77 @@ object Dedup {
         (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= tau)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Incremental embedding near-dup check — which BATCH vectors
+    * near-duplicate an EXISTING corpus? The embedding-space twin of
+    * [[minhashIncremental]] and the production ingestion shape at
+    * 100 TB: a daily crawl is deduped AGAINST the corpus by cosine
+    * without ever re-pairing the corpus with itself (a self-join
+    * [[embedPairsBanded]] over batch∪corpus would re-do the corpus
+    * quadratically every day). Bipartite SRP banding: both sides
+    * compute the same `tables` table signatures (SRP is deterministic
+    * per seed and scale-invariant, so a copy of a corpus vector lands
+    * in its original's bucket in EVERY table) and meet in a band-bucket
+    * EQUI-join that by construction emits only batch×corpus candidates;
+    * the sketch-Hamming gate of [[embedPairsBanded]] applies per
+    * emitted pair (codegen ham_xor, popcount cost) so template mass in
+    * the corpus cannot flood the verify join; exact-cosine verification
+    * makes precision exact. Returns (batch_id, corpus_id, cos) rows
+    * with cos ≥ tau. Recall is the banding bound of
+    * [[embedPairsBanded]] times the ≥ 1−3e−5 gate factor (cos=1 copies
+    * are deterministic: identical signatures, Hamming 0).
+    *
+    * Scale posture: candidate generation shuffles only
+    * (id, sketch, table, 8-byte signature) rows; a boilerplate bucket
+    * is capped on the CORPUS side at `maxBucket` rows (deterministic
+    * id-ordered row_number — the [[minhashIncremental]] contract) so
+    * one degenerate bucket cannot fan a batch vector out over the whole
+    * corpus; auto `bits` follows the CORPUS size (the side whose bucket
+    * occupancy grows — same 2·log₂ n rule, one bounded id-projection
+    * count job). */
+  def embedIncremental(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String, tau: Double,
+                       bits: Int = 0, tables: Int = 32,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    GraftFunctions.ensureRegistered(batch.sparkSession)
+    def prep(df: DataFrame) = df.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val eB = prep(batch)
+    val eC = prep(corpus)
+    val b =
+      if (bits > 0) bits
+      else {
+        val n = math.max(corpus.select(idCol).count(), 2L)
+        val log2n = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+        math.min(62, math.max(12, 2 * log2n + 2))
+      }
+    val hamGate = hamGateFor(tau)
+    def sigs(e: DataFrame, idOut: String, skOut: String) = e
+      .withColumn("sk", sketchCol(col("v")))
+      .select(col("vid").as(idOut), col("sk").as(skOut),
+        posexplode(array((0 until tables).map(t =>
+          GraftFunctions.srp_signature(col("v"), b, t.toLong)): _*))
+          .as(Seq("tbl", "sig")))
+    val w = Window.partitionBy(col("tbl"), col("sig")).orderBy(col("corpus_id"))
+    val sigC = sigs(eC, "corpus_id", "sk_c")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxBucket)
+      .drop("__rk")
+    val cand = sigs(eB, "batch_id", "sk_b")
+      .join(sigC, Seq("tbl", "sig"))
+      .filter(GraftFunctions.ham_xor(col("sk_b"), col("sk_c")) <= lit(hamGate))
+      .select("batch_id", "corpus_id").distinct()
+    cand
+      .join(eB.select(col("vid"), col("v").as("va"), col("nrm").as("na")),
+        col("batch_id") === col("vid")).drop("vid")
+      .join(eC.select(col("vid"), col("v").as("vb"), col("nrm").as("nb")),
+        col("corpus_id") === col("vid")).drop("vid")
+      .select(col("batch_id"), col("corpus_id"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy("batch_id", "corpus_id")
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

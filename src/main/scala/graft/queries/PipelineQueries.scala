@@ -178,6 +178,29 @@ object PipelineQueries {
         "doc_id", "text", tau = 0.5)
     }),
 
+    // the same ingestion shape in EMBEDDING space (the cosine twin of
+    // q_dedup_incremental): a batch of scaled copies of every 5th corpus
+    // vector (cos = 1 planted near-dups — same direction, 1.5× norm)
+    // plus reversed copies of every 7th (direction scrambled — must
+    // match nothing at τ = 0.995) is deduped against the corpus through
+    // bipartite SRP banding + the sketch-Hamming gate + exact-cosine
+    // verify. Scale-invariant signatures make planted-twin recall
+    // complete at every corpus size (identical signature in every
+    // table), so the brute-force batch×corpus oracle is exact. Same
+    // 16-bit / 8-table real-scale parameters as q_dedup_embed_lsh.
+    "q_dedup_embed_incremental" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val batch = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5d)).as("embedding"))
+        .unionByName(e.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 300000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+      Dedup.embedIncremental(batch, e, "vec_id", "embedding",
+        tau = 0.995, bits = 16, tables = 8)
+    }),
+
     // maxHamming = 3 is the PIGEONHOLE-COMPLETE operating point: the
     // default geometry for maxHamming 3 is a 128-bit simhash_wide
     // fingerprint in 4 chunks of 32 bits, so any pair within Hamming
@@ -994,6 +1017,18 @@ object PipelineQueries {
        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * " +
        "sqrt(list_dot_product(b.v, b.v))) AS cos FROM e a JOIN e b " +
        "ON a.vec_id < b.vec_id) WHERE cos >= 0.995 ORDER BY id_a, id_b"),
+
+    // brute-force batch×corpus cross join: bipartite ground truth (no
+    // corpus×corpus, no batch×batch rows by construction on both sides)
+    "q_dedup_embed_incremental" ->
+      ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "b AS (SELECT vec_id + 200000 AS vec_id, [x * 1.5 FOR x IN v] AS v " +
+       "FROM c WHERE vec_id % 5 = 0 " +
+       "UNION ALL SELECT vec_id + 300000, list_reverse(v) FROM c WHERE vec_id % 7 = 0) " +
+       "SELECT batch_id, corpus_id, cos FROM (SELECT b.vec_id AS batch_id, " +
+       "c.vec_id AS corpus_id, list_dot_product(b.v, c.v) / " +
+       "(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos " +
+       "FROM b CROSS JOIN c) WHERE cos >= 0.995 ORDER BY batch_id, corpus_id"),
 
     // brute-force pairs + recursive-CTE components + min-id keep rule:
     // the ground truth the cell-restricted operator must reproduce at

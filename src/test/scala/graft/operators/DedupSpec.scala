@@ -216,6 +216,33 @@ class DedupSpec extends SparkSpec {
     assert(banded == exact)
   }
 
+  test("bipartite embed incremental ≡ brute-force batch×corpus, never self-pairs") {
+    val corpus = graft.tables.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val batch = corpus.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 5000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.7d)).as("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // weak-tau regime needs few-bit/many-table banding, like embedPairsBanded
+    val inc = rows(Dedup.embedIncremental(batch, corpus, "vec_id", "embedding",
+      tau = 0.4, bits = 2, tables = 32))
+    // ground truth: exact cartesian over batch ∪ corpus, restricted to
+    // the bipartite id ranges — any batch×batch or corpus×corpus pair
+    // the operator emitted would break this equality
+    val brute = rows(Dedup.embedPairs(batch.unionByName(corpus),
+        "vec_id", "embedding", tau = 0.4))
+      .filter { case (a, b, _) => a < 5000L && b >= 5000L }
+      .map { case (a, b, c) => (b, a, c) } // (batch_id, corpus_id)
+      .sorted
+    assert(brute.nonEmpty, "test data should contain cross pairs above tau")
+    assert(inc.sorted == brute)
+    // every planted 0.7x copy finds its original at cos = 1
+    val planted = inc.filter { case (b, c, _) => b == c + 5000L }
+    assert(planted.size == batch.count(),
+      "scale-invariant signatures must give complete planted-twin recall")
+  }
+
   test("containment finds a short doc quoted in a long one that jaccard misses") {
     import spark.implicits._
     val filler = (1 to 60).map(i => s"w$i").mkString(" ")
