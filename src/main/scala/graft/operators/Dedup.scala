@@ -656,10 +656,10 @@ object Dedup {
     * (scaled copy) has a bit-identical sketch — Hamming 0 — so the
     * exact-dup/planted-twin operating point passes the gate
     * deterministically. */
-  private val SketchWords = 16
+  private[graft] val SketchWords = 16
   private val SketchPlanesPerWord = 62
 
-  private def sketchCol(v: Column): Column =
+  private[graft] def sketchCol(v: Column): Column =
     array((0 until SketchWords).map(w =>
       GraftFunctions.srp_signature(v, SketchPlanesPerWord, (1L << 32) + w)): _*)
 
@@ -667,7 +667,7 @@ object Dedup {
     * a pair at angle θ the per-plane disagree probability is θ/π, so
     * Hamming ~ Binomial(992, θ/π); keeping Hamming ≤ 992·fτ + 4σ
     * (fτ = acos(tau)/π) retains a pair AT tau with prob ≥ 1 − 3e−5. */
-  private def hamGateFor(tau: Double): Int = {
+  private[graft] def hamGateFor(tau: Double): Int = {
     val sketchBits = SketchWords * SketchPlanesPerWord
     val fTau = math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
     math.min(sketchBits.toDouble,

@@ -520,4 +520,68 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Streaming ingestion dedup against a STATIC corpus — the streaming
+    * shape of Dedup.embedIncremental: each arriving vector's SRP table
+    * signatures stream-static equi-join the corpus's banded signature
+    * relation, the 992-bit sketch-Hamming gate (codegen ham_xor) prunes
+    * candidates in-task, and exact cosine against the corpus vectors
+    * verifies — emitting the batch op's (batch_id, corpus_id, cos) pairs
+    * with the stream row's id as batch_id. The corpus is a static
+    * DataFrame (cache it: stream-static joins re-read the static side
+    * per micro-batch).
+    *
+    * ZERO streaming state — which takes one design move: the batch op
+    * dedupes multi-table collisions with `.distinct()`, a stateful
+    * aggregation under streaming. Instead BOTH sides carry their full
+    * `tables`-slot signature vector, and a join hit at table t survives
+    * only when t is the pair's FIRST colliding table — a pure in-task
+    * predicate over the two arrays, so every (batch, corpus) pair is
+    * emitted exactly once per micro-batch with no state store. (The
+    * per-candidate zip_with here is candidate-bounded — the ham gate has
+    * already collapsed template mass — unlike the pair-quadratic gate
+    * itself, which is native.)
+    *
+    * No maxBucket cap: capping the corpus side interacts with the
+    * first-collision rule (a pair whose first-table bucket dropped the
+    * corpus row under the cap would vanish even though a later table
+    * caught it). Corpora with template mass should be collapsed
+    * (Dedup.bestPerCluster) before indexing instead. Recall is otherwise
+    * embedPairsBanded's banding bound × the ≥ 1−3e−5 gate factor; cos=1
+    * copies are deterministic (identical signatures, Hamming 0). */
+  def embedDedupStream(stream: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, tau: Double, bits: Int = 16,
+                       tables: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(stream.sparkSession)
+    import graft.operators.{Dedup, Similarity}
+    def prep(df: DataFrame, id: String, vec: String, nrm: String) =
+      df.select(col(idCol).cast("long").as(id),
+        col(vecCol).cast("array<double>").as(vec))
+        .withColumn(nrm, sqrt(Similarity.dot(col(vec), col(vec))))
+    def sigArr(v: Column): Column =
+      array((0 until tables).map(t =>
+        graft.functions.GraftFunctions.srp_signature(v, bits, t.toLong)): _*)
+    val gate = Dedup.hamGateFor(tau)
+    val c = prep(corpus, "corpus_id", "vb", "nb")
+      .withColumn("sk_c", Dedup.sketchCol(col("vb")))
+      .withColumn("sigs_c", sigArr(col("vb")))
+    val sigC = c.select(col("corpus_id"), col("sk_c"), col("sigs_c"),
+      posexplode(col("sigs_c")).as(Seq("tbl", "sig")))
+    val s = prep(stream, "batch_id", "va", "na")
+      .withColumn("sk_b", Dedup.sketchCol(col("va")))
+      .withColumn("sigs_b", sigArr(col("va")))
+    val sigB = s.select(col("batch_id"), col("va"), col("na"), col("sk_b"),
+      col("sigs_b"), posexplode(col("sigs_b")).as(Seq("tbl", "sig")))
+    sigB.join(sigC, Seq("tbl", "sig"))
+      .filter(graft.functions.GraftFunctions.ham_xor(col("sk_b"), col("sk_c"))
+        <= lit(gate))
+      // exactly-once without state: keep the hit only at the pair's first
+      // colliding table (array_position is 1-based, tbl 0-based)
+      .filter(col("tbl") ===
+        expr("array_position(zip_with(sigs_b, sigs_c, (x, y) -> x = y), true) - 1"))
+      .join(c.select(col("corpus_id"), col("vb"), col("nb")), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+  }
 }

@@ -562,6 +562,50 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+
+  test("embedDedupStream emits exactly the incremental batch pairs, statelessly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{reverse, transform}
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.tables.Tables.embeddings(spark, sf())
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    // planted 1.5x copies must all match their original; reversed vectors
+    // must match nothing at tau 0.995
+    val batchDf = corpus.filter($"vec_id" % 3 === 0)
+      .select(($"vec_id" + 5000L).as("vec_id"),
+        transform($"embedding", x => x * lit(1.5d)).as("embedding"))
+      .unionByName(corpus.filter($"vec_id" % 4 === 0)
+        .select(($"vec_id" + 9000L).as("vec_id"),
+          reverse($"embedding").as("embedding")))
+    val expected = graft.operators.Dedup.embedIncremental(
+        batchDf, corpus, "vec_id", "embedding", tau = 0.995,
+        bits = 16, tables = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "fixture must contain planted cross pairs")
+    val rows = batchDf.as[(Long, Array[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = embedDedupStream(mem.toDF().toDF("vec_id", "embedding"), corpus,
+        "vec_id", "embedding", tau = 0.995, bits = 16, tables = 8)
+      .writeStream.format("memory").queryName("embdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(rest: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("embdedup").as[(Long, Long, Double)].collect()
+      // the first-colliding-table rule replaces the batch op's stateful
+      // distinct: multi-table collisions must still emit exactly once
+      assert(streamed.length == streamed.toSet.size,
+        "each (batch, corpus) pair must be emitted exactly once")
+      assert(streamed.toSet == expected,
+        "stream pairs and cosines must equal the batch op bit-for-bit")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "dedup against a static corpus must run with zero state-store operators")
+    } finally q.stop()
+  }
+
   test("gopherStream admits exactly the batch Gopher survivors, statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
