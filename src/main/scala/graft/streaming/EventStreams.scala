@@ -584,4 +584,45 @@ object EventStreams {
         (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /** Streaming MinHash ingestion dedup against a STATIC document corpus —
+    * the text twin of [[embedDedupStream]] and the streaming shape of
+    * Dedup.minhashIncremental: each arriving doc's band signatures
+    * (native minhash_bands over its 3-shingles) stream-static equi-join
+    * the corpus's banded signature relation, and exact Jaccard against
+    * the corpus shingle sets verifies — emitting the batch op's
+    * (batch_id, corpus_id, jaccard) rows. Zero streaming state via the
+    * same first-colliding-band predicate (both sides carry the full
+    * `bands`-slot signature array; a join hit at band b survives only
+    * when b is the pair's first colliding band — exactly-once emission
+    * with no stateful distinct). Cache the corpus: stream-static joins
+    * re-read the static side per micro-batch. */
+  def minhashDedupStream(stream: DataFrame, corpus: DataFrame, idCol: String,
+                         textCol: String, tau: Double, numPerm: Int = 128,
+                         bands: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(stream.sparkSession)
+    def prep(df: DataFrame, id: String, sh: String, bnds: String) =
+      df.select(col(idCol).cast("long").as(id),
+        graft.functions.GraftFunctions.word_shingles(
+          coalesce(col(textCol), lit("")), 3).as(sh))
+        .withColumn(bnds,
+          graft.functions.GraftFunctions.minhash_bands(col(sh), numPerm, bands))
+    val c = prep(corpus, "corpus_id", "sh_c", "bands_c")
+    val sigC = c.select(col("corpus_id"), col("bands_c"),
+      posexplode(col("bands_c")).as(Seq("band", "h")))
+    val sigB = prep(stream, "batch_id", "sh_b", "bands_b")
+      .select(col("batch_id"), col("sh_b"), col("bands_b"),
+        posexplode(col("bands_b")).as(Seq("band", "h")))
+    sigB.join(sigC, Seq("band", "h"))
+      // exactly-once without state: keep the hit only at the pair's first
+      // colliding band (array_position is 1-based, band 0-based)
+      .filter(col("band") ===
+        expr("array_position(zip_with(bands_b, bands_c, (x, y) -> x = y), true) - 1"))
+      .join(c.select(col("corpus_id"), col("sh_c")), Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))))
+      .select(col("batch_id"), col("corpus_id"),
+        (col("inter") /
+          (size(col("sh_b")) + size(col("sh_c")) - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
 }

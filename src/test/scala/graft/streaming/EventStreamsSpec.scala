@@ -606,6 +606,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+
+  test("minhashDedupStream emits exactly the incremental batch pairs, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .select($"doc_id", coalesce($"text", lit("")).as("text"))
+    val batchDf = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val expected = graft.operators.Dedup.minhashIncremental(
+        batchDf, corpus, "doc_id", "text", tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "fixture must contain cross near-dups at tau 0.5")
+    val rows = batchDf.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = minhashDedupStream(mem.toDF().toDF("doc_id", "text"), corpus,
+        "doc_id", "text", tau = 0.5)
+      .writeStream.format("memory").queryName("mhdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(rest: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mhdedup").as[(Long, Long, Double)].collect()
+      assert(streamed.length == streamed.toSet.size,
+        "each (batch, corpus) pair must be emitted exactly once")
+      assert(streamed.toSet == expected,
+        "stream pairs and jaccards must equal the batch op bit-for-bit")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "dedup against a static corpus must run with zero state-store operators")
+    } finally q.stop()
+  }
+
   test("gopherStream admits exactly the batch Gopher survivors, statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
