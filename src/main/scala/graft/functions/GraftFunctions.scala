@@ -34,6 +34,13 @@ object GraftExtensions {
         (es: Seq[Expression]) => VecDot(es.head, es(1))),
       (FunctionIdentifier("ham_xor"), info(classOf[HamXor], "ham_xor"),
         (es: Seq[Expression]) => HamXor(es.head, es(1))),
+      (FunctionIdentifier("srp_sketch"), info(classOf[SrpSketch], "srp_sketch"),
+        (es: Seq[Expression]) => SrpSketch(es.head,
+          es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
+          es(3).eval() match {
+            case i: Int => i.toLong
+            case l: Long => l
+          })),
       (FunctionIdentifier("minhash_bands"), info(classOf[MinHashBands], "minhash_bands"),
         (es: Seq[Expression]) => MinHashBands(es.head,
           es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
@@ -140,6 +147,11 @@ object GraftFunctions {
     call_function("simhash_wide", c, org.apache.spark.sql.functions.lit(parts))
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def ham_xor(a: Column, b: Column): Column = call_function("ham_xor", a, b)
+  def srp_sketch(v: Column, words: Int, planesPerWord: Int,
+                 seedBase: Long): Column =
+    call_function("srp_sketch", v, org.apache.spark.sql.functions.lit(words),
+      org.apache.spark.sql.functions.lit(planesPerWord),
+      org.apache.spark.sql.functions.lit(seedBase))
   def minhash_bands(shingles: Column, numPerm: Int, bands: Int): Column =
     call_function("minhash_bands", shingles,
       org.apache.spark.sql.functions.lit(numPerm),

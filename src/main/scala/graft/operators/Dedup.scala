@@ -660,18 +660,20 @@ object Dedup {
   private val SketchPlanesPerWord = 62
 
   private[graft] def sketchCol(v: Column): Column =
-    array((0 until SketchWords).map(w =>
-      GraftFunctions.srp_signature(v, SketchPlanesPerWord, (1L << 32) + w)): _*)
+    GraftFunctions.srp_sketch(v, SketchWords, SketchPlanesPerWord, 1L << 32)
 
   /** Keep-threshold for the sketch Hamming gate at threshold `tau`: for
-    * a pair at angle θ the per-plane disagree probability is θ/π, so
-    * Hamming ~ Binomial(992, θ/π); keeping Hamming ≤ 992·fτ + 4σ
-    * (fτ = acos(tau)/π) retains a pair AT tau with prob ≥ 1 − 3e−5. */
+    * a pair at angle θ the per-plane disagree probability is θ/π (exact
+    * for rotation-invariant planes — `srp_sketch`'s centered-binomial
+    * components hold this for ANY input dimension; ±1 components
+    * measurably do not on low-dim vectors), so Hamming ~
+    * Binomial(992, θ/π); keeping Hamming ≤ 992·fτ + 4.5σ
+    * (fτ = acos(tau)/π) retains a pair AT tau with prob ≥ 1 − 4e−6. */
   private[graft] def hamGateFor(tau: Double): Int = {
     val sketchBits = SketchWords * SketchPlanesPerWord
     val fTau = math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
     math.min(sketchBits.toDouble,
-      sketchBits * fTau + 4.0 * math.sqrt(sketchBits * fTau * (1.0 - fTau)))
+      sketchBits * fTau + 4.5 * math.sqrt(sketchBits * fTau * (1.0 - fTau)))
       .ceil.toInt
   }
 
@@ -708,19 +710,19 @@ object Dedup {
     * candidate volume quadratic in clique size × KB = the r9 failure.
     * The fix is a compact-sketch Hamming prefilter CARRIED THROUGH
     * candidate generation: every vector computes a 992-bit SRP sketch
-    * (16 extra `srp_signature` words of 62 planes, seeds disjoint from
-    * the table seeds) that rides with the id into the band buckets, so
+    * (one fused `srp_sketch` call: 16 words × 62 centered-binomial
+    * planes, seeds disjoint from the table seeds) that rides with the id into the band buckets, so
     * each emitted pair is gated IN-TASK by sketch Hamming distance
     * (16 xor+popcounts, ~ns) before any pair row is shuffled. For a
     * pair at angle θ the per-plane disagree probability is θ/π, so
     * Hamming ~ Binomial(992, θ/π); the gate keeps pairs with
-    * Hamming ≤ 992·fτ + 4σ (fτ = acos(tau)/π) — a pair AT tau is kept
-    * with prob ≥ 1 − 3e−5 (and a cos=1 pair deterministically: its
+    * Hamming ≤ 992·fτ + 4.5σ (fτ = acos(tau)/π) — a pair AT tau is kept
+    * with prob ≥ 1 − 4e−6 (and a cos=1 pair deterministically: its
     * sketch is bit-identical, Hamming 0), while a cos≈0.97 clique pair
-    * under tau=0.995 reaches the verify join with prob ~4e−3. The
+    * under tau=0.995 reaches the verify join with prob ~7e−3. The
     * quadratic term degrades from KB-shuffle-per-pair to
     * popcount-per-pair; the verify join input returns to ~O(true
-    * pairs). Recall multiplies by the ≥ 1−3e−5 gate factor — absorbed
+    * pairs). Recall multiplies by the ≥ 1−4e−6 gate factor — absorbed
     * into the banding's own probabilistic-recall contract.
     *
     * Residual guidance for removal pipelines: when enumeration of
@@ -802,7 +804,7 @@ object Dedup {
     * the corpus cannot flood the verify join; exact-cosine verification
     * makes precision exact. Returns (batch_id, corpus_id, cos) rows
     * with cos ≥ tau. Recall is the banding bound of
-    * [[embedPairsBanded]] times the ≥ 1−3e−5 gate factor (cos=1 copies
+    * [[embedPairsBanded]] times the ≥ 1−4e−6 gate factor (cos=1 copies
     * are deterministic: identical signatures, Hamming 0).
     *
     * Scale posture: candidate generation shuffles only

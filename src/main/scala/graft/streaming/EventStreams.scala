@@ -547,7 +547,7 @@ object EventStreams {
     * corpus row under the cap would vanish even though a later table
     * caught it). Corpora with template mass should be collapsed
     * (Dedup.bestPerCluster) before indexing instead. Recall is otherwise
-    * embedPairsBanded's banding bound × the ≥ 1−3e−5 gate factor; cos=1
+    * embedPairsBanded's banding bound × the ≥ 1−4e−6 gate factor; cos=1
     * copies are deterministic (identical signatures, Hamming 0). */
   def embedDedupStream(stream: DataFrame, corpus: DataFrame, idCol: String,
                        vecCol: String, tau: Double, bits: Int = 16,

@@ -116,6 +116,19 @@ class PlanGuardSpec extends SparkSpec {
     // (q_semdedup's no-cartesian pair join is asserted in DedupSpec)
   }
 
+  test("r10 additions keep their scale shapes") {
+    // bipartite embed incremental: candidates come from the (tbl, sig)
+    // band EQUI-join, never a cartesian / nested-loop over the corpus,
+    // and every embeddings scan reads only (vec_id, embedding)
+    val inc = plan("q_dedup_embed_incremental")
+    assert(!inc.contains("CartesianProduct"),
+      s"q_dedup_embed_incremental grew a cartesian pair join\n$inc")
+    assert(!inc.contains("BroadcastNestedLoopJoin"),
+      s"q_dedup_embed_incremental grew a nested-loop pair join\n$inc")
+    assert(readCols(inc).forall(_.size <= 2),
+      s"q_dedup_embed_incremental reads unpruned schema: ${readCols(inc)}")
+  }
+
   test("dimension joins broadcast (no SortMergeJoin in q3_topk)") {
     val p = plan("q3_topk")
     assert(p.contains("BroadcastHashJoin"),

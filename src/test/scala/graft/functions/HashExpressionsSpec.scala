@@ -143,6 +143,29 @@ class HashExpressionsSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+
+  test("srp_sketch is scale-invariant, word-stable vs seeds, through codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(23)
+    val vecs = Seq.fill(40)(Array.fill(16)(rnd.nextGaussian()))
+    val df = vecs.map(v => (v, v.map(_ * 2.5))).toDF("v", "v25")
+    val out = df.select(
+      GraftFunctions.srp_sketch(col("v"), 16, 62, 1L << 32),
+      GraftFunctions.srp_sketch(col("v25"), 16, 62, 1L << 32),
+      GraftFunctions.srp_sketch(col("v"), 16, 62, 2L << 32))
+      .as[(Seq[Long], Seq[Long], Seq[Long])].collect()
+    // positive scaling never flips a projection sign: sketches identical
+    assert(out.forall(r => r._1 == r._2))
+    // a different seed base must draw different planes in every word
+    assert(out.forall(r => r._1.zip(r._3).count { case (a, b) => a == b } < 3))
+    assert(out.forall(r => r._1.size == 16))
+    // codegen result == direct impl (interpreted path)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val direct = SrpSketchImpl.compute(
+      new GenericArrayData(vecs.head.map(x => Double.box(x): Any)), 16, 62, 1L << 32)
+    assert((0 until 16).map(direct.getLong) == out.head._1)
+  }
+
   test("srp_signature is scale-invariant and seed-sensitive, through codegen") {
     GraftFunctions.ensureRegistered(spark)
     val rnd = new scala.util.Random(11)

@@ -243,6 +243,39 @@ class DedupSpec extends SparkSpec {
       "scale-invariant signatures must give complete planted-twin recall")
   }
 
+
+  test("bipartite embed incremental matches brute force on random corpora") {
+    import spark.implicits._
+    // fixed seed: deterministic trials; 2-bit x 32-table banding puts the
+    // per-pair miss probability below 1e-6 across the whole tau range, and
+    // the sketch gate keeps a pair AT tau with prob >= 1 - 3e-5, so exact
+    // set equality with brute force is the expected outcome, not a flake
+    val rnd = new scala.util.Random(101)
+    for (_ <- 1 to 3) {
+      val dim = 8
+      val corpus = (1L to 60L).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+      val batch =
+        (1L to 20L).map(i => (1000L + i, Array.fill(dim)(rnd.nextGaussian()))) ++
+          corpus.take(15).map { case (i, v) =>
+            (2000L + i, v.map(x => x + rnd.nextGaussian() * 0.05)) }
+      val cDf = corpus.toDF("vec_id", "embedding")
+      val bDf = batch.toDF("vec_id", "embedding")
+      for (tau <- Seq(0.3, 0.6, 0.9)) {
+        val inc = Dedup.embedIncremental(bDf, cDf, "vec_id", "embedding",
+            tau, bits = 2, tables = 32)
+          .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+        // ground truth: exact cartesian over batch ∪ corpus restricted to
+        // cross pairs (corpus ids <= 60 sort before batch ids >= 1001)
+        val brute = Dedup.embedPairs(bDf.unionByName(cDf),
+            "vec_id", "embedding", tau)
+          .select("id_a", "id_b").as[(Long, Long)].collect()
+          .collect { case (c, b) if c <= 60L && b >= 1000L => (b, c) }
+          .toSet
+        assert(inc == brute, s"bipartite != brute force at tau=$tau")
+      }
+    }
+  }
+
   test("containment finds a short doc quoted in a long one that jaccard misses") {
     import spark.implicits._
     val filler = (1 to 60).map(i => s"w$i").mkString(" ")
