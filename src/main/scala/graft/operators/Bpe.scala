@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge TRAINING (Sennrich et al. 2016 §3.2) — the
+  * iterative loop that `q_bpe_pairs` (the first-merge statistics) feeds:
+  * each round counts within-word adjacent symbol pairs weighted by word
+  * frequency, merges the globally best pair everywhere, and repeats. The
+  * learned merge table (round, pair_a, pair_b, count) IS the tokenizer:
+  * applying the merges in order reproduces the segmentation.
+  *
+  * Scale posture: the ONLY corpus-scale pass is the word count (one
+  * partial-agg groupBy — the Zipf head collapses map-side, so a 100 TB
+  * corpus shuffles one row per DISTINCT word). Every training round then
+  * runs on the distinct-word vocabulary, a cardinality-bounded relation
+  * (ASCII words ≤ ~10⁶ rows regardless of corpus size — Heaps' law),
+  * `localCheckpoint`ed per round so the loop's lineage stays flat
+  * ([[Dedup.clusters]] discipline; the previous round's blocks are
+  * released as soon as the next materializes). The winning pair is ONE
+  * bounded driver row per round (the codebook shape: the literal must
+  * appear inside the next round's replace pattern).
+  *
+  * Determinism: tokenization is the ASCII rule shared with the native
+  * `char_pairs` expression (anything outside [A-Za-z] separates, THEN
+  * the token lowercases — a Unicode char whose lowercase maps into
+  * [a-z] stays a separator); winner tie-break is (count desc, pair_a
+  * asc, pair_b asc); the merge step is SIX left-to-right global
+  * `replace` passes over the space-padded symbol string. One pass of
+  * non-overlapping global replace keeps every other occurrence in an
+  * overlapping run (" a a a a " merges to " aa a a " because the match
+  * consumes the shared space), and each pass at least halves a run's
+  * remaining occurrences, so 6 passes reach the greedy-BPE fixpoint for
+  * any word up to 2⁶ = 64 symbols; past that the result is still
+  * DEFINED (and mirrored bit-for-bit by the oracle, which runs the
+  * identical 6 nested replaces) — it just stops being the textbook
+  * fixpoint, which no real ASCII word approaches.
+  *
+  * NOTE construction is EAGER (iteration needs actions), like
+  * [[Dedup.clusters]]: the merge loop runs when you call this. */
+object Bpe {
+
+  /** Passes of global left-to-right replace per merge round (see class
+    * doc: fixpoint for words up to 64 symbols). The DuckDB oracle nests
+    * replace() exactly this many times. */
+  val ReplacePasses = 6
+
+  /** Train `nMerges` BPE merges over `textCol`. Returns
+    * (merge table: round, pair_a, pair_b, n — one row per learned merge,
+    *  final vocabulary: w, c, repr — the segmented distinct words). */
+  def trainWithVocab(docs: DataFrame, textCol: String,
+                     nMerges: Int): (DataFrame, DataFrame) = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"nMerges must be in [1, 64], got $nMerges")
+    val spark = docs.sparkSession
+    // The one corpus-scale pass: ASCII tokenize + frequency count.
+    // 0/1-char words carry no pairs and can never merge — dropped here
+    // and in the oracle. repr = the space-separated symbol string the
+    // merge loop rewrites ("hello" -> "h e l l o").
+    val vocab0 = docs
+      .select(explode(split(coalesce(col(textCol), lit("")),
+        "[^A-Za-z]+")).as("w0"))
+      .filter(length(col("w0")) >= 2)
+      .select(lower(col("w0")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("repr", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+      .localCheckpoint()
+
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      // Adjacent-pair counts over the vocabulary, weighted by word
+      // frequency. slice/arrays_zip evaluate interpreted, which is fine
+      // HERE only because the relation is vocabulary-bounded — the
+      // corpus-scale twin of this walk is the codegen char_pairs.
+      val winner = vocab
+        .select(col("c"), split(col("repr"), " ").as("sy"))
+        .select(col("c"),
+          explode(arrays_zip(
+            slice(col("sy"), lit(1), size(col("sy")) - 1).as("a"),
+            slice(col("sy"), lit(2), size(col("sy")) - 1).as("b"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("c"))
+        .groupBy("a", "b").agg(sum("c").as("n"))
+        .orderBy(desc("n"), col("a"), col("b"))
+        .limit(1)
+        .collect() // ONE bounded row: the codebook shape
+      if (winner.isEmpty) {
+        exhausted = true // every word collapsed to a single symbol
+      } else {
+        val row = winner(0)
+        val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((r, a, b, n))
+        val pat = lit(s" $a $b ")
+        val rep = lit(s" $a$b ")
+        var m: Column = concat(lit(" "), col("repr"), lit(" "))
+        for (_ <- 1 to ReplacePasses) m = replace(m, pat, rep)
+        val next = vocab.withColumn("repr", trim(m)).localCheckpoint()
+        unpersistCheckpoint(vocab)
+        vocab = next
+      }
+      r += 1
+    }
+    val mergeDf = spark.createDataFrame(merges.toSeq)
+      .toDF("round", "pair_a", "pair_b", "n")
+      .orderBy("round")
+    (mergeDf, vocab)
+  }
+
+  /** The merge table alone (the `q_bpe_train` surface). */
+  def trainMerges(docs: DataFrame, textCol: String = "text",
+                  nMerges: Int = 4): DataFrame =
+    trainWithVocab(docs, textCol, nMerges)._1
+
+  /** Release the block-manager storage behind a localCheckpoint'ed
+    * relation (Dataset.unpersist only talks to the SQL cache manager). */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+}

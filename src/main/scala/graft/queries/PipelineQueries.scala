@@ -785,7 +785,18 @@ object PipelineQueries {
         .select(col("node").as("nationkey"),
           col("rank").cast("double").as("pagerank"))
         .orderBy("nationkey")
-    })
+    }),
+
+    // BPE merge TRAINING (the iterative loop q_bpe_pairs feeds): four
+    // rounds of count-best-pair → merge-everywhere over the
+    // frequency-weighted distinct-word vocabulary. The only corpus-scale
+    // pass is the word count; each round runs on the Heaps'-law-bounded
+    // vocabulary with the winning pair as one bounded driver row
+    // (codebook shape). The oracle replays all four rounds as unrolled
+    // CTEs with the identical 6-nested-replace merge step.
+    "q_bpe_train" -> ((s, d) =>
+      graft.operators.Bpe.trainMerges(Tables.documents(s, d), "text",
+        nMerges = 4))
   )
 
   /** Unrolled-iteration PageRank oracle: the same decimal-quantized
@@ -820,7 +831,47 @@ object PipelineQueries {
       s"pagerank FROM r$iters ORDER BY nationkey"
   }
 
+  /** Unrolled BPE-training oracle: each round's CTEs replay pair count →
+    * winner (n desc, a, b tie-break) → merge, with the merge step the
+    * IDENTICAL 6 nested left-to-right replace() calls over the padded
+    * symbol string ([[graft.operators.Bpe.ReplacePasses]]) — engine
+    * parity is by construction, not by a fixpoint argument. */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val base =
+      "WITH v0 AS (SELECT w, count(*) AS c, " +
+      "trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS repr FROM " +
+      "(SELECT lower(t.w0) AS w FROM " +
+      "(SELECT unnest(string_split_regex(coalesce(text, ''), " +
+      "'[^A-Za-z]+')) AS w0 FROM documents) t " +
+      "WHERE length(t.w0) >= 2) GROUP BY w)"
+    val rounds = (1 to nMerges).map { r =>
+      val merged = {
+        var m = "' ' || v.repr || ' '"
+        for (_ <- 1 to graft.operators.Bpe.ReplacePasses)
+          m = s"replace($m, m.pat, m.rp)"
+        s"trim($m)"
+      }
+      s"p$r AS (SELECT list_extract(sy, i) AS a, " +
+      "list_extract(sy, i + 1) AS b, c FROM " +
+      "(SELECT sy, c, unnest(range(1, len(sy))) AS i FROM " +
+      s"(SELECT string_split(repr, ' ') AS sy, c FROM v${r - 1}))), " +
+      s"w$r AS (SELECT a, b, sum(c) AS n, " +
+      "' ' || a || ' ' || b || ' ' AS pat, " +
+      s"' ' || a || b || ' ' AS rp FROM p$r " +
+      "GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1), " +
+      s"v$r AS (SELECT v.w, v.c, $merged AS repr " +
+      s"FROM v${r - 1} v CROSS JOIN w$r m)"
+    }.mkString(", ", ", ", "")
+    val out = (1 to nMerges).map { r =>
+      s"SELECT CAST($r AS INT) AS round, a AS pair_a, b AS pair_b, " +
+      s"CAST(n AS BIGINT) AS n FROM w$r"
+    }.mkString(" UNION ALL ")
+    s"$base$rounds SELECT * FROM ($out) ORDER BY round"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainOracleSql(4),
+
     "q_dedup_exact" ->
       ("SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
        "FROM documents GROUP BY md5(text) ORDER BY h"),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpe merge training on a hand-checked corpus") {
+    val docs = Seq("ab ab ab", "abc").toDF("text")
+    val (merges, vocab) = Bpe.trainWithVocab(docs, "text", nMerges = 2)
+    val m = merges.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // round 1: (a,b) seen 3 (in "ab") + 1 (in "abc") = 4 beats (b,c) = 1;
+    // round 2: the only remaining pair is (ab, c).
+    assert(m == Seq((1, "a", "b", 4L), (2, "ab", "c", 1L)))
+    val reprs = vocab.orderBy("w").select("w", "repr")
+      .as[(String, String)].collect().toSeq
+    assert(reprs == Seq(("ab", "ab"), ("abc", "abc")))
+  }
+
+  test("overlapping run merges greedily left-to-right to the fixpoint") {
+    val docs = Seq("aaaa").toDF("text")
+    val (merges, vocab) = Bpe.trainWithVocab(docs, "text", nMerges = 1)
+    val m = merges.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m == Seq((1, "a", "a", 3L)))
+    // greedy BPE on [a,a,a,a] = [aa,aa] — the first global replace pass
+    // takes occurrences 1 and 3 (the shared space blocks 2), the second
+    // pass takes the survivor.
+    assert(vocab.select("repr").as[String].collect().toSeq == Seq("aa aa"))
+  }
+
+  test("training stops when every word is one symbol") {
+    val docs = Seq("ab ab").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 5)
+    val m = merges.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m == Seq((1, "a", "b", 2L)))
+  }
+
+  test("ASCII tokenization rule: folds case, non-letters separate, null-safe") {
+    val docs = Seq("Ab aB", null, "a1b cD2").toDF("text")
+    // words: ab, ab, cd ("a1b" splits to 1-char fragments, dropped)
+    val (merges, vocab) = Bpe.trainWithVocab(docs, "text", nMerges = 1)
+    val m = merges.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m == Seq((1, "a", "b", 2L)))
+    assert(vocab.orderBy("w").select("w").as[String].collect().toSeq ==
+      Seq("ab", "cd"))
+  }
+}
