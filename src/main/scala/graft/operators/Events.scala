@@ -274,4 +274,73 @@ object Events {
         date_format(max(col(ts)), "yyyy-MM-dd HH:mm:ss").as("sess_end"))
       .orderBy(col(userCol), col("session"))
   }
+
+  /** Welch two-sample t-test A/B report over a metric, one row per
+    * experiment group — the unequal-variance test (Welch 1947) an
+    * experimentation pipeline publishes per metric/surface. Arms are
+    * assigned at the UNIT level (user, not event) by the repo's
+    * deterministic md5 hash key ([[Sampling.hashKey]] — the
+    * q_split_assign discipline), so every event of a unit lands in the
+    * same arm and reruns/backfills reproduce the assignment exactly.
+    *
+    * Scale posture: ONE partial-agg groupBy over the event scan computes
+    * both arms' sufficient statistics (n, Σv, Σv² as exact
+    * DECIMAL(28,6) sums — the [[anomalies]] discipline: running-moments
+    * variance would round by merge order) conditionally in the same
+    * pass; everything after is per-group scalar arithmetic on a
+    * |groups|-bounded relation. No window, no second scan.
+    *
+    * Determinism: every derived value is a fixed sequence of
+    * correctly-rounded IEEE ops on the decimal-cast sums, mirrored
+    * textually in the oracle; `significant` compares the UNROUNDED t.
+    * Degenerate guards (both-constant arms → se²=0 → null t; an arm
+    * with n<2 → null variance) surface as null t/df and
+    * significant=false on both engines. */
+  def abtestWithArms(events: DataFrame, typeCol: String, valueCol: String,
+                     armCol: String, critical: Double = 1.96): DataFrame = {
+    val v = col(valueCol)
+    val st = events.groupBy(col(typeCol))
+      .agg(count(when(col(armCol) === "A", lit(1))).as("n_a"),
+        count(when(col(armCol) === "B", lit(1))).as("n_b"),
+        sum(when(col(armCol) === "A", v).cast(Dec)).cast("double").as("__sa"),
+        sum(when(col(armCol) === "B", v).cast(Dec)).cast("double").as("__sb"),
+        sum(when(col(armCol) === "A", v * v).cast(Dec)).cast("double").as("__ssa"),
+        sum(when(col(armCol) === "B", v * v).cast(Dec)).cast("double").as("__ssb"))
+    // sample variance (ss - s*s/n)/(n-1), clamped at 0 (the anomalies
+    // guard: decimal→double casts can round a constant group's variance
+    // to a tiny negative); n<2 arms yield null via the when guard.
+    def sampleVar(ss: Column, s: Column, n: Column): Column =
+      when(n >= 2, greatest((ss - s * s / n) / (n - lit(1)), lit(0.0)))
+    val derived = st
+      .withColumn("mean_a", col("__sa") / col("n_a"))
+      .withColumn("mean_b", col("__sb") / col("n_b"))
+      .withColumn("__va", sampleVar(col("__ssa"), col("__sa"), col("n_a")))
+      .withColumn("__vb", sampleVar(col("__ssb"), col("__sb"), col("n_b")))
+      .withColumn("__se2", col("__va") / col("n_a") + col("__vb") / col("n_b"))
+      .withColumn("__t", when(col("__se2") > 0.0,
+        (col("mean_a") - col("mean_b")) / sqrt(col("__se2"))))
+      // Welch–Satterthwaite df; the denominator is 0 exactly when se2
+      // is, so the same guard covers it
+      .withColumn("__df", when(col("__se2") > 0.0,
+        col("__se2") * col("__se2") /
+          ((col("__va") / col("n_a")) * (col("__va") / col("n_a")) / (col("n_a") - lit(1)) +
+           (col("__vb") / col("n_b")) * (col("__vb") / col("n_b")) / (col("n_b") - lit(1)))))
+    derived.select(col(typeCol), col("n_a"), col("n_b"),
+      round(col("mean_a"), 6).as("mean_a"),
+      round(col("mean_b"), 6).as("mean_b"),
+      round(col("__t"), 6).as("t_stat"),
+      round(col("__df"), 4).as("df"),
+      coalesce(abs(col("__t")) > critical, lit(false)).as("significant"))
+  }
+
+  /** [[abtestWithArms]] with the deterministic 50/50 hash-arm assignment
+    * on `unitCol` (md5 key < 0x8000 → arm A). */
+  def abtest(events: DataFrame, typeCol: String, valueCol: String,
+             unitCol: String, seed: String = "ab42",
+             critical: Double = 1.96): DataFrame = {
+    val arm = when(graft.operators.Sampling.hashKey(seed,
+      col(unitCol)) < lit("8000"), lit("A")).otherwise(lit("B"))
+    abtestWithArms(events.withColumn("__arm", arm), typeCol, valueCol,
+      "__arm", critical)
+  }
 }

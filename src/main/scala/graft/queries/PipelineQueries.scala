@@ -665,6 +665,16 @@ object PipelineQueries {
       Events.anomalies(Tables.events(s, d), "event_type", "value",
         "event_id", threshold = 2.5).orderBy("event_id")),
 
+    // Welch t-test A/B report per event type: deterministic md5 hash-arm
+    // assignment at the USER level (split_assign discipline), both arms'
+    // exact-decimal sufficient statistics from ONE partial-agg pass,
+    // Welch t / Satterthwaite df as fixed IEEE op sequences the oracle
+    // mirrors textually
+    "q_events_abtest" -> ((s, d) =>
+      Events.abtest(Tables.events(s, d), "event_type", "value",
+        "user_id", seed = "ab42", critical = 1.96)
+        .orderBy("event_type")),
+
     // robust (median/MAD) outlier twin of the z-score gate: 50% breakdown
     // point, so extreme values can't mask each other; exact grouped
     // percentile (≡ quantile_cont bit-for-bit) broadcast back twice
@@ -1386,6 +1396,39 @@ object PipelineQueries {
        "round((value - mean) / std, 6) AS z " +
        "FROM events JOIN m USING (event_type) " +
        "WHERE abs((value - mean) / std) > 2.5 ORDER BY event_id"),
+
+    "q_events_abtest" ->
+      // same conditional decimal sufficient statistics + the identical
+      // fixed-order Welch arithmetic; significant compares the UNROUNDED
+      // t (both engines' ops are correctly rounded, so the boolean
+      // cannot straddle)
+      ("WITH e AS (SELECT event_type, value, CASE WHEN " +
+       "substr(md5('ab42|' || CAST(user_id AS VARCHAR)), 1, 4) < '8000' " +
+       "THEN 'A' ELSE 'B' END AS arm FROM events), " +
+       "st AS (SELECT event_type, " +
+       "COUNT(*) FILTER (WHERE arm = 'A') AS n_a, " +
+       "COUNT(*) FILTER (WHERE arm = 'B') AS n_b, " +
+       "CAST(SUM(CAST(value AS DECIMAL(28,6))) FILTER (WHERE arm = 'A') AS DOUBLE) AS sa, " +
+       "CAST(SUM(CAST(value AS DECIMAL(28,6))) FILTER (WHERE arm = 'B') AS DOUBLE) AS sb, " +
+       "CAST(SUM(CAST(value * value AS DECIMAL(28,6))) FILTER (WHERE arm = 'A') AS DOUBLE) AS ssa, " +
+       "CAST(SUM(CAST(value * value AS DECIMAL(28,6))) FILTER (WHERE arm = 'B') AS DOUBLE) AS ssb " +
+       "FROM e GROUP BY event_type), " +
+       "m AS (SELECT event_type, n_a, n_b, sa / n_a AS mean_a, " +
+       "sb / n_b AS mean_b, " +
+       "CASE WHEN n_a >= 2 THEN greatest((ssa - sa * sa / n_a) / (n_a - 1), 0.0) END AS va, " +
+       "CASE WHEN n_b >= 2 THEN greatest((ssb - sb * sb / n_b) / (n_b - 1), 0.0) END AS vb " +
+       "FROM st), " +
+       "w AS (SELECT event_type, n_a, n_b, mean_a, mean_b, va, vb, " +
+       "va / n_a + vb / n_b AS se2 FROM m), " +
+       "t AS (SELECT event_type, n_a, n_b, mean_a, mean_b, " +
+       "CASE WHEN se2 > 0.0 THEN (mean_a - mean_b) / sqrt(se2) END AS tt, " +
+       "CASE WHEN se2 > 0.0 THEN se2 * se2 / " +
+       "((va / n_a) * (va / n_a) / (n_a - 1) + " +
+       "(vb / n_b) * (vb / n_b) / (n_b - 1)) END AS dff FROM w) " +
+       "SELECT event_type, n_a, n_b, round(mean_a, 6) AS mean_a, " +
+       "round(mean_b, 6) AS mean_b, round(tt, 6) AS t_stat, " +
+       "round(dff, 4) AS df, coalesce(abs(tt) > 1.96, false) AS significant " +
+       "FROM t ORDER BY event_type"),
 
     "q_events_robust" ->
       // same two quantile_cont passes; the mad <> 0 guard mirrors the

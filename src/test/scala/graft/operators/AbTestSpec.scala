@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AbTestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("welch t on a hand-computed fixture") {
+    // A = [1,2,3,4], B = [2,4,6,8,10]:
+    // mean_a 2.5, mean_b 6, va 5/3, vb 10, se2 = va/4 + vb/5 = 2.41667,
+    // t = -3.5/sqrt(se2) = -2.251436, df (Satterthwaite) = 5.5208
+    val rows = Seq(1.0, 2.0, 3.0, 4.0).map(v => ("m", v, "A")) ++
+      Seq(2.0, 4.0, 6.0, 8.0, 10.0).map(v => ("m", v, "B"))
+    val df = rows.toDF("metric", "value", "arm")
+    val r = Events.abtestWithArms(df, "metric", "value", "arm").collect()(0)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 5L)
+    assert(r.getAs[Double]("mean_a") == 2.5 && r.getAs[Double]("mean_b") == 6.0)
+    assert(r.getAs[Double]("t_stat") == -2.251436)
+    assert(r.getAs[Double]("df") == 5.5208)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("degenerate guards: constant arms and singleton arms") {
+    // both arms constant & equal → se2 = 0 → null t, not significant
+    val const = (Seq.fill(3)(("m", 5.0, "A")) ++ Seq.fill(3)(("m", 5.0, "B")))
+      .toDF("metric", "value", "arm")
+    val rc = Events.abtestWithArms(const, "metric", "value", "arm").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("t_stat")))
+    assert(!rc.getAs[Boolean]("significant"))
+    // an arm with n < 2 has no sample variance → null t/df
+    val single = Seq(("m", 1.0, "A"), ("m", 2.0, "B"), ("m", 3.0, "B"))
+      .toDF("metric", "value", "arm")
+    val rs = Events.abtestWithArms(single, "metric", "value", "arm").collect()(0)
+    assert(rs.isNullAt(rs.fieldIndex("t_stat")))
+    assert(rs.isNullAt(rs.fieldIndex("df")))
+    assert(!rs.getAs[Boolean]("significant"))
+  }
+
+  test("hash arms are unit-consistent and both populated") {
+    val ev = graft.tables.Tables.events(spark, sf("sf0.001"))
+    val armed = ev.withColumn("arm",
+      when(Sampling.hashKey("ab42", col("user_id")) < lit("8000"),
+        lit("A")).otherwise(lit("B")))
+    // every user maps to exactly one arm
+    val multi = armed.groupBy("user_id")
+      .agg(countDistinct("arm").as("n")).filter(col("n") > 1).count()
+    assert(multi == 0L)
+    // a 50/50 md5 split leaves neither arm empty at 600 users
+    val arms = armed.select("arm").distinct().as[String].collect().toSet
+    assert(arms == Set("A", "B"))
+  }
+}
