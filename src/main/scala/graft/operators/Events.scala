@@ -121,6 +121,51 @@ object Events {
             <= windowSeconds * 1000000L).as("converted"))
   }
 
+  /** k-step ordered funnel — the general form of [[funnel]]: the user
+    * must hit `steps(0)`, then `steps(1)` at-or-after it, … through
+    * `steps(k-1)`, with the whole chain completing within
+    * `windowSeconds` of the anchor. Semantics are the greedy
+    * earliest-completion chain (anchor = FIRST step-1 event; stage i =
+    * first step-i event at-or-after stage i-1) — the standard funnel
+    * reading, and the one reproducible as k-1 conditional-min
+    * aggregations.
+    *
+    * Scale posture: each stage is one filter + equi-join + partial-agg
+    * min on the user key — k-1 bounded shuffles of (user, ts) rows,
+    * never a per-user event sort; a hot user costs map-side combine,
+    * not a window partition. Output: one row per user who hit the
+    * anchor, formatted stage timestamps, the furthest stage reached,
+    * and the conversion flag. */
+  def funnelSteps(events: DataFrame, userCol: String, ts: String,
+                  typeCol: String, steps: Seq[String],
+                  windowSeconds: Long): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"steps must be distinct: $steps")
+    val k = steps.size
+    var acc = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(ts)).as("ts_1"))
+    for (i <- 2 to k) {
+      val prev = s"ts_${i - 1}"
+      val nxt = events.filter(col(typeCol) === steps(i - 1))
+        .join(acc.select(col(userCol), col(prev)), userCol)
+        .filter(col(ts) >= col(prev))
+        .groupBy(col(userCol)).agg(min(col(ts)).as(s"ts_$i"))
+      acc = acc.join(nxt, Seq(userCol), "left")
+    }
+    // the chain is monotone (stage i needs stage i-1), so the furthest
+    // stage is 1 + the count of later non-null stage timestamps
+    val nStages = (2 to k).map(i =>
+      when(col(s"ts_$i").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    val stageCols = (1 to k).map(i =>
+      date_format(col(s"ts_$i"), "yyyy-MM-dd HH:mm:ss").as(s"ts_${i}_s"))
+    acc.select(col(userCol) +: stageCols :+
+      nStages.as("n_stages") :+
+      (col(s"ts_$k").isNotNull &&
+        unix_micros(col(s"ts_$k")) - unix_micros(col("ts_1"))
+          <= windowSeconds * 1000000L).as("converted"): _*)
+  }
+
   /** Retention cohort matrix: users cohorted by the DAY of their first
     * event; each (cohort_day, day_offset) cell counts the cohort's users
     * active that many days later. Two aggregations (first-event per user,

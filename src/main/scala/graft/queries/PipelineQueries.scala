@@ -690,6 +690,15 @@ object PipelineQueries {
         stepA = "click", stepB = "purchase", windowSeconds = 7L * 86400L)
         .orderBy("user_id")),
 
+    // k-step ordered funnel (view → click → purchase within 14 days):
+    // the general greedy earliest-completion chain — k-1 conditional-min
+    // partial-agg joins on user_id, never a per-user event sort
+    "q_events_funnel_steps" -> ((s, d) =>
+      Events.funnelSteps(Tables.events(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        windowSeconds = 14L * 86400L)
+        .orderBy("user_id")),
+
     // triangle retention report: day-0 cohort by first event, activity
     // cells by day offset
     "q_events_retention" -> ((s, d) =>
@@ -1455,6 +1464,27 @@ object PipelineQueries {
        "strftime(b_ts, '%Y-%m-%d %H:%M:%S') AS b_ts_s, " +
        "b_ts IS NOT NULL AND epoch_us(b_ts) - epoch_us(a_ts) <= 604800000000 " +
        "AS converted FROM a LEFT JOIN b USING (user_id) ORDER BY a.user_id"),
+
+    "q_events_funnel_steps" ->
+      // the same greedy chain unrolled: stage i = min step-i ts
+      // at-or-after stage i-1; n_stages counts the monotone non-null
+      // suffix, converted bounds the whole span against the anchor
+      ("WITH a1 AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1 " +
+       "FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+       "a2 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2 " +
+       "FROM events e JOIN a1 USING (user_id) WHERE e.event_type = 'click' " +
+       "AND CAST(e.ts AS TIMESTAMP) >= a1.t1 GROUP BY e.user_id), " +
+       "a3 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3 " +
+       "FROM events e JOIN a2 USING (user_id) WHERE e.event_type = 'purchase' " +
+       "AND CAST(e.ts AS TIMESTAMP) >= a2.t2 GROUP BY e.user_id) " +
+       "SELECT a1.user_id, strftime(t1, '%Y-%m-%d %H:%M:%S') AS ts_1_s, " +
+       "strftime(t2, '%Y-%m-%d %H:%M:%S') AS ts_2_s, " +
+       "strftime(t3, '%Y-%m-%d %H:%M:%S') AS ts_3_s, " +
+       "CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END + " +
+       "CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INT) AS n_stages, " +
+       "t3 IS NOT NULL AND epoch_us(t3) - epoch_us(t1) <= 1209600000000 " +
+       "AS converted FROM a1 LEFT JOIN a2 USING (user_id) " +
+       "LEFT JOIN a3 USING (user_id) ORDER BY a1.user_id"),
 
     "q_events_retention" ->
       ("WITH f AS (SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) " +
