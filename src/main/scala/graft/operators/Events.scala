@@ -320,6 +320,39 @@ object Events {
       .orderBy(col(userCol), col("session"))
   }
 
+  /** Last-touch marketing attribution: each conversion event credits the
+    * LATEST touch event of the same user at-or-before it within the
+    * lookback window; the report is per-channel credited conversions and
+    * exact-decimal credited value (plus an `unattributed` row for
+    * conversions with no qualifying touch). This is the as-of join worn
+    * as a product feature: the heavy lift is [[TemporalJoins.asOfJoin]]
+    * backward with tolerance — ONE carry window per user over the
+    * unioned stream, never a per-(conversion, touch) pair join — and the
+    * report is a |channels|-bounded partial-agg groupBy on top.
+    *
+    * Determinism: touches are pre-collapsed to one row per (user, ts)
+    * with the lexicographically SMALLEST channel (same-instant touches
+    * can't make the carry order-dependent); the oracle's native ASOF
+    * join sees the identical collapsed relation. */
+  def attribution(events: DataFrame, userCol: String, ts: String,
+                  typeCol: String, valueCol: String,
+                  conversionType: String, touchTypes: Seq[String],
+                  lookbackSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"touch types must be non-empty and exclude the conversion type")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(ts), col(valueCol))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .groupBy(col(userCol), col(ts))
+      .agg(min(col(typeCol)).as("channel"))
+    TemporalJoins.asOfJoin(conv, touches, userCol, ts, Seq("channel"),
+        direction = "backward", toleranceSec = Some(lookbackSeconds))
+      .groupBy(coalesce(col("asof_channel"), lit("unattributed"))
+        .as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast(Dec)).cast("double").as("credited_value"))
+  }
+
   /** Welch two-sample t-test A/B report over a metric, one row per
     * experiment group — the unequal-variance test (Welch 1947) an
     * experimentation pipeline publishes per metric/surface. Arms are

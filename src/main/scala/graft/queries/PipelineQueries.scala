@@ -665,6 +665,17 @@ object PipelineQueries {
       Events.anomalies(Tables.events(s, d), "event_type", "value",
         "event_id", threshold = 2.5).orderBy("event_id")),
 
+    // last-touch attribution: purchases credit the latest click/view of
+    // the same user within 3 days — the as-of join worn as a product
+    // feature (one carry window per user, no pair join), report bounded
+    // at |channels|+1 rows
+    "q_events_attribution" -> ((s, d) =>
+      Events.attribution(Tables.events(s, d), "user_id", "ts",
+        "event_type", "value", conversionType = "purchase",
+        touchTypes = Seq("click", "view"),
+        lookbackSeconds = 3L * 86400L)
+        .orderBy("channel")),
+
     // Welch t-test A/B report per event type: deterministic md5 hash-arm
     // assignment at the USER level (split_assign discipline), both arms'
     // exact-decimal sufficient statistics from ONE partial-agg pass,
@@ -1405,6 +1416,26 @@ object PipelineQueries {
        "round((value - mean) / std, 6) AS z " +
        "FROM events JOIN m USING (event_type) " +
        "WHERE abs((value - mean) / std) > 2.5 ORDER BY event_id"),
+
+    "q_events_attribution" ->
+      // native ASOF LEFT JOIN over the same (user, ts)-collapsed touch
+      // relation (min(channel) kills same-instant nondeterminism), the
+      // identical lookback gate, decimal-exact credited value
+      ("WITH conv AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, value " +
+       "FROM events WHERE event_type = 'purchase'), " +
+       "t0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, " +
+       "min(event_type) AS channel FROM events " +
+       "WHERE event_type IN ('click', 'view') GROUP BY 1, 2), " +
+       "j AS (SELECT c.user_id, c.cts, c.value, " +
+       "CASE WHEN t0.tts IS NOT NULL AND " +
+       "epoch_us(c.cts) - epoch_us(t0.tts) <= 259200000000 " +
+       "THEN t0.channel END AS ch " +
+       "FROM conv c ASOF LEFT JOIN t0 " +
+       "ON c.user_id = t0.user_id AND c.cts >= t0.tts) " +
+       "SELECT coalesce(ch, 'unattributed') AS channel, " +
+       "COUNT(*) AS n_conversions, " +
+       "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS credited_value " +
+       "FROM j GROUP BY 1 ORDER BY channel"),
 
     "q_events_abtest" ->
       // same conditional decimal sufficient statistics + the identical
