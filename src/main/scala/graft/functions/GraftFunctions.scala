@@ -75,6 +75,8 @@ object GraftExtensions {
         (es: Seq[Expression]) => VecMatCosines(es.head, VecMatCosines.fromLiteral(es(1)))),
       (FunctionIdentifier("media_header"), info(classOf[MediaHeader], "media_header"),
         (es: Seq[Expression]) => MediaHeader(es.head)),
+      (FunctionIdentifier("audio_header"), info(classOf[AudioHeader], "audio_header"),
+        (es: Seq[Expression]) => AudioHeader(es.head)),
       // vocabularies arrive as a foldable nested-array literal, decoded
       // once at resolution (same pattern as vec_mat_cosines)
       (FunctionIdentifier("marker_counts"), info(classOf[MarkerCounts], "marker_counts"),
@@ -182,6 +184,7 @@ object GraftFunctions {
     call_function("bloom_contains", words, key,
       org.apache.spark.sql.functions.lit(k))
   def media_header(payload: Column): Column = call_function("media_header", payload)
+  def audio_header(payload: Column): Column = call_function("audio_header", payload)
   def marker_counts(toks: Column, vocabs: Seq[Seq[String]]): Column =
     call_function("marker_counts", toks,
       org.apache.spark.sql.functions.typedLit(vocabs))

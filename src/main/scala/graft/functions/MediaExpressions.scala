@@ -100,3 +100,83 @@ object MediaHeaderImpl {
     else null
   }
 }
+
+/** RIFF/WAVE audio header parse — the audio member of the multimodal
+  * header family ([[MediaHeader]] covers the image containers). Same
+  * posture: header sniffing is a per-row scan-side fact and belongs in
+  * whole-stage codegen; sample DECODE stays behind the Multimodal codec
+  * plumbing. Returns struct<format, channels, sample_rate, bits,
+  * data_bytes> or NULL when the payload is not a WAVE container with a
+  * well-formed fmt chunk. */
+case class AudioHeader(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("data_bytes", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"audio_header expects BINARY, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    AudioHeaderImpl.parse(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AudioHeaderImpl.parse($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AudioHeader =
+    copy(child = newChild)
+  override def prettyName: String = "audio_header"
+}
+
+object AudioHeaderImpl {
+  private def u(b: Byte): Int = b & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u(b(i)) | (u(b(i + 1)) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u(b(i)).toLong | (u(b(i + 1)).toLong << 8) |
+      (u(b(i + 2)).toLong << 16) | (u(b(i + 3)).toLong << 24)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  /** RIFF walk: "RIFF" + LE32 size + "WAVE", then (id, LE32 size, body)
+    * chunks, bodies padded to even length per the spec. The fmt chunk
+    * carries (audio format, channels, sample rate, byte rate, block
+    * align, bits); the data chunk's SIZE is the payload length — the
+    * walk never needs the sample bytes themselves, so header-only
+    * prefixes parse (the realistic sniffing case). A fmt chunk is
+    * required; a missing data chunk reports 0 bytes. Callable from
+    * generated Java; returns null on foreign/truncated containers. */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    if (!(tag(b, 0, "RIFF") && tag(b, 8, "WAVE"))) return null
+    var pos = 12
+    var channels = -1; var rate = -1L; var bits = -1
+    var dataBytes = 0L
+    while (pos + 8 <= b.length) {
+      val size = le32(b, pos + 4)
+      if (tag(b, pos, "fmt ")) {
+        if (size < 16 || pos + 8 + 16 > b.length) return null
+        channels = le16(b, pos + 10)
+        rate = le32(b, pos + 12)
+        bits = le16(b, pos + 22)
+        if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0)
+          return null
+      } else if (tag(b, pos, "data")) {
+        dataBytes = size
+      }
+      // chunk bodies pad to even length; guard against overflow on a
+      // hostile size field
+      val step = 8L + size + (size & 1L)
+      if (step <= 0 || pos + step > Int.MaxValue) pos = b.length
+      else pos += step.toInt
+    }
+    if (channels < 0) return null
+    InternalRow(UTF8String.fromString("wav"), channels, rate.toInt, bits,
+      dataBytes)
+  }
+}

@@ -139,6 +139,69 @@ object Multimodal {
     docs.select(id, when(id % 2 === 0, png).otherwise(jpeg).as("payload"))
   }
 
+  private def le16hex(v: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(v), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le32hex(v: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(v), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Deterministic synthetic RIFF/WAVE payloads — the audio twin of
+    * [[syntheticContainers]], assembled scan-side from hex (all fields
+    * LITTLE-endian per the RIFF spec, hence the byte-swap helpers). A
+    * variable-length LIST chunk sits before fmt — odd sizes take the
+    * spec's even-padding byte — so the parser exercises a real chunk
+    * walk; the data chunk contributes only its size field (header-only
+    * prefix: sniffing never reads sample bytes). All fields are
+    * closed-form in the id, which is what makes the decode
+    * oracle-checkable end-to-end. */
+  def syntheticWavs(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val ch = id % 2 + 1
+    val rate = (id % 6 + 1) * 8000
+    val block = ch * 2 // 16-bit PCM
+    val byteRate = rate * block
+    val dataBytes = (id % 1000 + 1) * block
+    val listSize = id % 5 + 1
+    val listPadded = listSize + listSize % 2
+    val riffSize = lit(4L) + (lit(8L) + listPadded) + lit(24L) + lit(8L) + dataBytes
+    val wav = unhex(concat(
+      lit("52494646"), le32hex(riffSize), lit("57415645"),
+      lit("4C495354"), le32hex(listSize),
+      call_function("repeat", lit("41"), listSize.cast("int")),
+      when(listSize % 2 === 1, lit("00")).otherwise(lit("")),
+      lit("666D7420"), lit("10000000"), lit("0100"),
+      le16hex(ch), le32hex(rate), le32hex(byteRate), le16hex(block),
+      lit("1000"),
+      lit("64617461"), le32hex(dataBytes)))
+    docs.select(id, wav.as("payload"))
+  }
+
+  /** REAL RIFF/WAVE header decode via the native codegen `audio_header`
+    * Expression ([[graft.functions.AudioHeaderImpl]]) — format, channel
+    * count, sample rate, bit depth, data-chunk size, plus the derived
+    * duration in integer milliseconds (data_bytes·1000 DIV byte rate —
+    * integer ops only, bit-identical across engines). Foreign/truncated
+    * payloads yield null columns; sample decode stays behind the codec
+    * plumbing. */
+  def decodeAudioHeader(df: DataFrame, idCol: String,
+                        payloadCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        graft.functions.GraftFunctions.audio_header(col(payloadCol)).as("hdr"))
+      .select(col(idCol), col("hdr.format").as("format"),
+        col("hdr.channels").as("channels"),
+        col("hdr.sample_rate").as("sample_rate"),
+        col("hdr.bits").as("bits"),
+        col("hdr.data_bytes").as("data_bytes"))
+      .withColumn("duration_ms", expr(
+        "data_bytes * 1000 DIV " +
+        "(CAST(sample_rate AS BIGINT) * channels * (bits DIV 8))"))
+  }
+
   /** Resize planning: aspect-preserving fit of each container's decoded
     * dimensions into a `maxW`×`maxH` box — the metadata half of image
     * resize, computed entirely from the header decode (no pixel codec

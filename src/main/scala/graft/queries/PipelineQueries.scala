@@ -426,6 +426,15 @@ object PipelineQueries {
         Multimodal.syntheticContainers(Tables.documents(s, d), "doc_id"),
         "doc_id", "payload").orderBy("doc_id")),
 
+    // RIFF/WAVE header decode: the audio twin of q_multimodal_decode —
+    // synthesized little-endian containers (variable padded LIST chunk
+    // exercising a real chunk walk) parsed by the native audio_header
+    // Expression; duration is integer-exact DIV milliseconds
+    "q_multimodal_audio" -> ((s, d) =>
+      Multimodal.decodeAudioHeader(
+        Multimodal.syntheticWavs(Tables.documents(s, d), "doc_id"),
+        "doc_id", "payload").orderBy("doc_id")),
+
     "q_events_window" -> ((s, d) =>
       Events.tumblingAgg(Tables.events(s, d), "ts", "event_type", "value", "1 hour")
         .orderBy("win_start", "event_type")),
@@ -1233,6 +1242,19 @@ object PipelineQueries {
       ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
        "CAST(doc_id % 640 + 16 AS INT) AS width, " +
        "CAST(doc_id % 480 + 16 AS INT) AS height FROM documents ORDER BY doc_id"),
+
+    "q_multimodal_audio" ->
+      // closed-form in the id: the container is assembled by one engine
+      // and parsed by independent byte logic (q_multimodal_decode
+      // pattern); duration = data_bytes*1000 // byte_rate, integer-exact
+      ("SELECT doc_id, 'wav' AS format, " +
+       "CAST(doc_id % 2 + 1 AS INT) AS channels, " +
+       "CAST((doc_id % 6 + 1) * 8000 AS INT) AS sample_rate, " +
+       "CAST(16 AS INT) AS bits, " +
+       "CAST((doc_id % 1000 + 1) * (doc_id % 2 + 1) * 2 AS BIGINT) AS data_bytes, " +
+       "CAST(((doc_id % 1000 + 1) * (doc_id % 2 + 1) * 2 * 1000) // " +
+       "((doc_id % 6 + 1) * 8000 * (doc_id % 2 + 1) * 2) AS BIGINT) AS duration_ms " +
+       "FROM documents ORDER BY doc_id"),
 
     "q_events_window" ->
       ("SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start, " +
