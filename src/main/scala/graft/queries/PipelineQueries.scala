@@ -808,6 +808,18 @@ object PipelineQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Z-order layout + zone-map report: Morton-interleave the bucketized
+    // (l_partkey, l_suppkey) bits, assign rows to 256 z-range files, and
+    // report each file's min/max zone maps — the multi-dim data-skipping
+    // layout (Delta OPTIMIZE ZORDER shape). Ranges from ONE broadcast
+    // 1-row agg; bucket+interleave are integer scan-side codegen; the
+    // report is a 256-row partial-agg groupBy. Oracle replays the
+    // interleave unrolled bit-by-bit.
+    "q_zorder_layout" -> ((s, d) =>
+      graft.operators.Layout.zorderReport(Tables.lineitem(s, d),
+        "l_partkey", "l_suppkey", bits = 8, fileShift = 8)
+        .orderBy("file_id")),
+
     // graph centrality over the relationally-projected trade graph:
     // which nation is most central to the customer→supplier flow. The
     // heavy pass is the fact-table projection (lineitem⋈orders shuffle +
@@ -908,8 +920,34 @@ object PipelineQueries {
     s"$base$rounds SELECT * FROM ($out) ORDER BY round"
   }
 
+  /** Unrolled Morton-interleave oracle for the Z-order report: bit i of
+    * each bucket id lands at 2i / 2i+1 via explicit shift-and-multiply
+    * terms (disjoint targets, plain sum) — pure BIGINT ops both
+    * engines. */
+  private def zorderOracleSql(bits: Int, fileShift: Int): String = {
+    val nb = 1L << bits
+    val morton = (0 until bits).flatMap { i =>
+      Seq(s"((ba >> $i) & 1) * ${1L << (2 * i)}",
+          s"((bb >> $i) & 1) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+    "WITH st AS (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax, " +
+    "min(l_suppkey) AS bmin, max(l_suppkey) AS bmax FROM lineitem), " +
+    "z AS (SELECT l_partkey, l_suppkey, " +
+    s"((l_partkey - amin) * $nb) // (amax - amin + 1) AS ba, " +
+    s"((l_suppkey - bmin) * $nb) // (bmax - bmin + 1) AS bb " +
+    "FROM lineitem CROSS JOIN st), " +
+    s"m AS (SELECT l_partkey, l_suppkey, ($morton) // ${1L << fileShift} " +
+    "AS file_id FROM z) " +
+    "SELECT file_id, count(*) AS n_rows, " +
+    "min(l_partkey) AS min_l_partkey, max(l_partkey) AS max_l_partkey, " +
+    "min(l_suppkey) AS min_l_suppkey, max(l_suppkey) AS max_l_suppkey " +
+    "FROM m GROUP BY file_id ORDER BY file_id"
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracleSql(4),
+
+    "q_zorder_layout" -> zorderOracleSql(8, 8),
 
     "q_dedup_exact" ->
       ("SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
