@@ -54,6 +54,42 @@ object Cdc {
     }.drop("__v", "__p")
   }
 
+  /** MERGE-INTO semantics — apply a changelog of upsert/delete
+    * operations to a snapshot (the Delta/Iceberg MERGE shape, and the
+    * missing half of [[latestByKey]]: compaction alone cannot REMOVE a
+    * key). Per key, the changelog's LATEST record wins (same
+    * version-column contract as latestByKey — end in a unique
+    * tiebreaker); if its `opCol` equals `deleteOp` the key disappears
+    * from the result, otherwise its payload replaces the snapshot's.
+    * Keys the log never touches pass through unchanged. A delete
+    * followed by a later upsert re-inserts (the winner rule decides,
+    * not the delete's presence).
+    *
+    * Scale posture: the log compacts FIRST via the map-side-combining
+    * max/max_by aggregation (one shuffled row per touched key, never a
+    * per-key history sort), then ONE full-outer equi-join on the key
+    * against the snapshot — both sides hash-partition on the key, AQE
+    * broadcasts a small compacted log. No window anywhere. */
+  def mergeApply(snapshot: DataFrame, log: DataFrame, keyCols: Seq[String],
+                 versionCols: Seq[String], opCol: String,
+                 payloadCols: Seq[String], deleteOp: String = "D"): DataFrame = {
+    require(!payloadCols.contains(opCol), "opCol rides separately from payload")
+    val winners = latestByKey(log, keyCols, versionCols,
+      payloadCols :+ opCol)
+    val w = winners.select(
+      keyCols.map(col) ++ (versionCols ++ payloadCols :+ opCol)
+        .map(c => col(c).as(s"__w_$c")): _*)
+    val joined = snapshot.join(w, keyCols, "full_outer")
+      // a key whose latest log record is a delete vanishes — unless the
+      // key only exists in the snapshot (null op = untouched)
+      .filter(col(s"__w_$opCol").isNull || col(s"__w_$opCol") =!= deleteOp)
+    val touched = col(s"__w_$opCol").isNotNull
+    val out = (versionCols ++ payloadCols).foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(touched, col(s"__w_$c")).otherwise(col(c)))
+    }
+    out.select(keyCols.map(col) ++ (versionCols ++ payloadCols).map(col): _*)
+  }
+
   /** SCD Type 2 — the warehouse twin of [[latestByKey]]: instead of
     * keeping only the latest record, EVERY change becomes a version row
     * with a validity interval. `valid_from` is the change's own

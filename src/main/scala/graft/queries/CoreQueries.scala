@@ -680,6 +680,26 @@ object CoreQueries {
           col("event_id"), col("event_type"), col("value"))
         .orderBy("user_id")),
 
+    // MERGE-INTO apply (the missing half of compaction: deletes): the
+    // pre-cutoff compacted state merged with the post-cutoff changelog
+    // ('error' events act as deletes) — log compacts map-side first,
+    // then ONE full-outer equi-join on the key (operators/Cdc.scala)
+    "q_cdc_apply" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      val snapshot = Cdc.latestByKey(ev.filter(col("ts") < cutoff),
+        Seq("user_id"), Seq("ts", "event_id"), Seq("event_type", "value"))
+      val log = ev.filter(col("ts") >= cutoff)
+        .withColumn("op",
+          when(col("event_type") === "error", "D").otherwise("U"))
+      Cdc.mergeApply(snapshot, log, Seq("user_id"), Seq("ts", "event_id"),
+          "op", Seq("event_type", "value"))
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    }),
+
     // SCD Type 2: every change becomes a version row with a half-open
     // [valid_from, valid_to) interval; newest version is_current. One
     // lead() window per key (operators/Cdc.scala:scdType2)
@@ -1010,6 +1030,29 @@ object CoreQueries {
        "FROM orders CROSS JOIN q) " +
        "SELECT bin, count(*) AS n, min(v) AS lo, max(v) AS hi FROM b " +
        "GROUP BY bin ORDER BY bin"),
+
+    "q_cdc_apply" ->
+      // the same two row_number compactions + full-outer merge; a
+      // winner op 'D' removes the key, untouched keys pass through
+      ("WITH pre AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, " +
+       "event_type, value, ROW_NUMBER() OVER (PARTITION BY user_id " +
+       "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn " +
+       "FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'), " +
+       "snap AS (SELECT user_id, t, event_id, event_type, value FROM pre WHERE rn = 1), " +
+       "post AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, " +
+       "event_type, value, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, " +
+       "ROW_NUMBER() OVER (PARTITION BY user_id " +
+       "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn " +
+       "FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'), " +
+       "w AS (SELECT user_id, t, event_id, event_type, value, op FROM post WHERE rn = 1) " +
+       "SELECT coalesce(s.user_id, w.user_id) AS user_id, " +
+       "strftime(CASE WHEN w.user_id IS NOT NULL THEN w.t ELSE s.t END, " +
+       "'%Y-%m-%d %H:%M:%S') AS ts_s, " +
+       "CASE WHEN w.user_id IS NOT NULL THEN w.event_id ELSE s.event_id END AS event_id, " +
+       "CASE WHEN w.user_id IS NOT NULL THEN w.event_type ELSE s.event_type END AS event_type, " +
+       "CASE WHEN w.user_id IS NOT NULL THEN w.value ELSE s.value END AS value " +
+       "FROM snap s FULL OUTER JOIN w ON s.user_id = w.user_id " +
+       "WHERE w.op IS NULL OR w.op <> 'D' ORDER BY user_id"),
 
     "q_scd2" ->
       ("WITH x AS (SELECT user_id, event_id, value, " +

@@ -68,4 +68,42 @@ class CdcSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"must not plan a window sort:\n$plan")
     assert(df.count() == 10)
   }
+
+  test("mergeApply: upsert, delete, insert, pass-through, and " +
+    "delete-then-reinsert") {
+    val snapshot = Seq(
+      (1L, 0, "old1"), (2L, 0, "old2"), (3L, 0, "old3"),
+      (5L, 0, "old5")).toDF("key", "seq", "val")
+    val log = Seq(
+      (2L, 1, "new2", "U"),              // update key 2
+      (3L, 1, "x", "D"),                 // delete key 3
+      (4L, 1, "new4", "U"),              // insert key 4
+      (5L, 1, "x", "D"), (5L, 2, "re5", "U"), // delete then re-insert
+      (6L, 1, "new6", "U"), (6L, 2, "x", "D") // insert then delete
+    ).toDF("key", "seq", "val", "op")
+    val out = Cdc.mergeApply(snapshot, log, Seq("key"), Seq("seq"), "op",
+        Seq("val"))
+      .select("key", "seq", "val").as[(Long, Int, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 0, "old1"), (2L, 1, "new2"), (4L, 1, "new4"),
+      (5L, 2, "re5")))
+  }
+
+  test("mergeApply equals compaction when the log has no deletes") {
+    val ev = graft.tables.Tables.events(spark, sf("sf0.001"))
+    val cutoff = org.apache.spark.sql.functions.lit("2024-01-16 00:00:00")
+      .cast("timestamp")
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val snapshot = Cdc.latestByKey(ev.filter(col("ts") < cutoff),
+      Seq("user_id"), Seq("ts", "event_id"), Seq("event_type", "value"))
+    val log = ev.filter(col("ts") >= cutoff).withColumn("op", lit("U"))
+    val merged = Cdc.mergeApply(snapshot, log, Seq("user_id"),
+        Seq("ts", "event_id"), "op", Seq("event_type", "value"))
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val compacted = Cdc.latestByKey(ev, Seq("user_id"),
+        Seq("ts", "event_id"), Seq("event_type", "value"))
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    assert(merged.exceptAll(compacted).count() == 0L)
+    assert(compacted.exceptAll(merged).count() == 0L)
+  }
 }
