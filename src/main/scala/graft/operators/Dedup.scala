@@ -607,6 +607,84 @@ object Dedup {
     (out, () => unpersistCheckpoint(finalLabels, blocking = true))
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewrites (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond") — the hub-balanced alternative to [[clusters]]' label
+    * propagation, converging in O(log² n) rounds with the edge count
+    * never growing past O(n + m):
+    *  - large-star (per node u): every STRICTLY LARGER neighbor
+    *    re-attaches to min(Γ(u) ∪ u);
+    *  - small-star: every smaller-or-equal neighbor, and u itself,
+    *    re-attach to that min.
+    * The fixpoint is a star forest whose centers are the component
+    * minima — the identical deterministic labels [[clusters]] converges
+    * to (spec-asserted on random graphs), so the op SHARES the
+    * recursive-CTE oracle.
+    *
+    * Why a second CC implementation: label propagation shuffles one
+    * label row per node per round but needs the POINTER-JUMP self-join;
+    * large/small-star is pure per-edge rewriting — both aggregations
+    * (the neighborhood min) combine map-side, the emit joins fan each
+    * edge row once, and a 10⁹-degree hub's edges process as ordinary
+    * parallel rows. Same localCheckpoint-per-round lineage discipline,
+    * converged-or-fail contract. Construction is EAGER like
+    * [[clusters]]. */
+  def clustersLargeStar(pairs: DataFrame, aCol: String, bCol: String,
+                        outCol: String = "doc_id",
+                        maxIter: Int = 30): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    // symmetric neighbor view (u, v) of a canonical (a > b) edge set
+    def sym(e: DataFrame): DataFrame = e.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("x"))
+      .select(col("x.u").as("u"), col("x.v").as("v"))
+    // m(u) = min(Γ(u) ∪ {u}) — a map-side-combining partial agg
+    def minNbr(s: DataFrame): DataFrame = s.groupBy("u")
+      .agg(min(col("v")).as("__mv"))
+      .select(col("u"), least(col("__mv"), col("u")).as("m"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      s.filter(col("v") > col("u")).join(minNbr(s), "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = minNbr(s)
+      val xs = s.filter(col("v") < col("u"))
+        .select(col("u"), col("v").as("x"))
+        .union(m.select(col("u"), col("u").as("x")))
+      xs.join(m, "u").filter(col("x") =!= col("m"))
+        .select(col("x").as("a"), col("m").as("b")).distinct()
+    }
+    var edges = pairs.select(greatest(col(aCol), col(bCol)).as("a"),
+        least(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val changed =
+        next.join(edges, Seq("a", "b"), "left_anti").limit(1).count() +
+        edges.join(next, Seq("a", "b"), "left_anti").limit(1).count()
+      unpersistCheckpoint(edges)
+      edges = next
+      converged = changed == 0
+      it += 1
+    }
+    if (!converged) {
+      unpersistCheckpoint(edges)
+      throw new IllegalArgumentException(
+        s"large/small-star did not converge in $maxIter rounds; raise maxIter")
+    }
+    val nodes = pairs
+      .select(explode(array(col(aCol), col(bCol))).as("id")).distinct()
+    nodes.join(edges.select(col("a").as("id"), col("b").as("lab")),
+        Seq("id"), "left")
+      .select(col("id").as(outCol),
+        coalesce(col("lab"), col("id")).as("cluster_id"))
+  }
+
   // --------------------------------------------------------- embedding dup
 
   /** Guard ceiling for [[embedPairs]]: the exact all-pairs path compares

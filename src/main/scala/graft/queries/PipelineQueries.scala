@@ -233,6 +233,17 @@ object PipelineQueries {
           "doc_id", "text", w = 3, tau = 0.5, prefixFilter = false),
         "doc_a", "doc_b").orderBy("doc_id")),
 
+    // the SAME clustering computed by alternating large-star/small-star
+    // edge rewrites (Kiveris 2014) — the hub-balanced O(log² n)-round CC
+    // whose per-edge rewriting has no pointer-jump self-join; identical
+    // deterministic min-labels, so it shares the recursive-CTE oracle
+    "q_dedup_clusters_ls" -> ((s, d) =>
+      Dedup.clustersLargeStar(
+        Dedup.ngramJaccardPairs(
+          Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
+          "doc_id", "text", w = 3, tau = 0.5, prefixFilter = false),
+        "doc_a", "doc_b").orderBy("doc_id")),
+
     // the dedup summary a pipeline publishes: cluster-size histogram
     // over the same clustering as q_dedup_clusters
     "q_dedup_report" -> ((s, d) =>
@@ -959,6 +970,19 @@ object PipelineQueries {
     // accumulates (node, reachable-node) pairs, min over reachable = the
     // min-label fixpoint the Spark propagation loop converges to
     "q_dedup_clusters" ->
+      ("WITH RECURSIVE pr AS (" + jaccardPairsOracleSql(0.5) + "), " +
+       "edges AS (SELECT doc_a AS s, doc_b AS d FROM pr " +
+       "UNION ALL SELECT doc_b, doc_a FROM pr), " +
+       "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+       "r AS (SELECT id, id AS lab FROM nodes " +
+       "UNION SELECT e.s, r.lab FROM edges e JOIN r ON r.id = e.d) " +
+       "SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id " +
+       "ORDER BY doc_id"),
+
+    // identical labels by construction (both fixpoints are the
+    // component-min labeling) — the large/small-star variant shares the
+    // recursive-CTE oracle verbatim
+    "q_dedup_clusters_ls" ->
       ("WITH RECURSIVE pr AS (" + jaccardPairsOracleSql(0.5) + "), " +
        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pr " +
        "UNION ALL SELECT doc_b, doc_a FROM pr), " +

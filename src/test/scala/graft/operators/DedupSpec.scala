@@ -194,6 +194,36 @@ class DedupSpec extends SparkSpec {
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
+  test("large/small-star clusters equal label propagation on random " +
+       "graphs, chains, hubs, and self-pairs") {
+    // random graphs across seeds
+    for (seed <- Seq(3, 17, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = Seq.fill(150)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+        .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+        .toDF("doc_a", "doc_b") // self-pairs INCLUDED: singleton clusters
+      val ls = Dedup.clustersLargeStar(pairs, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lp = Dedup.clusters(pairs, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ls == lp, s"seed=$seed")
+    }
+    // a 200-node chain: the log²-round contract holds well under maxIter
+    val chain = (1000L until 1199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chained = Dedup.clustersLargeStar(chain, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chained.size == 200 && chained.values.forall(_ == 1000L))
+    // a hub whose id is the component MAX: every spoke must re-attach
+    val hub = (1L to 50L).map(i => (i, 999L)).toDF("doc_a", "doc_b")
+    val hubbed = Dedup.clustersLargeStar(hub, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hubbed.size == 51 && hubbed.values.forall(_ == 1L))
+    // converged-or-fail contract
+    intercept[IllegalArgumentException] {
+      Dedup.clustersLargeStar(chain, "doc_a", "doc_b", maxIter = 1)
+    }
+  }
+
   test("embedding pairs find high-cosine vectors") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
