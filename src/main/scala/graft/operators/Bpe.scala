@@ -113,6 +113,20 @@ object Bpe {
                   nMerges: Int = 4): DataFrame =
     trainWithVocab(docs, textCol, nMerges)._1
 
+  /** The APPLY half of the tokenizer: segment the corpus with the
+    * learned merges and publish the token-frequency statistics (the
+    * fertility/coverage readout a tokenizer ships with). The corpus is
+    * already summarized by the frequency-weighted vocabulary, so this is
+    * one more VOCABULARY-bounded aggregation over the final symbol
+    * strings — no second corpus pass. (n desc, token) total order. */
+  def tokenStats(docs: DataFrame, textCol: String = "text",
+                 nMerges: Int = 4, topK: Int = 40): DataFrame = {
+    val (_, vocab) = trainWithVocab(docs, textCol, nMerges)
+    vocab.select(col("c"), explode(split(col("repr"), " ")).as("token"))
+      .groupBy("token").agg(sum(col("c")).as("n"))
+      .orderBy(desc("n"), col("token")).limit(topK)
+  }
+
   /** Release the block-manager storage behind a localCheckpoint'ed
     * relation (Dataset.unpersist only talks to the SQL cache manager). */
   private def unpersistCheckpoint(df: DataFrame): Unit =

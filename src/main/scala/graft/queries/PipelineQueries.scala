@@ -858,7 +858,14 @@ object PipelineQueries {
     // CTEs with the identical 6-nested-replace merge step.
     "q_bpe_train" -> ((s, d) =>
       graft.operators.Bpe.trainMerges(Tables.documents(s, d), "text",
-        nMerges = 4))
+        nMerges = 4)),
+
+    // the tokenizer's APPLY readout: top token frequencies of the corpus
+    // segmented by the learned merges — one more vocabulary-bounded
+    // aggregation on top of the training loop, no second corpus pass
+    "q_bpe_apply" -> ((s, d) =>
+      graft.operators.Bpe.tokenStats(Tables.documents(s, d), "text",
+        nMerges = 4, topK = 40))
   )
 
   /** Unrolled-iteration PageRank oracle: the same decimal-quantized
@@ -899,6 +906,23 @@ object PipelineQueries {
     * symbol string ([[graft.operators.Bpe.ReplacePasses]]) — engine
     * parity is by construction, not by a fixpoint argument. */
   private def bpeTrainOracleSql(nMerges: Int): String = {
+    val out = (1 to nMerges).map { r =>
+      s"SELECT CAST($r AS INT) AS round, a AS pair_a, b AS pair_b, " +
+      s"CAST(n AS BIGINT) AS n FROM w$r"
+    }.mkString(" UNION ALL ")
+    s"${bpeCtesSql(nMerges)} SELECT * FROM ($out) ORDER BY round"
+  }
+
+  /** The APPLY half: token statistics of the corpus segmented by the
+    * learned merges — counts over the final vocabulary's symbols,
+    * weighted by word frequency. */
+  private def bpeApplyOracleSql(nMerges: Int, topK: Int): String =
+    s"${bpeCtesSql(nMerges)} " +
+    "SELECT token, CAST(sum(c) AS BIGINT) AS n FROM " +
+    s"(SELECT unnest(string_split(repr, ' ')) AS token, c FROM v$nMerges) " +
+    s"GROUP BY token ORDER BY n DESC, token LIMIT $topK"
+
+  private def bpeCtesSql(nMerges: Int): String = {
     val base =
       "WITH v0 AS (SELECT w, count(*) AS c, " +
       "trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS repr FROM " +
@@ -924,11 +948,7 @@ object PipelineQueries {
       s"v$r AS (SELECT v.w, v.c, $merged AS repr " +
       s"FROM v${r - 1} v CROSS JOIN w$r m)"
     }.mkString(", ", ", ", "")
-    val out = (1 to nMerges).map { r =>
-      s"SELECT CAST($r AS INT) AS round, a AS pair_a, b AS pair_b, " +
-      s"CAST(n AS BIGINT) AS n FROM w$r"
-    }.mkString(" UNION ALL ")
-    s"$base$rounds SELECT * FROM ($out) ORDER BY round"
+    base + rounds
   }
 
   /** Unrolled Morton-interleave oracle for the Z-order report: bit i of
@@ -957,6 +977,8 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracleSql(4),
+
+    "q_bpe_apply" -> bpeApplyOracleSql(4, 40),
 
     "q_zorder_layout" -> zorderOracleSql(8, 8),
 

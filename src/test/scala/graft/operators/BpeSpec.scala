@@ -38,6 +38,14 @@ class BpeSpec extends SparkSpec {
     assert(m == Seq((1, "a", "b", 2L)))
   }
 
+  test("tokenStats segments the corpus with the learned merges") {
+    // after 1 merge on "ab ab ab abc": merge (a,b); tokens: ab×4, c×1
+    val docs = Seq("ab ab ab abc").toDF("text")
+    val out = Bpe.tokenStats(docs, "text", nMerges = 1, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("ab", 4L), ("c", 1L)))
+  }
+
   test("ASCII tokenization rule: folds case, non-letters separate, null-safe") {
     val docs = Seq("Ab aB", null, "a1b cD2").toDF("text")
     // words: ab, ab, cd ("a1b" splits to 1-char fragments, dropped)
