@@ -332,6 +332,26 @@ object PipelineQueries {
 
     // class prototypes: per-label coordinate means, decimal-exact,
     // bounded |labels|*dim output
+    // PC1 + explained-variance share over the document quality-feature
+    // matrix (chars/tokens/vowels/digits/spaces — the correlated
+    // engineered features where a principal axis MEANS something; the
+    // synthetic embeddings are near-isotropic, λ1/λ2≈1.07, where power
+    // iteration cannot and should not converge). Exact decimal
+    // sufficient statistics (dim²-bounded partial aggs over a scan-side
+    // fan-out), 12 power-iteration rounds on the checkpointed
+    // covariance relation, pagerank-discipline quantization — the
+    // oracle replays all rounds as unrolled CTEs
+    "q_stats_pca" -> ((s, d) => {
+      val t = coalesce(col("text"), lit(""))
+      val feats = Tables.documents(s, d).select(array(
+        length(t).cast("double"),
+        size(split(t, " ")).cast("double"),
+        length(regexp_replace(t, "[^aeiou]", "")).cast("double"),
+        length(regexp_replace(t, "[^0-9]", "")).cast("double"),
+        length(regexp_replace(t, "[^ ]", "")).cast("double")).as("f"))
+      graft.operators.Pca.pc1(feats, "f", iters = 12).orderBy("pos")
+    }),
+
     "q_embed_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d), "embedding", "label")
         .select(col("label"), col("pos"), round(col("c"), 9).as("c"))
@@ -975,8 +995,51 @@ object PipelineQueries {
     "FROM m GROUP BY file_id ORDER BY file_id"
   }
 
+  /** Unrolled power-iteration PCA oracle (pagerank discipline): exact
+    * decimal-quantized sufficient statistics, every float op CAST AS
+    * DOUBLE, v0 planted textually, `iters` rounds as chained CTEs. */
+  private def pcaOracleSql(iters: Int, v0: String): String = {
+    val base =
+      "WITH x1 AS MATERIALIZED (" +
+      "SELECT doc_id, 0 AS j, CAST(length(coalesce(text, '')) AS DOUBLE) AS xj FROM documents " +
+      "UNION ALL SELECT doc_id, 1, CAST(len(string_split(coalesce(text, ''), ' ')) AS DOUBLE) FROM documents " +
+      "UNION ALL SELECT doc_id, 2, CAST(length(regexp_replace(coalesce(text, ''), '[^aeiou]', '', 'g')) AS DOUBLE) FROM documents " +
+      "UNION ALL SELECT doc_id, 3, CAST(length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) AS DOUBLE) FROM documents " +
+      "UNION ALL SELECT doc_id, 4, CAST(length(regexp_replace(coalesce(text, ''), '[^ ]', '', 'g')) AS DOUBLE) FROM documents), " +
+      "ss AS MATERIALIZED (SELECT a.j, b.j AS k, " +
+      "CAST(SUM(CAST(a.xj * b.xj AS DECIMAL(28,6))) AS DOUBLE) AS ss " +
+      "FROM x1 a JOIN x1 b USING (doc_id) GROUP BY a.j, b.j), " +
+      "s AS MATERIALIZED (SELECT j, CAST(SUM(CAST(xj AS DECIMAL(28,6))) AS DOUBLE) AS s, " +
+      "COUNT(*) AS n FROM x1 GROUP BY j), " +
+      "cov AS MATERIALIZED (SELECT ss.j, ss.k, " +
+      "(ss.ss - sa.s * sb.s / sa.n) / (sa.n - 1) AS c " +
+      "FROM ss JOIN s sa ON ss.j = sa.j JOIN s sb ON ss.k = sb.j), " +
+      "tr AS MATERIALIZED (SELECT CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS tr " +
+      "FROM cov WHERE j = k), " +
+      s"v0 AS MATERIALIZED (SELECT DISTINCT j, CAST($v0 AS DOUBLE) AS v FROM cov)"
+    val rounds = (1 to iters).map { r =>
+      s"w$r AS MATERIALIZED (SELECT c.j, " +
+      "CAST(SUM(CAST(c.c * v.v AS DECIMAL(28,6))) AS DOUBLE) AS w " +
+      s"FROM cov c JOIN v${r - 1} v ON c.k = v.j GROUP BY c.j), " +
+      s"n$r AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,6))) " +
+      s"AS DOUBLE)) AS nrm FROM w$r), " +
+      s"v$r AS MATERIALIZED (SELECT j, w / nrm AS v FROM w$r CROSS JOIN n$r)"
+    }.mkString(", ", ", ", "")
+    val fin =
+      s", wf AS MATERIALIZED (SELECT c.j, CAST(SUM(CAST(c.c * v.v AS DECIMAL(28,6))) " +
+      s"AS DOUBLE) AS w FROM cov c JOIN v$iters v ON c.k = v.j GROUP BY c.j), " +
+      "lam AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,6))) " +
+      "AS DOUBLE)) AS lam FROM wf) " +
+      s"SELECT v.j AS pos, round(v.v, 6) AS loading, " +
+      s"round(lam.lam / tr.tr, 6) AS ev_share " +
+      s"FROM v$iters v CROSS JOIN lam CROSS JOIN tr ORDER BY pos"
+    base + rounds + fin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracleSql(4),
+
+    "q_stats_pca" -> pcaOracleSql(12, 1.0 / math.sqrt(5.0) + ""),
 
     "q_bpe_apply" -> bpeApplyOracleSql(4, 40),
 
