@@ -84,6 +84,73 @@ object Graph {
     * is the one big-big shuffle (both sides keyed on orderkey);
     * customer/supplier/nation-sized dims broadcast; the groupBy crushes
     * fact rows into ≤|nations|² edges with map-side partial aggregation. */
+  /** Co-purchase graph projection: parts sharing an order become edges
+    * (the "bought together" graph, canonical a < b, distinct per order
+    * first so multi-line orders don't inflate support). The per-order
+    * pair fan-out is bounded by order SIZE squared — an operational
+    * constant — and the support count partial-aggregates; `minSupport`
+    * prunes noise edges. */
+  def coPurchaseEdges(lineitem: DataFrame, minSupport: Long = 1L): DataFrame = {
+    val op = lineitem.select(col("l_orderkey").as("o"),
+      col("l_partkey").as("p")).distinct()
+    op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSupport)
+      .select("pa", "pb")
+  }
+
+  /** Triangle census + global clustering coefficient (Watts–Strogatz
+    * 1998) via the DEGREE-ORIENTATION trick (Chiba–Nishizeki 1985 /
+    * Suri–Vassilvitskii 2011 "Counting Triangles and the Curse of the
+    * Last Reducer"): orient every edge from the lower (degree, id) rank
+    * to the higher, enumerate wedges only between ORIENTED out-edges,
+    * and close them against the oriented edge set. Out-degrees after
+    * orientation are O(√m), so the wedge join fans m^{3/2} rows total
+    * instead of Σd² — a 10⁹-degree hub contributes almost no wedges as
+    * a CENTER (its rank is highest) and its closure lookups are
+    * ordinary parallel equi-join rows: exactly the last-reducer curse
+    * the naive per-node enumeration dies of. The open-wedge total for
+    * the coefficient is Σ d(d−1)/2 over UNDIRECTED degrees (a
+    * |V|-bounded agg), n_triangles is exact (orientation is a compute
+    * strategy, not an approximation — the oracle counts naively).
+    * Output: ONE row (n_nodes, n_edges, n_wedges, n_triangles,
+    * clustering = 3T/W, 6dp). */
+  def triangleStats(edges: DataFrame, aCol: String = "pa",
+                    bCol: String = "pb"): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // rank = (degree, id); orient low -> high. Struct comparison gives
+    // the lexicographic total order both joins below rely on.
+    val withRanks = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val ra = struct(col("da").as("d"), col("a").as("v"))
+    val rb = struct(col("db").as("d"), col("b").as("v"))
+    val directed = withRanks.select(
+        when(ra < rb, struct(col("a").as("s"), col("b").as("t")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"),
+        when(ra < rb, rb).otherwise(ra).as("rt"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("rt"))
+    // wedges between out-neighbors, ordered by rank so the closing edge
+    // has a KNOWN direction (low rank -> high rank)
+    val wedges = directed.as("e1").join(directed.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.rt") < col("e2.rt"))
+      .select(col("e1.t").as("s"), col("e2.t").as("t"))
+    val tri = wedges.join(directed.select("s", "t"), Seq("s", "t"),
+      "left_semi").agg(count(lit(1)).as("n_triangles"))
+    val totals = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(d * (d - 1)) DIV 2").as("n_wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    totals.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering"))
+  }
+
   def tradeEdges(lineitem: DataFrame, orders: DataFrame,
                  customer: DataFrame, supplier: DataFrame): DataFrame =
     lineitem

@@ -851,6 +851,15 @@ object PipelineQueries {
         "l_partkey", "l_suppkey", bits = 8, fileShift = 8)
         .orderBy("file_id")),
 
+    // triangle census + clustering coefficient over the co-purchase
+    // graph via degree orientation (Suri–Vassilvitskii 2011): wedges
+    // enumerate only between oriented out-edges (O(√m) out-degree kills
+    // the last-reducer curse), closure is an equi-semi-join; count is
+    // EXACT — the oracle counts naively with a 3-way join
+    "q_graph_triangles" -> ((s, d) =>
+      graft.operators.Graph.triangleStats(
+        graft.operators.Graph.coPurchaseEdges(Tables.lineitem(s, d)))),
+
     // graph centrality over the relationally-projected trade graph:
     // which nation is most central to the customer→supplier flow. The
     // heavy pass is the fact-table projection (lineitem⋈orders shuffle +
@@ -1750,6 +1759,26 @@ object PipelineQueries {
        "ORDER BY cnt DESC, tok"),
 
     "q_graph_pagerank" -> pagerankOracleSql(10),
+
+    // the naive exact triangle count (orientation is a compute strategy,
+    // not an approximation); CAST(3.0 AS DOUBLE) — DuckDB would otherwise
+    // run the ratio in exact DECIMAL (pagerank discipline)
+    "q_graph_triangles" ->
+      ("WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, " +
+       "l_partkey AS p FROM lineitem), " +
+       "e AS MATERIALIZED (SELECT DISTINCT a.p AS pa, b.p AS pb " +
+       "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p), " +
+       "deg AS (SELECT v, count(*) AS d FROM " +
+       "(SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e) GROUP BY v), " +
+       "tot AS (SELECT count(*) AS n_nodes, " +
+       "CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg), " +
+       "ne AS (SELECT count(*) AS n_edges FROM e), " +
+       "tri AS (SELECT count(*) AS n_triangles FROM e e1 " +
+       "JOIN e e2 ON e1.pb = e2.pa " +
+       "JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) " +
+       "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
+       "round(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6) AS clustering " +
+       "FROM tot CROSS JOIN ne CROSS JOIN tri"),
 
     "q_bloom_join" ->
       ("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN " +

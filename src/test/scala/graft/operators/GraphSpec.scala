@@ -54,4 +54,37 @@ class GraphSpec extends SparkSpec {
     assert(wSum == li.count(), "every lineitem lands in exactly one edge")
     assert(nEdges <= 25L * 25L, "adjacency must be nation-bounded")
   }
+
+  test("triangle census: K4, a star hub, and random graphs vs brute force") {
+    def stats(pairs: Seq[(Long, Long)]) =
+      Graph.triangleStats(pairs.toDF("pa", "pb")).collect()(0)
+    // K4: 4 triangles, 6 edges, wedges = 4 * C(3,2) = 12, clustering 1
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val rk4 = stats(k4)
+    assert((rk4.getLong(0), rk4.getLong(1), rk4.getLong(2), rk4.getLong(3),
+      rk4.getDouble(4)) == ((4L, 6L, 12L, 4L, 1.0)))
+    // star: the max-degree hub owns every wedge, zero close
+    val star = (1L to 30L).map(i => (0L, i))
+    val rs = stats(star)
+    assert(rs.getLong(3) == 0L && rs.getDouble(4) == 0.0)
+    assert(rs.getLong(2) == 30L * 29L / 2)
+    // random graphs vs driver brute force
+    for (seed <- Seq(1, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val es = Seq.fill(220)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+      val eset = es.toSet
+      val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      var expect = 0L
+      for (i <- nodes.indices; j <- i + 1 until nodes.size;
+           k <- j + 1 until nodes.size) {
+        val (a, b, c) = (nodes(i), nodes(j), nodes(k))
+        if (eset((a, b)) && eset((b, c)) && eset((a, c))) expect += 1
+      }
+      val r = stats(es)
+      assert(r.getLong(3) == expect, s"seed=$seed: ${r.getLong(3)} != $expect")
+      assert(r.getLong(1) == es.size)
+    }
+  }
 }
