@@ -320,6 +320,47 @@ object Events {
       .orderBy(col(userCol), col("session"))
   }
 
+  /** Per-group simple OLS trend fit — slope/intercept/r² of metric vs
+    * time (the "is this metric drifting" readout next to the corr and
+    * decayed-trend ops; r² = corr², but slope-per-second is what a
+    * monitoring page plots). x is seconds since the CORPUS min
+    * timestamp (a broadcast 1-row agg — centering keeps Σx² inside the
+    * decimal sums' range and is deterministic where per-group mins
+    * would couple groups to partition layout... the corpus min is one
+    * value both engines agree on).
+    *
+    * ONE partial-agg pass collects all five sufficient statistics (Σx,
+    * Σy, Σxy, Σx², Σy² — each term quantized DECIMAL(28,6) pre-sum, the
+    * anomalies/corr discipline); the closed forms are fixed IEEE op
+    * sequences the oracle mirrors textually. Degenerate groups
+    * (constant x or constant y) yield null slope/intercept/r² via the
+    * zero-denominator guards, mirrored. */
+  def linregByGroup(events: DataFrame, typeCol: String, ts: String,
+                    valueCol: String): DataFrame = {
+    val minTs = events.agg(min(unix_micros(col(ts))).as("__t0"))
+    val st = events.crossJoin(broadcast(minTs))
+      .withColumn("__x",
+        (unix_micros(col(ts)) - col("__t0")).cast("double") / 1000000.0)
+      .withColumn("__y", col(valueCol).cast("double"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(Dec)).cast("double").as("sx"),
+        sum(col("__y").cast(Dec)).cast("double").as("sy"),
+        sum((col("__x") * col("__y")).cast(Dec)).cast("double").as("sxy"),
+        sum((col("__x") * col("__x")).cast(Dec)).cast("double").as("sxx"),
+        sum((col("__y") * col("__y")).cast(Dec)).cast("double").as("syy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val cv = col("n") * col("sxy") - col("sx") * col("sy")
+    st.withColumn("slope", when(dx > 0.0, cv / dx))
+      .withColumn("intercept",
+        when(dx > 0.0, (col("sy") - cv / dx * col("sx")) / col("n")))
+      .withColumn("r2", when(dx > 0.0 && dy > 0.0, cv * cv / (dx * dy)))
+      .select(col(typeCol), col("n"), round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        round(col("r2"), 6).as("r2"))
+  }
+
   /** Last-touch marketing attribution: each conversion event credits the
     * LATEST touch event of the same user at-or-before it within the
     * lookback window; the report is per-channel credited conversions and

@@ -705,6 +705,13 @@ object PipelineQueries {
       Events.anomalies(Tables.events(s, d), "event_type", "value",
         "event_id", threshold = 2.5).orderBy("event_id")),
 
+    // per-type OLS trend fit (slope/intercept/r² of value vs seconds
+    // since corpus start): five decimal sufficient statistics in ONE
+    // partial-agg pass, closed forms as fixed IEEE op sequences
+    "q_stats_linreg" -> ((s, d) =>
+      Events.linregByGroup(Tables.events(s, d), "event_type", "ts",
+        "value").orderBy("event_type")),
+
     // last-touch attribution: purchases credit the latest click/view of
     // the same user within 3 days — the as-of join worn as a product
     // feature (one carry window per user, no pair join), report bounded
@@ -1594,6 +1601,32 @@ object PipelineQueries {
        "round((value - mean) / std, 6) AS z " +
        "FROM events JOIN m USING (event_type) " +
        "WHERE abs((value - mean) / std) > 2.5 ORDER BY event_id"),
+
+    "q_stats_linreg" ->
+      // identical centering (corpus-min micros), decimal-quantized
+      // sufficient statistics, and closed-form op order; the CASE guards
+      // mirror the null-on-degenerate rule
+      ("WITH t0 AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 " +
+       "FROM events), " +
+       "xy AS (SELECT event_type, " +
+       "CAST(epoch_us(CAST(ts AS TIMESTAMP)) - t0 AS DOUBLE) / " +
+       "CAST(1000000.0 AS DOUBLE) AS x, value AS y " +
+       "FROM events CROSS JOIN t0), " +
+       "st AS (SELECT event_type, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx, " +
+       "CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy, " +
+       "CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy, " +
+       "CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx, " +
+       "CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy " +
+       "FROM xy GROUP BY event_type), " +
+       "m AS (SELECT event_type, n, sx, sy, " +
+       "n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy, " +
+       "n * sxy - sx * sy AS cv FROM st) " +
+       "SELECT event_type, n, " +
+       "round(CASE WHEN dx > 0.0 THEN cv / dx END, 6) AS slope, " +
+       "round(CASE WHEN dx > 0.0 THEN (sy - cv / dx * sx) / n END, 6) AS intercept, " +
+       "round(CASE WHEN dx > 0.0 AND dy > 0.0 THEN cv * cv / (dx * dy) END, 6) AS r2 " +
+       "FROM m ORDER BY event_type"),
 
     "q_events_attribution" ->
       // native ASOF LEFT JOIN over the same (user, ts)-collapsed touch

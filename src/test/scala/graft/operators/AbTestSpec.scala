@@ -37,6 +37,27 @@ class AbTestSpec extends SparkSpec {
     assert(!rs.getAs[Boolean]("significant"))
   }
 
+  test("linreg recovers a planted line and guards degenerate groups") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    // y = 2x + 5 exactly; x = 0..9 seconds from the corpus min
+    val lineRows = (0L to 9L).map(i => ("line", at(i), 2.0 * i + 5.0))
+    // constant y -> dy = 0 -> r2 null but slope 0; constant x -> all null
+    val flatRows = (0L to 9L).map(i => ("flat", at(i), 7.0))
+    val constX = Seq.fill(5)(("constx", at(3L), 1.0)) :+
+      (("constx", at(3L), 9.0))
+    val df = (lineRows ++ flatRows ++ constX).toDF("event_type", "ts", "value")
+    val out = Events.linregByGroup(df, "event_type", "ts", "value")
+      .orderBy("event_type").collect()
+    val m = out.map(r => r.getString(0) -> r).toMap
+    assert(m("constx").isNullAt(2) && m("constx").isNullAt(3) &&
+      m("constx").isNullAt(4))
+    assert(m("flat").getDouble(2) == 0.0 && m("flat").getDouble(3) == 7.0 &&
+      m("flat").isNullAt(4))
+    assert(m("line").getDouble(2) == 2.0 && m("line").getDouble(3) == 5.0 &&
+      m("line").getDouble(4) == 1.0)
+  }
+
   test("hash arms are unit-consistent and both populated") {
     val ev = graft.tables.Tables.events(spark, sf("sf0.001"))
     val armed = ev.withColumn("arm",
