@@ -154,4 +154,33 @@ object Search {
       .select(col("doc_id"), round(col("__rrf"), 6).as("rrf"),
         col("lex_rank"), col("sem_rank"))
   }
+
+  /** Positional PHRASE search — exact adjacent-term match ("fast table"
+    * as consecutive tokens, not two AND'd terms), the positional-postings
+    * half of a lexical index that [[bm25]]'s bag-of-words scoring can't
+    * express. Shape: each phrase term's postings are SHIFTED to the
+    * phrase-start position they would imply (term i at token p starts a
+    * phrase at p − i), and a phrase occurrence is the INTERSECTION of
+    * all m shifted posting lists — m−1 equi-joins on (doc, start).
+    *
+    * Scale posture: the `isin` term filter kills non-phrase tokens ON
+    * THE SCAN (postings for a 3-term phrase are a sliver of the token
+    * stream), so the joins shuffle only matching-term (doc, pos) longs;
+    * no window, no per-doc sort; count = partial-agg groupBy. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, s"need a multi-term phrase, got $phrase")
+    val postings = docs.select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), " "))
+          .as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase: _*))
+    var acc = postings.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos"))
+    for (i <- 1 until phrase.size) {
+      val shifted = postings.filter(col("term") === phrase(i))
+        .select(col(idCol), (col("pos") - i).as("pos"))
+      acc = acc.join(shifted, Seq(idCol, "pos"))
+    }
+    acc.groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
+  }
 }

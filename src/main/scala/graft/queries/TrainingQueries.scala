@@ -202,6 +202,14 @@ object TrainingQueries {
       graft.operators.Search.bm25(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("spark", "vector", "customer"), k = 15)),
 
+    // positional phrase search: each term's postings shift to their
+    // implied phrase START and the match is the m-way (doc, start)
+    // intersection — isin kills non-phrase tokens on the scan, joins
+    // shuffle only (doc, pos) longs
+    "q_search_phrase" -> ((s, d) =>
+      graft.operators.Search.phraseSearch(Tables.documents(s, d),
+        "doc_id", "text", Seq("fast", "table")).orderBy("doc_id")),
+
     // per-source characteristic keywords (c-TF-IDF): tf · ln(1+|groups|/df)
     // over partial-aggregated (group, term) counts, top-5 per source
     "q_tfidf_keywords" -> ((s, d) =>
@@ -605,6 +613,17 @@ object TrainingQueries {
 
     // same term set / k1=1.2 / b=0.75 / Lucene idf as the Spark side;
     // per-term score arithmetic kept in identical association order
+    "q_search_phrase" ->
+      // the same shifted-postings intersection in SQL
+      ("WITH p AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, " +
+       "unnest(t) AS term FROM (SELECT doc_id, " +
+       "string_split(coalesce(text, ''), ' ') AS t FROM documents)), " +
+       "m0 AS (SELECT doc_id, pos FROM p WHERE term = 'fast'), " +
+       "m1 AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'table') " +
+       "SELECT doc_id, count(*) AS n_matches FROM " +
+       "(SELECT m0.doc_id, m0.pos FROM m0 JOIN m1 USING (doc_id, pos)) " +
+       "GROUP BY doc_id ORDER BY doc_id"),
+
     "q_search_bm25" ->
       ("WITH base AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t " +
        "FROM documents), " +

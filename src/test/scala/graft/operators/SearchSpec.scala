@@ -121,4 +121,30 @@ class SearchSpec extends SparkSpec {
         .collect().map(_.toString).toSeq
     assert(run(docs, emb) == run(docs.repartition(11), emb.repartition(7)))
   }
+
+  test("phrase search matches adjacency, not co-occurrence; counts " +
+    "overlaps and repeated terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "fast table wins"),          // one match
+      (2L, "table fast"),               // terms co-occur, wrong order
+      (3L, "fast x table"),             // co-occur, not adjacent
+      (4L, "fast table and fast table"),// two matches
+      (5L, "a a a"),                    // repeated-term phrase input below
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Search.phraseSearch(docs, "doc_id", "text",
+        Seq("fast", "table")).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (4L, 2L)))
+    // overlapping occurrences of a repeated-term phrase all count
+    val rep = Search.phraseSearch(docs, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Long)].collect().toSeq
+    assert(rep == Seq((5L, 2L)))
+    // three-term phrase
+    val tri = Search.phraseSearch(docs, "doc_id", "text",
+        Seq("fast", "table", "wins"))
+      .as[(Long, Long)].collect().toSeq
+    assert(tri == Seq((1L, 1L)))
+  }
 }
