@@ -52,6 +52,43 @@ object TextAnalysis {
       .withColumn("detected", detectedCol)
   }
 
+  /** Code-switching (mixed-language) detection — the gate multilingual
+    * curation runs AFTER language ID: a doc whose SECOND-best language
+    * score is both absolutely material (≥ `minMarkers` marker hits) and
+    * relatively material (≥ half the best score) is flagged `mixed` and
+    * usually dropped or routed to a splitter. Pure scan-side projection
+    * over the same ONE-pass marker_counts array as [[langId]] (shared
+    * via whole-stage-codegen subexpression elimination); all arithmetic
+    * is INTEGER (counts, a ×2 compare — no fp anywhere), so the oracle
+    * is exact by construction. Ties resolve in Markers order for both
+    * the primary and secondary argmax; non-primary scores use a −1
+    * sentinel (not null) so the greatest() semantics match on both
+    * engines. */
+  def langMix(docs: DataFrame, idCol: String, textCol: String,
+              minMarkers: Int = 2): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val langs = Markers.map(_._1)
+    val scored = docs
+      .select((col(idCol) +: langScoreCols(col(textCol))): _*)
+      .withColumn("primary_lang", detectedCol)
+    val nonPrimary = langs.map(l =>
+      when(col("primary_lang") =!= l, col(s"score_$l")).otherwise(lit(-1)))
+    val secScore = greatest(nonPrimary: _*)
+    val secLang = langs.foldRight(lit(null).cast("string"): Column) {
+      (l, rest) =>
+        when(col("primary_lang") =!= l && col(s"score_$l") === secScore,
+          lit(l)).otherwise(rest)
+    }
+    scored
+      .withColumn("s_primary", greatest(langs.map(l => col(s"score_$l")): _*))
+      .withColumn("s_secondary", secScore)
+      .withColumn("secondary_lang", secLang)
+      .select(col(idCol), col("primary_lang"), col("secondary_lang"),
+        col("s_primary"), col("s_secondary"),
+        (col("s_secondary") >= minMarkers &&
+          col("s_secondary") * 2 >= col("s_primary")).as("mixed"))
+  }
+
   /** Quality signals: length, token count, mean word length, punctuation
     * ratio, stopword ratio, distinct-token (repetition) ratio. Ratios are
     * int/int double divisions — deterministic across engines.

@@ -422,6 +422,15 @@ object PipelineQueries {
         Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
         "doc_id", "text").orderBy("doc_id")),
 
+    // code-switching gate: second-best language score material both
+    // absolutely (>= 2 markers) and relatively (>= half the best) —
+    // same one-pass marker_counts array as langid, all-integer
+    // arithmetic, exact oracle
+    "q_text_langmix" -> ((s, d) =>
+      TextAnalysis.langMix(
+        Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
+        "doc_id", "text").orderBy("doc_id")),
+
     "q_text_quality" -> ((s, d) =>
       TextAnalysis.quality(
         Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
@@ -1338,6 +1347,33 @@ object PipelineQueries {
        "WHEN score_de >= score_fr AND score_de >= score_es THEN 'de' " +
        "WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS detected " +
        "FROM s ORDER BY doc_id"),
+
+    "q_text_langmix" -> {
+      val langs = TextAnalysis.Markers.map(_._1)
+      val primaryCase = "CASE " + langs.init.map { l =>
+        val ge = langs.filter(_ != l)
+          .map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$l'"
+      }.mkString(" ") + s" ELSE '${langs.last}' END"
+      val nonPrimary = langs.map(l =>
+        s"CASE WHEN primary_lang <> '$l' THEN score_$l ELSE -1 END")
+      val secondaryCase = "CASE " + langs.map { l =>
+        s"WHEN primary_lang <> '$l' AND score_$l = s_secondary THEN '$l'"
+      }.mkString(" ") + " END"
+      "WITH t AS (SELECT doc_id, string_split(lower(coalesce(text,'')), ' ') " +
+      "AS toks FROM documents), s AS (SELECT doc_id, " +
+      TextAnalysis.Markers.map { case (l, _) =>
+        s"len(list_filter(toks, x -> list_contains(${markersSql(l)}, x))) AS score_$l"
+      }.mkString(", ") + " FROM t), " +
+      s"p AS (SELECT *, $primaryCase AS primary_lang FROM s), " +
+      s"q AS (SELECT *, greatest(${langs.map(l => s"score_$l").mkString(", ")}) " +
+      s"AS s_primary, greatest(${nonPrimary.mkString(", ")}) AS s_secondary " +
+      "FROM p) " +
+      s"SELECT doc_id, primary_lang, $secondaryCase AS secondary_lang, " +
+      "s_primary, s_secondary, " +
+      "s_secondary >= 2 AND s_secondary * 2 >= s_primary AS mixed " +
+      "FROM q ORDER BY doc_id"
+    },
 
     "q_text_quality" ->
       ("WITH x AS (SELECT doc_id, coalesce(text,'') AS t FROM documents) " +

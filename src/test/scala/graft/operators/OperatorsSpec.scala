@@ -20,6 +20,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == "en") // all-zero tie resolves to first language
   }
 
+  test("langMix flags code-switched docs, not monolingual or noise docs") {
+    val docs = Seq(
+      // solid English, one stray French hit: relative gate fails
+      (1L, "the cat and the dog is in a house the end of it le"),
+      // genuine half-and-half: both gates pass
+      (2L, "the cat and the dog le chat est une bete"),
+      // monolingual German
+      (3L, "der hund und die katze ist nicht ein haus"),
+      // single foreign marker: absolute gate (>= 2) fails
+      (4L, "the cat and the dog is le"),
+      (5L, "zzz qqq")).toDF("doc_id", "text")
+    val out = TextAnalysis.langMix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getBoolean(5))).toMap
+    assert(out(2L)._1 == "en" && out(2L)._2 == "fr" && out(2L)._3)
+    assert(!out(1L)._3 && !out(3L)._3 && !out(4L)._3 && !out(5L)._3)
+    assert(out(3L)._1 == "de")
+    // secondary is never the primary
+    assert(out.values.forall(v => v._1 != v._2))
+  }
+
   test("quality ratios are in range on real docs") {
     val docs = Tables.documents(spark, sf()).withColumn("text", coalesce(col("text"), lit("")))
     val out = TextAnalysis.quality(docs, "doc_id", "text")
