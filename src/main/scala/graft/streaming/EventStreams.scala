@@ -153,6 +153,19 @@ object EventStreams {
       .filter(col("passes_gopher"))
   }
 
+  /** Streaming code-switching gate — the streaming shape of
+    * TextAnalysis.langMix: the marker scores, both argmaxes and the
+    * integer mixed rule are one scan-side projection, so the twin is
+    * STATELESS (zero state-store operators, no watermark) and flags
+    * exactly the docs the batch gate flags (spec-asserted parity).
+    * Emits every doc with its language columns; the caller decides
+    * whether `mixed` drops or routes. */
+  def langMixStream(docs: DataFrame, idCol: String, textCol: String,
+                    minMarkers: Int = 2): DataFrame =
+    graft.operators.TextAnalysis.langMix(
+      docs.withColumn(textCol, coalesce(col(textCol), lit(""))),
+      idCol, textCol, minMarkers)
+
   /** Streaming ingest curation — the admission filter of Curation.curate
     * for a document stream: the stateless scan-side gates (language ID +
     * quality signals, pure per-row projections) run per micro-batch, then

@@ -674,6 +674,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("langMixStream flags exactly the batch langMix rows, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // plant half-and-half docs so the fixture has both classes
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0,
+          concat(coalesce($"text", lit("")),
+            lit(" le chat est une bete le la")))
+          .otherwise(coalesce($"text", lit(""))).as("text"))
+    val batch = graft.operators.TextAnalysis
+      .langMix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getBoolean(5))).toMap
+    assert(batch.values.exists(_._3) && batch.values.exists(!_._3),
+      "fixture must have both mixed and clean docs")
+    val rows = docs.as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = langMixStream(mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("lmix")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("lmix")
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getString(2), r.getBoolean(5))).toMap
+      assert(streamed == batch,
+        "stream must emit exactly the batch gate's rows")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the gate must run with zero state-store operators")
+    } finally q.stop()
+  }
+
   test("dsirStream scores bit-for-bit like the batch weights, statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
