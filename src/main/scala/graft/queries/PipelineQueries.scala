@@ -622,6 +622,24 @@ object PipelineQueries {
     // EARLIEST right at or after each left ts. DuckDB ASOF is
     // backward-only, so the oracle runs it on NEGATED epoch keys —
     // backward over -t is exactly forward over t.
+    // 'nearest' direction promoted to a hard-oracle row (was spec-only):
+    // both carries evaluate in ONE shuffle, exact ties prefer backward
+    "q_asof_join_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("rid"),
+          max_by(col("value"), col("event_id")).as("rval"))
+      TemporalJoins.asOfJoin(clicks, purchases, "user_id", "ts",
+          Seq("rid", "rval"), direction = "nearest")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("asof_rid"), col("asof_rval"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "q_asof_join_fwd" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -1563,6 +1581,32 @@ object PipelineQueries {
        "CASE WHEN epoch_us(l.t) - epoch_us(r0.t) <= 3600000000 THEN rval END AS asof_rval " +
        "FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.t >= r0.t " +
        "ORDER BY l.user_id, event_id"),
+
+    "q_asof_join_nearest" ->
+      // backward ASOF + forward ASOF (negated keys) joined per left row,
+      // then the same strictly-closer-else-backward pick as the Spark op
+      ("WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, " +
+       "-epoch_us(CAST(ts AS TIMESTAMP)) AS nt " +
+       "FROM events WHERE event_type = 'click'), " +
+       "r0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(event_id) AS rid, " +
+       "max_by(value, event_id) AS rval FROM events WHERE event_type = 'purchase' " +
+       "GROUP BY 1, 2), " +
+       "b AS (SELECT l.user_id, l.event_id, l.t, r0.t AS bt, " +
+       "r0.rid AS brid, r0.rval AS brval FROM l ASOF LEFT JOIN r0 " +
+       "ON l.user_id = r0.user_id AND l.t >= r0.t), " +
+       "rn AS (SELECT user_id, -epoch_us(t) AS nt, t AS ft, rid, rval FROM r0), " +
+       "f AS (SELECT l2.user_id, l2.event_id, rn.ft, rn.rid AS frid, " +
+       "rn.rval AS frval FROM l l2 ASOF LEFT JOIN rn " +
+       "ON l2.user_id = rn.user_id AND l2.nt >= rn.nt) " +
+       "SELECT b.user_id, b.event_id, strftime(b.t, '%Y-%m-%d %H:%M:%S') AS ts_s, " +
+       "CASE WHEN bt IS NULL THEN frid WHEN ft IS NULL THEN brid " +
+       "WHEN epoch_us(ft) - epoch_us(b.t) < epoch_us(b.t) - epoch_us(bt) " +
+       "THEN frid ELSE brid END AS asof_rid, " +
+       "CASE WHEN bt IS NULL THEN frval WHEN ft IS NULL THEN brval " +
+       "WHEN epoch_us(ft) - epoch_us(b.t) < epoch_us(b.t) - epoch_us(bt) " +
+       "THEN frval ELSE brval END AS asof_rval " +
+       "FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id " +
+       "ORDER BY b.user_id, b.event_id"),
 
     "q_asof_join_fwd" ->
       // DuckDB ASOF is backward-only: running it over NEGATED epoch keys
