@@ -90,6 +90,40 @@ object Cdc {
     out.select(keyCols.map(col) ++ (versionCols ++ payloadCols).map(col): _*)
   }
 
+  /** Snapshot DIFF — the audit report between two table states (what a
+    * nightly pipeline publishes after [[mergeApply]]: which keys
+    * appeared, vanished, or changed payload). One full-outer equi-join
+    * on the key; change class is a scan-side CASE over null-sides and
+    * payload equality (null-safe `<=>` per column — a payload going
+    * null/non-null IS a change); `unchanged` keys are dropped (the
+    * interesting rows at 100 TB are the delta, which is what should
+    * leave the shuffle). */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
+                   payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && payloadCols.nonEmpty,
+      "keyCols and payloadCols must be non-empty")
+    // presence flags ride each side INTO the full-outer join (payload
+    // nulls alone can't distinguish "absent key" from "null payload")
+    val b = before.select(
+      keyCols.map(col) ++ payloadCols.map(c => col(c).as(s"__b_$c"))
+        :+ lit(true).as("__in_b"): _*)
+    val a = after.select(
+      keyCols.map(col) ++ payloadCols.map(c => col(c).as(s"__a_$c"))
+        :+ lit(true).as("__in_a"): _*)
+    val bTouched = col(s"__b_${payloadCols.head}")
+    val same = payloadCols.map(c =>
+      col(s"__b_$c") <=> col(s"__a_$c")).reduce(_ && _)
+    b.join(a, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_b").isNull, lit("added"))
+          .when(col("__in_a").isNull, lit("removed"))
+          .when(!same, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) :+ col("change_type") :+
+        bTouched.as("sample_before") :+
+        col(s"__a_${payloadCols.head}").as("sample_after"): _*)
+  }
+
   /** SCD Type 2 — the warehouse twin of [[latestByKey]]: instead of
     * keeping only the latest record, EVERY change becomes a version row
     * with a validity interval. `valid_from` is the change's own

@@ -700,6 +700,27 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // snapshot DIFF audit between the pre-cutoff state and the
+    // merge-applied state: one full-outer key join, presence flags ride
+    // each side, null-safe payload compare; all three classes populated
+    // (post-cutoff-only users add, 'error' winners remove, new winners
+    // change)
+    "q_cdc_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      val snapshot = Cdc.latestByKey(
+        ev.filter(col("ts") < cutoff && col("user_id") % 10 =!= 0),
+        Seq("user_id"), Seq("ts", "event_id"), Seq("event_type", "value"))
+      val log = ev.filter(col("ts") >= cutoff)
+        .withColumn("op",
+          when(col("event_type") === "error", "D").otherwise("U"))
+      val after = Cdc.mergeApply(snapshot, log, Seq("user_id"),
+        Seq("ts", "event_id"), "op", Seq("event_type", "value"))
+      Cdc.snapshotDiff(snapshot, after, Seq("user_id"),
+          Seq("event_id", "event_type", "value"))
+        .orderBy("user_id")
+    }),
+
     // SCD Type 2: every change becomes a version row with a half-open
     // [valid_from, valid_to) interval; newest version is_current. One
     // lead() window per key (operators/Cdc.scala:scdType2)
@@ -1053,6 +1074,38 @@ object CoreQueries {
        "CASE WHEN w.user_id IS NOT NULL THEN w.value ELSE s.value END AS value " +
        "FROM snap s FULL OUTER JOIN w ON s.user_id = w.user_id " +
        "WHERE w.op IS NULL OR w.op <> 'D' ORDER BY user_id"),
+
+    "q_cdc_diff" ->
+      // the q_cdc_apply CTE chain reused, then a full-outer diff with
+      // null-safe payload compare (IS NOT DISTINCT FROM)
+      ("WITH pre AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, " +
+       "event_type, value, ROW_NUMBER() OVER (PARTITION BY user_id " +
+       "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn " +
+       "FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' " +
+       "AND user_id % 10 <> 0), " +
+       "snap AS (SELECT user_id, event_id, event_type, value FROM pre WHERE rn = 1), " +
+       "post AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, " +
+       "event_type, value, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, " +
+       "ROW_NUMBER() OVER (PARTITION BY user_id " +
+       "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn " +
+       "FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'), " +
+       "w AS (SELECT user_id, event_id, event_type, value, op FROM post WHERE rn = 1), " +
+       "m AS (SELECT coalesce(s.user_id, w.user_id) AS user_id, " +
+       "CASE WHEN w.user_id IS NOT NULL THEN w.event_id ELSE s.event_id END AS event_id, " +
+       "CASE WHEN w.user_id IS NOT NULL THEN w.event_type ELSE s.event_type END AS event_type, " +
+       "CASE WHEN w.user_id IS NOT NULL THEN w.value ELSE s.value END AS value " +
+       "FROM snap s FULL OUTER JOIN w ON s.user_id = w.user_id " +
+       "WHERE w.op IS NULL OR w.op <> 'D'), " +
+       "dd AS (SELECT coalesce(s.user_id, m.user_id) AS user_id, " +
+       "CASE WHEN s.user_id IS NULL THEN 'added' " +
+       "WHEN m.user_id IS NULL THEN 'removed' " +
+       "WHEN NOT (s.event_id IS NOT DISTINCT FROM m.event_id AND " +
+       "s.event_type IS NOT DISTINCT FROM m.event_type AND " +
+       "s.value IS NOT DISTINCT FROM m.value) THEN 'changed' END AS change_type, " +
+       "s.event_id AS sample_before, m.event_id AS sample_after " +
+       "FROM snap s FULL OUTER JOIN m ON s.user_id = m.user_id) " +
+       "SELECT user_id, change_type, sample_before, sample_after FROM dd " +
+       "WHERE change_type IS NOT NULL ORDER BY user_id"),
 
     "q_scd2" ->
       ("WITH x AS (SELECT user_id, event_id, value, " +

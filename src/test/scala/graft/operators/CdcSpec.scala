@@ -89,6 +89,23 @@ class CdcSpec extends SparkSpec {
       (5L, 2, "re5")))
   }
 
+  test("snapshotDiff classifies added/removed/changed, null-safe") {
+    val before = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+      (4L, None: Option[String])).toDF("key", "val")
+    val after = Seq(
+      (1L, Option("a")),               // unchanged -> absent
+      (2L, Option("B")),               // changed
+      (4L, Option("now")),             // null -> value IS a change
+      (5L, Option("new"))              // added; 3 removed
+    ).toDF("key", "val")
+    val out = Cdc.snapshotDiff(before, after, Seq("key"), Seq("val"))
+      .select("key", "change_type")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((2L, "changed"), (3L, "removed"), (4L, "changed"),
+      (5L, "added")))
+  }
+
   test("mergeApply equals compaction when the log has no deletes") {
     val ev = graft.tables.Tables.events(spark, sf("sf0.001"))
     val cutoff = org.apache.spark.sql.functions.lit("2024-01-16 00:00:00")
