@@ -151,6 +151,38 @@ object Graph {
           .as("clustering"))
   }
 
+  /** DOULION edge-sampled triangle estimate (Tsourakakis et al. 2009) —
+    * the 100 TB twin of [[triangleStats]]: exact counting pays
+    * m·arboricity wedge rows BY CONSTRUCTION (linear per decade but
+    * expensive in absolute terms — 234× the sf0.1 floor at 100×), so at
+    * corpus scale the standard move is to sparsify first. Each edge
+    * survives with probability p = keepNum/65536 via the repo's
+    * DETERMINISTIC md5 hash key over the canonical (a,b) pair (the
+    * sampling-family discipline: partition/rerun-invariant, mirrored
+    * verbatim by the oracle — Spark's seeded sample() is neither), the
+    * exact census runs on the sparsified graph (wedge volume shrinks
+    * ×p², triangle survival p³), and the unbiased estimate is
+    * T̂ = T_sampled / p³ with variance ≈ T/p³ + small (paper §3).
+    * Output: one row (n_edges_kept, n_triangles_sampled, est_triangles
+    * as the ROUNDED unbiased estimate, p). */
+  def triangleEstimate(edges: DataFrame, aCol: String = "pa",
+                       bCol: String = "pb",
+                       keepNum: Int = 16384, // p = 1/4
+                       seed: String = "tri42"): DataFrame = {
+    // 65535 max: the 4-hex-char key has no 5-char upper bound (keep-all
+    // is just triangleStats)
+    require(keepNum >= 1 && keepNum <= 65535, s"keepNum in [1,65535]: $keepNum")
+    val p = keepNum / 65536.0
+    val key = Sampling.hashKey(seed,
+      concat(col(aCol).cast("string"), lit("|"), col(bCol).cast("string")))
+    val kept = edges.filter(key < lit(f"$keepNum%04x"))
+    val census = triangleStats(kept, aCol, bCol)
+    census.select(col("n_edges").as("n_edges_kept"),
+      col("n_triangles").as("n_triangles_sampled"),
+      round(col("n_triangles") / lit(p * p * p), 1).as("est_triangles"),
+      lit(p).as("p"))
+  }
+
   def tradeEdges(lineitem: DataFrame, orders: DataFrame,
                  customer: DataFrame, supplier: DataFrame): DataFrame =
     lineitem

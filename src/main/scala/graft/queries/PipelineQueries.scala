@@ -894,6 +894,13 @@ object PipelineQueries {
       graft.operators.Graph.triangleStats(
         graft.operators.Graph.coPurchaseEdges(Tables.lineitem(s, d)))),
 
+    // the 100 TB triangle path: DOULION edge sampling (p = 1/4 via the
+    // deterministic md5 edge key) + the exact census on the sparsified
+    // graph + the unbiased /p³ estimate — wedge volume shrinks ×p²
+    "q_graph_triangles_sampled" -> ((s, d) =>
+      graft.operators.Graph.triangleEstimate(
+        graft.operators.Graph.coPurchaseEdges(Tables.lineitem(s, d)))),
+
     // graph centrality over the relationally-projected trade graph:
     // which nation is most central to the customer→supplier flow. The
     // heavy pass is the fact-table projection (lineitem⋈orders shuffle +
@@ -1872,6 +1879,24 @@ object PipelineQueries {
        "ORDER BY cnt DESC, tok"),
 
     "q_graph_pagerank" -> pagerankOracleSql(10),
+
+    // the identical md5 edge sparsification + naive count on the kept
+    // edges + the same exact-binary /p³ (0.015625) unbiased estimate
+    "q_graph_triangles_sampled" ->
+      ("WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, " +
+       "l_partkey AS p FROM lineitem), " +
+       "e AS MATERIALIZED (SELECT pa, pb FROM " +
+       "(SELECT DISTINCT a.p AS pa, b.p AS pb " +
+       "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p) " +
+       "WHERE substr(md5('tri42|' || CAST(pa AS VARCHAR) || '|' || " +
+       "CAST(pb AS VARCHAR)), 1, 4) < '4000'), " +
+       "ne AS (SELECT count(*) AS n_edges_kept FROM e), " +
+       "tri AS (SELECT count(*) AS n_triangles_sampled FROM e e1 " +
+       "JOIN e e2 ON e1.pb = e2.pa " +
+       "JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) " +
+       "SELECT n_edges_kept, n_triangles_sampled, " +
+       "round(n_triangles_sampled / CAST(0.015625 AS DOUBLE), 1) AS est_triangles, " +
+       "CAST(0.25 AS DOUBLE) AS p FROM ne CROSS JOIN tri"),
 
     // the naive exact triangle count (orientation is a compute strategy,
     // not an approximation); CAST(3.0 AS DOUBLE) — DuckDB would otherwise

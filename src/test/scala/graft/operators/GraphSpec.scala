@@ -87,4 +87,35 @@ class GraphSpec extends SparkSpec {
       assert(r.getLong(1) == es.size)
     }
   }
+
+  test("DOULION estimate: deterministic sparsify, exact census on kept " +
+    "edges, unbiased scaling") {
+    // K30: 4060 true triangles, 435 edges
+    val k30 = for (a <- 0L until 30L; b <- (a + 1) until 30L) yield (a, b)
+    val edges = k30.toDF("pa", "pb")
+    val est = Graph.triangleEstimate(edges).collect()(0)
+    val (kept, sampled, estT, p) = (est.getLong(0), est.getLong(1),
+      est.getDouble(2), est.getDouble(3))
+    assert(p == 0.25)
+    // the kept set is a deterministic function of (seed, edge): stable
+    // under partitioning
+    val est2 = Graph.triangleEstimate(edges.repartition(7)).collect()(0)
+    assert(est2.getLong(0) == kept && est2.getLong(1) == sampled)
+    // arithmetic contract: estimate = sampled / p^3 exactly
+    assert(estT == math.rint(sampled / 0.015625 * 10) / 10)
+    // sampling sanity: kept fraction near p, estimate within the
+    // +-3-sigma band of the true count (deterministic values — this
+    // documents the md5 draw is not pathological)
+    assert(math.abs(kept / 435.0 - 0.25) < 0.07, s"kept=$kept")
+    val sigma = math.sqrt(4060.0 / 0.015625)
+    assert(math.abs(estT - 4060.0) < 3 * sigma, s"est=$estT")
+    // the sampled census agrees with the full census restricted to the
+    // kept edges
+    val keptEdges = edges.filter(
+      graft.operators.Sampling.hashKey("tri42",
+        concat(col("pa").cast("string"), lit("|"),
+          col("pb").cast("string"))) < lit("4000"))
+    val full = Graph.triangleStats(keptEdges).collect()(0)
+    assert(full.getLong(3) == sampled && full.getLong(1) == kept)
+  }
 }
