@@ -183,6 +183,33 @@ object Graph {
       lit(p).as("p"))
   }
 
+  /** NODE-sampled triangle estimate over the co-purchase PROJECTION —
+    * the variant that survives when the projection itself is the
+    * bottleneck: at 1000× the fact table fans ~2.4B co-purchase pair
+    * instances before [[triangleEstimate]]'s edge filter can see a
+    * single edge (the r10 1000× probe died in that shuffle's disk
+    * spill, not in the census). Sampling NODES (parts) with the
+    * deterministic md5 key KILLS FACT ROWS AT THE SCAN, so the pair
+    * fan-out, the distinct, and every downstream shuffle shrink ×p²
+    * before any exchange. A triangle survives iff all three parts
+    * survive (independent md5 draws) ⇒ P = p³ and T̂ = T_s/p³ is
+    * unbiased — the independent-vertex cousin of Pagh–Tsourakakis 2012
+    * colorful counting, with the repo's rerun/partition-invariant
+    * sampling discipline. */
+  def triangleEstimateNodeSampled(lineitem: DataFrame,
+                                  keepNum: Int = 8192, // p = 1/8
+                                  seed: String = "tri42"): DataFrame = {
+    require(keepNum >= 1 && keepNum <= 65535, s"keepNum in [1,65535]: $keepNum")
+    val p = keepNum / 65536.0
+    val kept = lineitem.filter(
+      Sampling.hashKey(seed, col("l_partkey")) < lit(f"$keepNum%04x"))
+    val census = triangleStats(coPurchaseEdges(kept))
+    census.select(col("n_edges").as("n_edges_kept"),
+      col("n_triangles").as("n_triangles_sampled"),
+      round(col("n_triangles") / lit(p * p * p), 1).as("est_triangles"),
+      lit(p).as("p"))
+  }
+
   def tradeEdges(lineitem: DataFrame, orders: DataFrame,
                  customer: DataFrame, supplier: DataFrame): DataFrame =
     lineitem

@@ -894,6 +894,15 @@ object PipelineQueries {
       graft.operators.Graph.triangleStats(
         graft.operators.Graph.coPurchaseEdges(Tables.lineitem(s, d)))),
 
+    // the projection-scale triangle path: NODE sampling kills fact rows
+    // AT THE SCAN (p=1/8 on l_partkey), so pair fan-out / distinct /
+    // every shuffle shrink x p^2 BEFORE any exchange; triangles survive
+    // at p^3, T-hat = T_s/p^3 unbiased (independent-vertex
+    // Pagh–Tsourakakis)
+    "q_graph_triangles_nodesampled" -> ((s, d) =>
+      graft.operators.Graph.triangleEstimateNodeSampled(
+        Tables.lineitem(s, d))),
+
     // the 100 TB triangle path: DOULION edge sampling (p = 1/4 via the
     // deterministic md5 edge key) + the exact census on the sparsified
     // graph + the unbiased /p³ estimate — wedge volume shrinks ×p²
@@ -1879,6 +1888,22 @@ object PipelineQueries {
        "ORDER BY cnt DESC, tok"),
 
     "q_graph_pagerank" -> pagerankOracleSql(10),
+
+    // the identical md5 part sparsification applied to lineitem FIRST,
+    // then the naive count; /p^3 with the exact-binary 0.001953125
+    "q_graph_triangles_nodesampled" ->
+      ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem " +
+       "WHERE substr(md5('tri42|' || CAST(l_partkey AS VARCHAR)), 1, 4) < '2000'), " +
+       "op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM li), " +
+       "e AS MATERIALIZED (SELECT DISTINCT a.p AS pa, b.p AS pb " +
+       "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p), " +
+       "ne AS (SELECT count(*) AS n_edges_kept FROM e), " +
+       "tri AS (SELECT count(*) AS n_triangles_sampled FROM e e1 " +
+       "JOIN e e2 ON e1.pb = e2.pa " +
+       "JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) " +
+       "SELECT n_edges_kept, n_triangles_sampled, " +
+       "round(n_triangles_sampled / CAST(0.001953125 AS DOUBLE), 1) AS est_triangles, " +
+       "CAST(0.125 AS DOUBLE) AS p FROM ne CROSS JOIN tri"),
 
     // the identical md5 edge sparsification + naive count on the kept
     // edges + the same exact-binary /p³ (0.015625) unbiased estimate

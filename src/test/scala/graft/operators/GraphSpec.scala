@@ -118,4 +118,26 @@ class GraphSpec extends SparkSpec {
     val full = Graph.triangleStats(keptEdges).collect()(0)
     assert(full.getLong(3) == sampled && full.getLong(1) == kept)
   }
+
+  test("node-sampled estimate equals the census of the surviving subgraph") {
+    val li = graft.tables.Tables.lineitem(spark, sf("sf0.001"))
+    val est = Graph.triangleEstimateNodeSampled(li, keepNum = 32768)
+      .collect()(0)
+    // determinism under partitioning
+    val est2 = Graph.triangleEstimateNodeSampled(li.repartition(9),
+      keepNum = 32768).collect()(0)
+    assert(est.getLong(0) == est2.getLong(0) &&
+      est.getLong(1) == est2.getLong(1))
+    // arithmetic contract at p = 1/2
+    assert(est.getDouble(3) == 0.5)
+    assert(est.getDouble(2) ==
+      math.rint(est.getLong(1) / 0.125 * 10) / 10)
+    // equals the exact census run on the hash-surviving fact rows
+    val kept = li.filter(Sampling.hashKey("tri42",
+      org.apache.spark.sql.functions.col("l_partkey")) <
+      org.apache.spark.sql.functions.lit("8000"))
+    val census = Graph.triangleStats(Graph.coPurchaseEdges(kept)).collect()(0)
+    assert(census.getLong(3) == est.getLong(1) &&
+      census.getLong(1) == est.getLong(0))
+  }
 }
