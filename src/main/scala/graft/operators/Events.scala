@@ -320,6 +320,54 @@ object Events {
       .orderBy(col(userCol), col("session"))
   }
 
+  /** Daily EWMA smoothing per event type (α = ½, pandas
+    * ewm(adjust=False) recursion s_d = y_d/2 + s_{d-1}/2) — the
+    * monitoring line drawn over the daily aggregates, beside the
+    * decayed trends and the OLS drift fit. α is FIXED at ½ on purpose:
+    * every weight is then an exact binary power 2^{-k}, so the closed
+    * form s_d = Σ_j y_j·2^{-k(j,d)} multiplies by exponent shifts
+    * (EXACT in IEEE — no pow(), whose last-ulp behavior differs across
+    * libm builds), and the only rounding is the house DECIMAL(28,6)
+    * per-term quantization before the order-independent sum.
+    *
+    * Scale posture: the corpus-scale pass is the daily partial-agg
+    * groupBy; the recursion unrolls as a self-join over GROUPED rows —
+    * fan bounded at days² per type (a report window, not data) — the
+    * mixtureWeights cardinality-bounded discipline. */
+  def dailyEwma(events: DataFrame, typeCol: String, ts: String,
+                valueCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(ts)).as("__day"))
+      .agg(sum(col(valueCol).cast(Dec)).cast("double").as("__y"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("__day"))
+    val idx = daily.withColumn("__d", row_number().over(w))
+    val a = idx.select(col(typeCol), col("__day"), col("n"),
+      col("__d").as("__da"))
+    val b = idx.select(col(typeCol).as("__tb"), col("__d").as("__j"),
+      col("__y").as("__yb"))
+    a.join(b, a(typeCol) === col("__tb") && col("__j") <= col("__da"))
+      // weight exponent: day 1 keeps 2^-(d-1) (the recursion's seed),
+      // day j>1 contributes 2^-(d-j+1)
+      .withColumn("__k", when(col("__j") === 1, col("__da") - 1)
+        .otherwise(col("__da") - col("__j") + 1))
+      .withColumn("__term", expr(
+        "__yb / CAST(shiftleft(CAST(1 AS BIGINT), __k) AS DOUBLE)"))
+      .groupBy(col(typeCol), col("__day"), col("n"))
+      // scale-12 quantization, NOT the house 6: repeated halving of a
+      // ~6dp value terminates one digit past any coarser scale with an
+      // exact trailing 5, exactly where Spark's HALF_UP and DuckDB's
+      // HALF_EVEN decimal casts disagree; at scale 12 a term either
+      // terminates exactly (no rounding) or carries ~17 arbitrary
+      // digits (no boundary)
+      .agg(sum(col("__term").cast(
+        org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)))
+        .cast("double").as("__e"))
+      .select(col(typeCol),
+        date_format(col("__day"), "yyyy-MM-dd").as("day_s"),
+        col("n"), round(col("__e"), 6).as("ewma"))
+  }
+
   /** Per-group simple OLS trend fit — slope/intercept/r² of metric vs
     * time (the "is this metric drifting" readout next to the corr and
     * decayed-trend ops; r² = corr², but slope-per-second is what a

@@ -732,6 +732,13 @@ object PipelineQueries {
       Events.anomalies(Tables.events(s, d), "event_type", "value",
         "event_id", threshold = 2.5).orderBy("event_id")),
 
+    // daily EWMA monitoring line per type (α=½ ewm(adjust=False)): all
+    // weights exact binary powers (exponent shifts, no pow()), recursion
+    // unrolled as a days²-bounded self-join over GROUPED rows
+    "q_events_ewma" -> ((s, d) =>
+      Events.dailyEwma(Tables.events(s, d), "event_type", "ts", "value")
+        .orderBy("event_type", "day_s")),
+
     // per-type OLS trend fit (slope/intercept/r² of value vs seconds
     // since corpus start): five decimal sufficient statistics in ONE
     // partial-agg pass, closed forms as fixed IEEE op sequences
@@ -1697,6 +1704,25 @@ object PipelineQueries {
        "round((value - mean) / std, 6) AS z " +
        "FROM events JOIN m USING (event_type) " +
        "WHERE abs((value - mean) / std) > 2.5 ORDER BY event_id"),
+
+    "q_events_ewma" ->
+      // identical daily aggregate, the same unrolled closed form with
+      // integer-shift power-of-two divisions (exact on both engines)
+      ("WITH daily AS (SELECT event_type, " +
+       "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
+       "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y, " +
+       "COUNT(*) AS n FROM events GROUP BY 1, 2), " +
+       "idx AS (SELECT event_type, day, y, n, ROW_NUMBER() OVER " +
+       "(PARTITION BY event_type ORDER BY day) AS d FROM daily), " +
+       "pairs AS (SELECT a.event_type, a.day, a.n, " +
+       "CASE WHEN b.d = 1 THEN a.d - 1 ELSE a.d - b.d + 1 END AS k, " +
+       "b.y AS yb FROM idx a JOIN idx b ON a.event_type = b.event_type " +
+       "AND b.d <= a.d) " +
+       "SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, n, " +
+       "round(CAST(SUM(CAST(yb / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE) " +
+       "AS DECIMAL(28,12))) AS DOUBLE), 6) AS ewma " +
+       "FROM pairs GROUP BY event_type, day, n " +
+       "ORDER BY event_type, day_s"),
 
     "q_stats_linreg" ->
       // identical centering (corpus-min micros), decimal-quantized

@@ -58,6 +58,23 @@ class AbTestSpec extends SparkSpec {
       m("line").getDouble(4) == 1.0)
   }
 
+  test("dailyEwma reproduces the pandas adjust=False recursion") {
+    val rows = Seq(
+      ("m", "2024-01-01 10:00:00", 4.0),
+      ("m", "2024-01-01 11:00:00", 4.0), // day 1: y = 8
+      ("m", "2024-01-02 10:00:00", 2.0), // day 2: y = 2
+      ("m", "2024-01-04 10:00:00", 10.0)) // day 3 (gap day skipped): y = 10
+      .toDF("event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Events.dailyEwma(rows, "event_type", "ts", "value")
+      .orderBy("day_s")
+      .select("day_s", "n", "ewma")
+      .as[(String, Long, Double)].collect().toSeq
+    // s1 = 8; s2 = 2/2 + 8/2 = 5; s3 = 10/2 + 5/2 = 7.5
+    assert(out == Seq(("2024-01-01", 2L, 8.0), ("2024-01-02", 1L, 5.0),
+      ("2024-01-04", 1L, 7.5)))
+  }
+
   test("hash arms are unit-consistent and both populated") {
     val ev = graft.tables.Tables.events(spark, sf("sf0.001"))
     val armed = ev.withColumn("arm",
