@@ -50,6 +50,17 @@ object Bpe {
     *  final vocabulary: w, c, repr — the segmented distinct words). */
   def trainWithVocab(docs: DataFrame, textCol: String,
                      nMerges: Int): (DataFrame, DataFrame) = {
+    val (m, v, _) = trainWithVocabManaged(docs, textCol, nMerges)
+    (m, v)
+  }
+
+  /** [[trainWithVocab]] plus the cache-lifecycle handle (the
+    * Dedup.clustersManaged discipline, advisor r10): the returned
+    * vocabulary reads the final round's localCheckpoint — consume both
+    * frames, then `cleanup()` to release the blocks. The unmanaged
+    * variant's blocks live until session end. */
+  def trainWithVocabManaged(docs: DataFrame, textCol: String,
+                            nMerges: Int): (DataFrame, DataFrame, () => Unit) = {
     require(nMerges >= 1 && nMerges <= 64,
       s"nMerges must be in [1, 64], got $nMerges")
     val spark = docs.sparkSession
@@ -105,7 +116,8 @@ object Bpe {
     val mergeDf = spark.createDataFrame(merges.toSeq)
       .toDF("round", "pair_a", "pair_b", "n")
       .orderBy("round")
-    (mergeDf, vocab)
+    val finalVocab = vocab
+    (mergeDf, vocab, () => unpersistCheckpoint(finalVocab))
   }
 
   /** The merge table alone (the `q_bpe_train` surface). */

@@ -631,7 +631,18 @@ object Dedup {
     * [[clusters]]. */
   def clustersLargeStar(pairs: DataFrame, aCol: String, bCol: String,
                         outCol: String = "doc_id",
-                        maxIter: Int = 30): DataFrame = {
+                        maxIter: Int = 30): DataFrame =
+    clustersLargeStarManaged(pairs, aCol, bCol, outCol, maxIter)._1
+
+  /** [[clustersLargeStar]] plus the cache-lifecycle handle (the
+    * [[clustersManaged]] discipline, advisor r10): the returned labels
+    * read the final round's localCheckpoint — consume them, then
+    * `cleanup()` to release the block-manager storage. Long sessions
+    * calling the unmanaged variant repeatedly accumulate one checkpoint
+    * per call until the session ends. */
+  def clustersLargeStarManaged(pairs: DataFrame, aCol: String, bCol: String,
+                               outCol: String = "doc_id",
+                               maxIter: Int = 30): (DataFrame, () => Unit) = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     // symmetric neighbor view (u, v) of a canonical (a > b) edge set
     def sym(e: DataFrame): DataFrame = e.select(explode(array(
@@ -679,10 +690,12 @@ object Dedup {
     }
     val nodes = pairs
       .select(explode(array(col(aCol), col(bCol))).as("id")).distinct()
-    nodes.join(edges.select(col("a").as("id"), col("b").as("lab")),
+    val finalEdges = edges
+    val out = nodes.join(edges.select(col("a").as("id"), col("b").as("lab")),
         Seq("id"), "left")
       .select(col("id").as(outCol),
         coalesce(col("lab"), col("id")).as("cluster_id"))
+    (out, () => unpersistCheckpoint(finalEdges, blocking = true))
   }
 
   // --------------------------------------------------------- embedding dup

@@ -351,6 +351,15 @@ object Events {
       // day j>1 contributes 2^-(d-j+1)
       .withColumn("__k", when(col("__j") === 1, col("__da") - 1)
         .otherwise(col("__da") - col("__j") + 1))
+      // exponent clamp: shiftleft masks the shift amount mod 64
+      // (1L<<64 == 1), so once a type's history spans >= 65 active days
+      // the oldest terms would silently regain ~full weight. Terms with
+      // __k > 62 are DROPPED in both engines (the identical predicate is
+      // in the oracle SQL): their weight is <= 2^-63 ≈ 1.1e-19, so for
+      // any daily sum bounded by ~1e9 the dropped contribution is below
+      // the DECIMAL(28,12) per-term quantum — the clamp is the defined
+      // semantics, not an approximation the oracle could disagree on.
+      .where(col("__k") <= 62)
       .withColumn("__term", expr(
         "__yb / CAST(shiftleft(CAST(1 AS BIGINT), __k) AS DOUBLE)"))
       .groupBy(col(typeCol), col("__day"), col("n"))

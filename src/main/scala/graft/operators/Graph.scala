@@ -119,7 +119,17 @@ object Graph {
     * clustering = 3T/W, 6dp). */
   def triangleStats(edges: DataFrame, aCol: String = "pa",
                     bCol: String = "pb"): DataFrame = {
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    // Normalize internally (the clustersLargeStar discipline, advisor
+    // r10): canonicalize orientation with least/greatest, drop
+    // self-loops, and dedup — a caller passing both orientations or
+    // duplicate rows would otherwise double every degree and corrupt
+    // n_wedges/n_triangles with no error. Idempotent (one partial-agg
+    // dedup shuffle) for the already-canonical edge sets the repo's
+    // producers emit.
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // rank = (degree, id); orient low -> high. Struct comparison gives

@@ -197,9 +197,13 @@ object Multimodal {
         col("hdr.sample_rate").as("sample_rate"),
         col("hdr.bits").as("bits"),
         col("hdr.data_bytes").as("data_bytes"))
+      // guard: a sub-byte depth (e.g. 4-bit ADPCM — AudioHeaderImpl
+      // accepts any bits > 0) makes `bits DIV 8` zero; duration is only
+      // defined for whole-byte PCM depths. Null otherwise — same
+      // propagation as an unparsed header (advisor r10).
       .withColumn("duration_ms", expr(
-        "data_bytes * 1000 DIV " +
-        "(CAST(sample_rate AS BIGINT) * channels * (bits DIV 8))"))
+        "CASE WHEN bits >= 8 THEN data_bytes * 1000 DIV " +
+        "(CAST(sample_rate AS BIGINT) * channels * (bits DIV 8)) END"))
   }
 
   /** Resize planning: aspect-preserving fit of each container's decoded

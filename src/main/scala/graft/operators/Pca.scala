@@ -31,7 +31,15 @@ object Pca {
     * dimension (pos, loading 6dp, ev_share 6dp). `iters` power-iteration
     * rounds (12 separates eigenvalues ~1% apart; the spec checks
     * against a dense driver reference). */
-  def pc1(embeds: DataFrame, vecCol: String, iters: Int = 12): DataFrame = {
+  def pc1(embeds: DataFrame, vecCol: String, iters: Int = 12): DataFrame =
+    pc1Managed(embeds, vecCol, iters)._1
+
+  /** [[pc1]] plus the cache-lifecycle handle (the Dedup.clustersManaged
+    * discipline, advisor r10): the returned relation reads the final
+    * iteration's localCheckpoint AND the checkpointed covariance —
+    * consume it, then `cleanup()` to release both sets of blocks. */
+  def pc1Managed(embeds: DataFrame, vecCol: String,
+                 iters: Int = 12): (DataFrame, () => Unit) = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
     val spark = embeds.sparkSession
     val D = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
@@ -83,9 +91,11 @@ object Pca {
     }
     // eigenvalue = ||C·v|| at the fixpoint (v is unit)
     val lam = norm(multiply(v), "lam")
-    v.crossJoin(broadcast(lam)).crossJoin(broadcast(trace))
+    val finalV = v
+    val out = v.crossJoin(broadcast(lam)).crossJoin(broadcast(trace))
       .select(col("j").as("pos"), round(col("v"), 6).as("loading"),
         round(col("lam") / col("tr"), 6).as("ev_share"))
+    (out, () => { unpersistCheckpoint(finalV); unpersistCheckpoint(cov) })
   }
 
   private def unpersistCheckpoint(df: DataFrame): Unit =

@@ -1717,11 +1717,15 @@ object PipelineQueries {
        "pairs AS (SELECT a.event_type, a.day, a.n, " +
        "CASE WHEN b.d = 1 THEN a.d - 1 ELSE a.d - b.d + 1 END AS k, " +
        "b.y AS yb FROM idx a JOIN idx b ON a.event_type = b.event_type " +
-       "AND b.d <= a.d) " +
+       "AND b.d <= a.d), " +
+       // identical exponent clamp as the Spark side: terms with k > 62
+       // are dropped in BOTH engines (beyond-63-day weights are below
+       // the DECIMAL(28,12) quantum; Spark's shiftleft would wrap)
+       "kept AS (SELECT * FROM pairs WHERE k <= 62) " +
        "SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, n, " +
        "round(CAST(SUM(CAST(yb / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE) " +
        "AS DECIMAL(28,12))) AS DOUBLE), 6) AS ewma " +
-       "FROM pairs GROUP BY event_type, day, n " +
+       "FROM kept GROUP BY event_type, day, n " +
        "ORDER BY event_type, day_s"),
 
     "q_stats_linreg" ->

@@ -75,6 +75,23 @@ class AbTestSpec extends SparkSpec {
       ("2024-01-04", 1L, 7.5)))
   }
 
+  test("dailyEwma survives histories spanning more than 64 active days") {
+    // 70 consecutive days of the constant 8.0: pandas ewm(adjust=False)
+    // gives s_d = 8 for every d. Without the k <= 62 clamp, Spark's
+    // shiftleft wraps at day 65 (1L << 64 == 1), so the day-1 seed term
+    // would re-enter at ~full weight and the line would jump to ~16.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val rows = (0 until 70).map { d =>
+      ("m", new java.sql.Timestamp(base.getTime + d * 86400000L), 8.0)
+    }.toDF("event_type", "ts", "value")
+    val out = Events.dailyEwma(rows, "event_type", "ts", "value")
+      .orderBy("day_s").select("ewma").as[Double].collect()
+    assert(out.length == 70)
+    // s_d = 8 exactly for d <= 63; beyond the clamp the dropped tail
+    // weighs <= 2^-62, far below the round-6 output quantum
+    assert(out.forall(_ == 8.0), s"unexpected ewma values: ${out.toSeq}")
+  }
+
   test("hash arms are unit-consistent and both populated") {
     val ev = graft.tables.Tables.events(spark, sf("sf0.001"))
     val armed = ev.withColumn("arm",

@@ -63,6 +63,13 @@ class GraphSpec extends SparkSpec {
     val rk4 = stats(k4)
     assert((rk4.getLong(0), rk4.getLong(1), rk4.getLong(2), rk4.getLong(3),
       rk4.getDouble(4)) == ((4L, 6L, 12L, 4L, 1.0)))
+    // messy input: duplicates, both orientations, self-loops — the
+    // internal normalization (advisor r10) must reduce to the same K4
+    val messy = k4 ++ k4.map(_.swap) ++ k4 ++ Seq((2L, 2L), (0L, 0L))
+    val rmessy = stats(messy)
+    assert((rmessy.getLong(0), rmessy.getLong(1), rmessy.getLong(2),
+      rmessy.getLong(3), rmessy.getDouble(4)) == ((4L, 6L, 12L, 4L, 1.0)),
+      "duplicate / reversed / self-loop edges must normalize away")
     // star: the max-degree hub owns every wedge, zero close
     val star = (1L to 30L).map(i => (0L, i))
     val rs = stats(star)
