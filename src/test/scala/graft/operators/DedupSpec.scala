@@ -349,6 +349,14 @@ class DedupSpec extends SparkSpec {
       tau = 0.995, nlist = 8).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join in plan:\n$plan")
+    // the auto-sized (√n) codebook — the registered query's path — finds
+    // the identical removal set: recall at this operating point is
+    // nlist-independent (scale-invariant argmax, see operator doc)
+    val auto = Dedup.semDedup(e.union(planted), "vec_id", "embedding",
+      tau = 0.995).collect()
+    assert(auto.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+      .sameElements(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted),
+      "auto-nlist must reproduce the fixed-nlist removal set")
   }
 
   test("exact embed pairs refuse a corpus above the cartesian guard") {
