@@ -77,6 +77,8 @@ object GraftExtensions {
         (es: Seq[Expression]) => MediaHeader(es.head)),
       (FunctionIdentifier("audio_header"), info(classOf[AudioHeader], "audio_header"),
         (es: Seq[Expression]) => AudioHeader(es.head)),
+      (FunctionIdentifier("mp4_header"), info(classOf[Mp4Header], "mp4_header"),
+        (es: Seq[Expression]) => Mp4Header(es.head)),
       // vocabularies arrive as a foldable nested-array literal, decoded
       // once at resolution (same pattern as vec_mat_cosines)
       (FunctionIdentifier("marker_counts"), info(classOf[MarkerCounts], "marker_counts"),
@@ -185,6 +187,7 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(k))
   def media_header(payload: Column): Column = call_function("media_header", payload)
   def audio_header(payload: Column): Column = call_function("audio_header", payload)
+  def mp4_header(payload: Column): Column = call_function("mp4_header", payload)
   def marker_counts(toks: Column, vocabs: Seq[Seq[String]]): Column =
     call_function("marker_counts", toks,
       org.apache.spark.sql.functions.typedLit(vocabs))

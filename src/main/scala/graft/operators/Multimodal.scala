@@ -206,6 +206,72 @@ object Multimodal {
         "(CAST(sample_rate AS BIGINT) * channels * (bits DIV 8)) END"))
   }
 
+  private def be16hex(v: org.apache.spark.sql.Column) = lpad(hex(v), 4, "0")
+  private def be32hex(v: org.apache.spark.sql.Column) = lpad(hex(v), 8, "0")
+
+  /** Deterministic synthetic MP4/ISO-BMFF payloads — the video member of
+    * the [[syntheticContainers]]/[[syntheticWavs]] family (all fields
+    * BIG-endian per ISO/IEC 14496-12). Layout: `ftyp` (brand isom), then
+    * `moov` holding an mvhd (v0, the header prefix the walk reads — box
+    * size is consistent with the synthesized bytes) and one or two
+    * `trak`/`tkhd` boxes: ids ≡ 0 (mod 3) get an AUDIO track first
+    * (0×0 dimensions per the spec) so the first-video-track selection is
+    * exercised, then the video track with 16.16-fixed dimensions. All
+    * fields are closed-form in the id — container assembled by one
+    * engine, parsed by independent byte logic, oracle-checkable
+    * end-to-end. */
+  def syntheticMp4s(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val timescale = (id % 5 + 1) * 1000
+    val durU = id % 100000 + 1000
+    val w = id % 640 + 16
+    val h = id % 480 + 16
+    val ftyp = lit("00000010" + "66747970" + "69736F6D" + "00000200")
+    val mvhd = concat(
+      lit("0000001C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+      be32hex(timescale), be32hex(durU))
+    // tkhd v0: 92 bytes — ver/flags, creation, mod, track_id, res,
+    // duration, res(8), layer/alt/vol/res, unity matrix, 16.16 w/h
+    def tkhd(trackId: org.apache.spark.sql.Column,
+             tw: org.apache.spark.sql.Column,
+             th: org.apache.spark.sql.Column) = concat(
+      lit("0000005C" + "746B6864" + "00000000" + "00000000" + "00000000"),
+      be32hex(trackId),
+      lit("00000000"), be32hex(durU), lit("00000000" + "00000000"),
+      lit("00000000" + "00000000"),
+      lit("00010000" + "00000000" + "00000000" + "00000000" + "00010000" +
+          "00000000" + "00000000" + "00000000" + "40000000"),
+      be16hex(tw), lit("0000"), be16hex(th), lit("0000"))
+    def trak(body: org.apache.spark.sql.Column) =
+      concat(lit("00000064" + "7472616B"), body)
+    val videoTrak = trak(tkhd(lit(2L), w, h))
+    val audioTrak = trak(tkhd(lit(1L), lit(0L), lit(0L)))
+    val moov1 = concat(lit("00000088" + "6D6F6F76"), mvhd, videoTrak)
+    val moov2 = concat(lit("000000EC" + "6D6F6F76"), mvhd, audioTrak, videoTrak)
+    val mp4 = unhex(concat(ftyp,
+      when(id % 3 === 0, moov2).otherwise(moov1)))
+    docs.select(id, mp4.as("payload"))
+  }
+
+  /** REAL MP4/ISO-BMFF header decode via the native codegen `mp4_header`
+    * Expression ([[graft.functions.Mp4HeaderImpl]]) — brand, movie
+    * timescale, integer-ms duration, track count, first video track's
+    * dimensions. Foreign/truncated payloads yield null columns; frame
+    * decode stays behind the codec plumbing. */
+  def decodeVideoHeader(df: DataFrame, idCol: String,
+                        payloadCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        graft.functions.GraftFunctions.mp4_header(col(payloadCol)).as("hdr"))
+      .select(col(idCol), col("hdr.format").as("format"),
+        col("hdr.brand").as("brand"),
+        col("hdr.timescale").as("timescale"),
+        col("hdr.duration_ms").as("duration_ms"),
+        col("hdr.n_tracks").as("n_tracks"),
+        col("hdr.width").as("width"),
+        col("hdr.height").as("height"))
+  }
+
   /** Resize planning: aspect-preserving fit of each container's decoded
     * dimensions into a `maxW`×`maxH` box — the metadata half of image
     * resize, computed entirely from the header decode (no pixel codec

@@ -479,6 +479,15 @@ object PipelineQueries {
         Multimodal.syntheticWavs(Tables.documents(s, d), "doc_id"),
         "doc_id", "payload").orderBy("doc_id")),
 
+    // MP4/ISO-BMFF box walk (native mp4_header Expression): brand,
+    // movie timescale, integer-ms duration, track count, first VIDEO
+    // track's 16.16-fixed dimensions — ids ≡ 0 (mod 3) carry a leading
+    // 0×0 audio track so the video-track selection is exercised
+    "q_multimodal_video_meta" -> ((s, d) =>
+      Multimodal.decodeVideoHeader(
+        Multimodal.syntheticMp4s(Tables.documents(s, d), "doc_id"),
+        "doc_id", "payload").orderBy("doc_id")),
+
     "q_events_window" -> ((s, d) =>
       Events.tumblingAgg(Tables.events(s, d), "ts", "event_type", "value", "1 hour")
         .orderBy("win_start", "event_type")),
@@ -1514,6 +1523,19 @@ object PipelineQueries {
        "CAST((doc_id % 1000 + 1) * (doc_id % 2 + 1) * 2 AS BIGINT) AS data_bytes, " +
        "CAST(((doc_id % 1000 + 1) * (doc_id % 2 + 1) * 2 * 1000) // " +
        "((doc_id % 6 + 1) * 8000 * (doc_id % 2 + 1) * 2) AS BIGINT) AS duration_ms " +
+       "FROM documents ORDER BY doc_id"),
+
+    "q_multimodal_video_meta" ->
+      // closed-form in the id (q_multimodal_decode pattern): the BMFF
+      // container is assembled by one engine and box-walked by
+      // independent byte logic; duration_ms is integer division
+      ("SELECT doc_id, 'mp4' AS format, 'isom' AS brand, " +
+       "CAST((doc_id % 5 + 1) * 1000 AS INT) AS timescale, " +
+       "CAST((doc_id % 100000 + 1000) * 1000 // ((doc_id % 5 + 1) * 1000) " +
+       "AS BIGINT) AS duration_ms, " +
+       "CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks, " +
+       "CAST(doc_id % 640 + 16 AS INT) AS width, " +
+       "CAST(doc_id % 480 + 16 AS INT) AS height " +
        "FROM documents ORDER BY doc_id"),
 
     "q_events_window" ->
