@@ -46,6 +46,22 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq(("ab", 4L), ("c", 1L)))
   }
 
+  test("encodeCorpus segments documents scan-side: merges stop at word " +
+       "boundaries, 1-char words kept, null-safe") {
+    // corpus trains merge (a,b); doc 2's "...a b..." split across words
+    // must NOT merge, and encode keeps the 1-char words training drops
+    val docs = Seq(
+      (1L, "ab ab abc"),
+      (2L, "xa bx a b"),
+      (3L, null: String)).toDF("doc_id", "text")
+    val out = Bpe.encodeCorpus(docs, "doc_id", "text", nMerges = 1)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, "ab ab ab c"),        // merged inside words
+      (2L, 6L, "x a b x a b"),       // never across the word boundary
+      (3L, 0L, "")))
+  }
+
   test("ASCII tokenization rule: folds case, non-letters separate, null-safe") {
     val docs = Seq("Ab aB", null, "a1b cD2").toDF("text")
     // words: ab, ab, cd ("a1b" splits to 1-char fragments, dropped)
