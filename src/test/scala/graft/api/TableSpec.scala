@@ -37,6 +37,43 @@ class TableSpec extends SparkSpec {
     assert(empty.forall(identity))
   }
 
+  test("bundle: N queued edits commit as ONE staged projection " +
+       "(BundleEdits analog), last write wins per column") {
+    val t = tbl
+    def projCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+      }.size
+    val baseProj = projCount(t.df)
+    // chained edits: one lineage step (Project) per call
+    val chained = t.set("score", col("score") * 2)
+      .setWhere(col("tag") === "A", "tag", lit("aa"))
+      .set("grade", lit("g"))
+    assert(projCount(chained.df) == baseProj + 3,
+      "chained set/setWhere must add one Project per edit")
+    // bundled: the same edits, ONE Project total
+    val bundled = t.bundle()
+      .set("score", col("score") * 2)
+      .setWhere(col("tag") === "A", "tag", lit("aa"))
+      .set("grade", lit("g"))
+      .commit()
+    assert(projCount(bundled.df) == baseProj + 1,
+      "a committed bundle must be a single staged projection")
+    // identical results
+    assert(bundled.df.orderBy("id").collect().toSeq ==
+      chained.df.orderBy("id").collect().toSeq)
+    // same-column edits compose in queue order, later value winning —
+    // the reference's same-row merge rule
+    val lww = t.bundle()
+      .setWhere(col("id") <= 2, "tag", lit("x"))
+      .setWhere(col("id") === 2, "tag", lit("y"))
+      .commit()
+    val tags = lww.df.orderBy("id").select("tag").collect().map(_.getString(0))
+    assert(tags.toSeq == Seq("x", "y", "", "A"))
+    // empty bundle is the identity
+    assert(t.bundle().commit().df.schema == t.df.schema)
+  }
+
   test("setWhere rewrites only masked rows") {
     val t = tbl
     val out = t.setWhere(col("score") > 25, "tag", lit("HI"))
