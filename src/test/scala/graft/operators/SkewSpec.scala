@@ -129,4 +129,21 @@ class SkewSpec extends SparkSpec {
     assert(rep("k") == k.getAs[Double]("entropy"),
       "entropy must be bit-stable under partitioning")
   }
+
+  test("SkewProbe three-way decade probe: 40%-hot key, AQE splits, all " +
+       "paths agree (BENCH_skew_r11.json records the 100x measurements)") {
+    // the same probe graft.tools.SkewProbe runs at the scaled decades
+    // (BENCH_skew_r11.json records the 100x/1000x rows), exercised here
+    // at sf0.01 with the skew threshold scaled down to the fixture
+    // (shuffle blocks are compressed, so absolute bytes shrink with the
+    // data) and mapTasks restoring the map-side parallelism AQE needs —
+    // a skewed reduce partition splits along MAP-output boundaries, so
+    // a one-row-group fixture (one mapper) has nothing to subdivide
+    val r = graft.tools.SkewProbe.run(spark, sf("sf0.01"),
+      skewThreshold = "2KB", mapTasks = Some(16))
+    assert(math.abs(r.hotShare - 0.4) < 0.01, s"hot share ${r.hotShare}")
+    assert(r.nJoin == r.nBig * 5, "every row matches exactly the 5-fan")
+    assert(r.aqeSplit,
+      "AQE must split the over-threshold hot partition (skew=true)")
+  }
 }
