@@ -26,5 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // shuffle files are only deleted when the driver GC collects their
+  // references; with a large heap a long single-JVM suite can spill
+  // 40+ GB of dead shuffle data before the default 30-min periodic GC
+  // fires — on the 1000x decade runs that fills the disk. 2 min keeps
+  // disk bounded and costs one minor GC pause per interval.
+  "-Dspark.cleaner.periodicGC.interval=2min",
+  // spill/shuffle codec: zstd halves on-disk shuffle bytes vs the lz4
+  // default — the decade benches on this box are DISK-bound (63 GB free
+  // vs 60+ GB lz4 spill for the heaviest single queries), and a real
+  // cluster would configure exactly this knob
+  s"-Dspark.io.compression.codec=${sys.env.getOrElse("SPARK_IO_CODEC", "lz4")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

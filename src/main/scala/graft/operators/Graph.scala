@@ -118,18 +118,23 @@ object Graph {
     * Output: ONE row (n_nodes, n_edges, n_wedges, n_triangles,
     * clustering = 3T/W, 6dp). */
   def triangleStats(edges: DataFrame, aCol: String = "pa",
-                    bCol: String = "pb"): DataFrame = {
+                    bCol: String = "pb",
+                    assumeCanonical: Boolean = false): DataFrame = {
     // Normalize internally (the clustersLargeStar discipline, advisor
     // r10): canonicalize orientation with least/greatest, drop
     // self-loops, and dedup — a caller passing both orientations or
     // duplicate rows would otherwise double every degree and corrupt
-    // n_wedges/n_triangles with no error. Idempotent (one partial-agg
-    // dedup shuffle) for the already-canonical edge sets the repo's
-    // producers emit.
-    val e = edges
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    // n_wedges/n_triangles with no error. The dedup is a full shuffle
+    // of the edge set, so callers that PROVABLY emit canonical deduped
+    // edges (coPurchaseEdges' grouped pairs, triangleEstimate's filter
+    // of them) pass assumeCanonical = true and skip it — at the 1000×
+    // decade that shuffle alone is tens of GB of spill for a no-op.
+    val e =
+      if (assumeCanonical) edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      else edges
+        .select(least(col(aCol), col(bCol)).as("a"),
+          greatest(col(aCol), col(bCol)).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // rank = (degree, id); orient low -> high. Struct comparison gives
@@ -186,7 +191,10 @@ object Graph {
     val key = Sampling.hashKey(seed,
       concat(col(aCol).cast("string"), lit("|"), col(bCol).cast("string")))
     val kept = edges.filter(key < lit(f"$keepNum%04x"))
-    val census = triangleStats(kept, aCol, bCol)
+    // kept is a filter of the caller's edge set; DOULION callers feed
+    // canonical deduped edges (the coPurchaseEdges contract), so skip
+    // the normalization re-shuffle
+    val census = triangleStats(kept, aCol, bCol, assumeCanonical = true)
     census.select(col("n_edges").as("n_edges_kept"),
       col("n_triangles").as("n_triangles_sampled"),
       round(col("n_triangles") / lit(p * p * p), 1).as("est_triangles"),

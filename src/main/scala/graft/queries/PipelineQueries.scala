@@ -920,7 +920,8 @@ object PipelineQueries {
     // EXACT — the oracle counts naively with a 3-way join
     "q_graph_triangles" -> ((s, d) =>
       graft.operators.Graph.triangleStats(
-        graft.operators.Graph.coPurchaseEdges(Tables.lineitem(s, d)))),
+        graft.operators.Graph.coPurchaseEdges(Tables.lineitem(s, d)),
+        assumeCanonical = true)),
 
     // the projection-scale triangle path: NODE sampling kills fact rows
     // AT THE SCAN (p=1/8 on l_partkey), so pair fan-out / distinct /
