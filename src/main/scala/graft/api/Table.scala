@@ -411,18 +411,25 @@ final class BundleEdits private[api] (table: Table) {
   /** Number of queued edits (the reference's `len(table._queue)`). */
   def size: Int = queue.size
 
-  /** Apply every queued edit as one staged projection. */
+  /** Apply every queued edit as one staged projection. New columns append
+    * in QUEUE order (advisor r11: a plain groupBy-into-Map iterates in
+    * hash order, so 5+ new columns would land in arbitrary, Scala-version-
+    * dependent schema order — here we fold into an insertion-ordered map
+    * keyed on each column's first occurrence). */
   def commit(): Table = {
     if (queue.isEmpty) table
     else {
-      val patched: Map[String, Column] = queue.toSeq.groupBy(_._1).map {
-        case (colName, edits) =>
-          val base: Column =
-            if (table.df.columns.contains(colName)) table.df(colName)
-            else lit(null)
-          colName -> edits.foldLeft(base) { (cur, e) => e._2(cur) }
+      val patched = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+      queue.foreach { case (colName, edit) =>
+        val cur: Column = patched.getOrElse(colName,
+          if (table.df.columns.contains(colName)) table.df(colName)
+          else lit(null))
+        patched(colName) = edit(cur)
       }
-      table.copy(df = table.df.withColumns(patched))
+      // ListMap preserves insertion order and withColumns appends new
+      // columns in the map's iteration order
+      table.copy(df = table.df.withColumns(
+        scala.collection.immutable.ListMap(patched.toSeq: _*)))
     }
   }
 }

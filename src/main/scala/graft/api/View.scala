@@ -56,7 +56,17 @@ object ViewCompiler {
     // reference's filters_grp; every OTHER filter compiles individually and
     // all are AND-ed (a groupBy-and-keep-head would silently drop repeated
     // contains/greater/... filters on the same column)
-    val (mergeable, individual) = view.filters.partition(f =>
+    // contains / does_not_contain fan out one predicate PER TERM (the
+    // reference loops `for t in terms` appending one filter each —
+    // base.py:1444-1448); each fanned predicate then joins the view-level
+    // conjunction like any other compiled group
+    val expanded = view.filters.flatMap { f =>
+      if ((f.predicate == "contains" || f.predicate == "does_not_contain")
+          && f.terms.size > 1)
+        f.terms.map(t => ViewFilter(f.column, f.predicate, Seq(t)))
+      else Seq(f)
+    }
+    val (mergeable, individual) = expanded.partition(f =>
       f.predicate == "is" || f.predicate == "is_not")
     val merged = mergeable.groupBy(f => (f.column, f.predicate)).map {
       case ((c, "is"), fs) if fs.map(_.terms.size).sum > 1 =>

@@ -118,4 +118,21 @@ object HeavyHitters {
   def exactHeavyHitters(toks: DataFrame, tokCol: String, k: Int,
       thresholdDen: Int): DataFrame =
     exactHeavyHittersManaged(toks, tokCol, k, thresholdDen)._1
+
+  /** Cache-honest variant (advisor r11): runs the managed op, MATERIALIZES
+    * the ≤ k-row result, releases the projection cache, and returns the
+    * bounded rows as a local DataFrame. The session holds no lingering
+    * MEMORY_AND_DISK entry, and repeated invocations (the interleaved
+    * bench protocol) re-run the full two-pass op instead of reading a
+    * session-lifetime cache — recorded medians measure the operator, not
+    * a cache hit. The collect is bounded by construction (≤ k rows, the
+    * codebook discipline). */
+  def exactHeavyHittersFresh(toks: DataFrame, tokCol: String, k: Int,
+      thresholdDen: Int): DataFrame = {
+    val (out, cleanup) = exactHeavyHittersManaged(toks, tokCol, k, thresholdDen)
+    val rows = out.collect().toIndexedSeq
+    cleanup()
+    val spark = toks.sparkSession
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
 }

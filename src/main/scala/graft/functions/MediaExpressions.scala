@@ -245,7 +245,12 @@ object Mp4HeaderImpl {
       }
       pos += size.toInt
     }
-    if (timescale <= 0 || timescale > Int.MaxValue || durationUnits < 0) return null
+    // durationUnits must also survive the *1000 below without Long
+    // overflow (advisor r11: a hostile v1 mvhd duration in
+    // (Long.MaxValue/1000, Long.MaxValue) is non-negative but would emit
+    // a garbage negative duration_ms instead of the documented null)
+    if (timescale <= 0 || timescale > Int.MaxValue || durationUnits < 0 ||
+        durationUnits > Long.MaxValue / 1000L) return null
     InternalRow(UTF8String.fromString("mp4"), UTF8String.fromBytes(brand),
       timescale.toInt, durationUnits * 1000L / timescale, nTracks, w, h)
   }

@@ -183,17 +183,31 @@ object Graph {
   def triangleEstimate(edges: DataFrame, aCol: String = "pa",
                        bCol: String = "pb",
                        keepNum: Int = 16384, // p = 1/4
-                       seed: String = "tri42"): DataFrame = {
+                       seed: String = "tri42",
+                       // advisor r11: default-safe like triangleStats —
+                       // public callers get normalization; internal
+                       // coPurchaseEdges sites pass true (already
+                       // canonical+deduped, skip the re-shuffle)
+                       assumeCanonical: Boolean = false): DataFrame = {
     // 65535 max: the 4-hex-char key has no 5-char upper bound (keep-all
     // is just triangleStats)
     require(keepNum >= 1 && keepNum <= 65535, s"keepNum in [1,65535]: $keepNum")
     val p = keepNum / 65536.0
+    // normalization must precede the sampling draw: a non-canonical edge
+    // present in both orientations would otherwise draw TWO independent
+    // md5 keys (effective keep probability 1-(1-p)^2, breaking the /p^3
+    // unbiasedness). Internal coPurchaseEdges sites pass
+    // assumeCanonical=true (canonical deduped by construction) to skip
+    // the normalization shuffle; public callers are normalized here.
+    val canon =
+      if (assumeCanonical) edges.select(col(aCol).as(aCol), col(bCol).as(bCol))
+      else edges
+        .select(least(col(aCol), col(bCol)).as(aCol),
+          greatest(col(aCol), col(bCol)).as(bCol))
+        .filter(col(aCol) =!= col(bCol)).distinct()
     val key = Sampling.hashKey(seed,
       concat(col(aCol).cast("string"), lit("|"), col(bCol).cast("string")))
-    val kept = edges.filter(key < lit(f"$keepNum%04x"))
-    // kept is a filter of the caller's edge set; DOULION callers feed
-    // canonical deduped edges (the coPurchaseEdges contract), so skip
-    // the normalization re-shuffle
+    val kept = canon.filter(key < lit(f"$keepNum%04x"))
     val census = triangleStats(kept, aCol, bCol, assumeCanonical = true)
     census.select(col("n_edges").as("n_edges_kept"),
       col("n_triangles").as("n_triangles_sampled"),

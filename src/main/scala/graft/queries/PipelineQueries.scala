@@ -865,9 +865,11 @@ object PipelineQueries {
     // oracle-checkable. The token projection is persisted across the two
     // passes (judge r10: the tokenize/explode used to run twice), so the
     // corpus parquet is scanned once and pass 2 reads the cache behind a
-    // driver-bounded candidate isin
+    // driver-bounded candidate isin; the Fresh wrapper materializes the
+    // <= k-row result and unpersists (advisor r11: no session-lifetime
+    // cache, bench passes 2+ re-run the real two-pass op)
     "q_heavy_hitters" -> ((s, d) =>
-      HeavyHitters.exactHeavyHitters(
+      HeavyHitters.exactHeavyHittersFresh(
         Tables.documents(s, d)
           .select(explode(split(coalesce(col("text"), lit("")), " ")).as("tok")),
         "tok", k = 64, thresholdDen = 32)),
@@ -937,7 +939,10 @@ object PipelineQueries {
     // graph + the unbiased /p³ estimate — wedge volume shrinks ×p²
     "q_graph_triangles_sampled" -> ((s, d) =>
       graft.operators.Graph.triangleEstimate(
-        graft.operators.Graph.coPurchaseEdges(Tables.lineitem(s, d)))),
+        graft.operators.Graph.coPurchaseEdges(Tables.lineitem(s, d)),
+        // coPurchaseEdges emits canonical deduped pairs by construction —
+        // skip the normalization shuffle (internal-site contract)
+        assumeCanonical = true)),
 
     // graph centrality over the relationally-projected trade graph:
     // which nation is most central to the customer→supplier flow. The

@@ -29,9 +29,19 @@ import org.apache.spark.sql.types._
   *  - duration → DayTimeInterval (timedelta64[s]: the reference stores
   *    integer seconds; Spark's ANSI interval is the typed analog and
   *    round-trips through parquet since 3.3)
-  *  - single-select → String, multiple-select → Array[String],
-  *    link → Array[Long], everything else (text, long-text,
+  *  - single-select → String, everything else listed (text, long-text,
   *    collaborator, creator, url, email, ...) → String — §3 base map.
+  *  - multiple-select → Array[String] and link → Array[Long] are a
+  *    DELIBERATE DEVIATION from the reference: `map_columntype_inv`
+  *    (utils.py:92) maps multiple-select — like every unlisted type —
+  *    to a nullable STRING dtype, because pandas has no typed list
+  *    column and the reference round-trips the raw API value. Spark
+  *    DOES have typed arrays, and the library's multi-select/link
+  *    query family (q_multiselect_contains, q_link_array) relies on
+  *    array semantics (array_contains, explode) that a comma-joined
+  *    string cannot express without reparsing at every use. A caller
+  *    exporting back to the reference's shape re-joins with
+  *    array_join(col, ", ").
   */
 object ColumnTypes {
 

@@ -72,6 +72,16 @@ class TableSpec extends SparkSpec {
     assert(tags.toSeq == Seq("x", "y", "", "A"))
     // empty bundle is the identity
     assert(t.bundle().commit().df.schema == t.df.schema)
+    // advisor r11: 5+ NEW columns append in QUEUE order, not hash-map
+    // iteration order (which is arbitrary across Scala versions)
+    val wide = t.bundle()
+      .set("n1", lit(1)).set("n2", lit(2)).set("n3", lit(3))
+      .set("n4", lit(4)).set("n5", lit(5)).set("n6", lit(6))
+      .set("n7", lit(7))
+      .commit()
+    assert(wide.df.columns.takeRight(7).toSeq ==
+      Seq("n1", "n2", "n3", "n4", "n5", "n6", "n7"),
+      s"new columns must append in queue order, got ${wide.df.columns.toSeq}")
   }
 
   test("setWhere rewrites only masked rows") {

@@ -20,6 +20,24 @@ class ViewSpec extends SparkSpec {
     assert(ids == Set(1L, 4L)) // must contain BOTH 'red' and 'bolt'
   }
 
+  test("multi-term contains fans out per term (reference base.py:1444-1448)") {
+    // one ViewFilter carrying TWO terms — the reference appends one filter
+    // per term, so under the default And conjunction both must match
+    val v = ViewDef("both-terms", filters = Seq(
+      ViewFilter("name", "contains", Seq("red", "bolt"))),
+      sorts = Nil, hiddenCols = Nil)
+    val ids = ViewCompiler.getView(tbl, v).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 4L)) // NOT Set(1,2,4): term 'bolt' must not drop
+  }
+
+  test("multi-term does_not_contain fans out per term under Or") {
+    val v = ViewDef("missing-either", filters = Seq(
+      ViewFilter("name", "does_not_contain", Seq("red", "bolt"))),
+      sorts = Nil, hiddenCols = Nil, conjunction = "Or")
+    val ids = ViewCompiler.getView(tbl, v).select("id").as[Long].collect().toSet
+    assert(ids == Set(2L, 3L)) // rows lacking 'red' OR lacking 'bolt'
+  }
+
   test("range via two bounds on one column applies both") {
     val v = ViewDef("band", filters = Seq(
       ViewFilter("price", "greater", Seq(10)),

@@ -99,6 +99,22 @@ class Mp4HeaderSpec extends SparkSpec {
     }
   }
 
+  test("v1 mvhd duration that would overflow duration_ms*1000 is null, " +
+       "not a garbage negative (advisor r11)") {
+    // durationUnits in (Long.MaxValue/1000, Long.MaxValue): passes the
+    // non-negative check but overflows the *1000 multiply
+    val hostile = mp4(ftyp(), wrap("moov",
+      mvhd(1, 1000, Long.MaxValue / 1000L + 7L),
+      wrap("trak", tkhd(1, 1, 320, 240))))
+    assert(parse(hostile).isNullAt(0))
+    // the boundary itself is still fine (exactly representable)
+    val edge = mp4(ftyp(), wrap("moov",
+      mvhd(1, 1000, Long.MaxValue / 1000L),
+      wrap("trak", tkhd(1, 1, 320, 240))))
+    val r = parse(edge)
+    assert(r.getLong(3) == Long.MaxValue / 1000L) // *1000/1000 round-trips
+  }
+
   test("syntheticMp4s round-trips through the decode with closed-form fields") {
     val docs = graft.tables.Tables.documents(spark, sf())
     val out = Multimodal.decodeVideoHeader(

@@ -124,6 +124,14 @@ class GraphSpec extends SparkSpec {
           col("pb").cast("string"))) < lit("4000"))
     val full = Graph.triangleStats(keptEdges).collect()(0)
     assert(full.getLong(3) == sampled && full.getLong(1) == kept)
+    // advisor r11: default-safe normalization — feeding BOTH orientations
+    // plus duplicates must give the identical estimate (one md5 draw per
+    // canonical edge, not one per orientation)
+    val messy = edges.union(edges.select(col("pb").as("pa"),
+      col("pa").as("pb"))).union(edges.limit(40))
+    val estM = Graph.triangleEstimate(messy).collect()(0)
+    assert(estM.getLong(0) == kept && estM.getLong(1) == sampled &&
+      estM.getDouble(2) == estT)
   }
 
   test("node-sampled estimate equals the census of the surviving subgraph") {
