@@ -61,9 +61,6 @@ object Bpe {
     * variant's blocks live until session end. */
   def trainWithVocabManaged(docs: DataFrame, textCol: String,
                             nMerges: Int): (DataFrame, DataFrame, () => Unit) = {
-    require(nMerges >= 1 && nMerges <= 64,
-      s"nMerges must be in [1, 64], got $nMerges")
-    val spark = docs.sparkSession
     // The one corpus-scale pass: ASCII tokenize + frequency count.
     // 0/1-char words carry no pairs and can never merge — dropped here
     // and in the oracle. repr = the space-separated symbol string the
@@ -76,7 +73,17 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("c"))
       .withColumn("repr", trim(regexp_replace(col("w"), "(.)", "$1 ")))
       .localCheckpoint()
+    mergeLoop(vocab0, nMerges)
+  }
 
+  /** The iterative merge loop shared by the char-level and byte-level
+    * families: everything after the corpus-scale vocabulary pass is
+    * alphabet-agnostic (symbols are opaque space-separated strings). */
+  private def mergeLoop(vocab0: DataFrame,
+                        nMerges: Int): (DataFrame, DataFrame, () => Unit) = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"nMerges must be in [1, 64], got $nMerges")
+    val spark = vocab0.sparkSession
     var vocab = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
@@ -181,6 +188,82 @@ object Bpe {
     docs.select(col(idCol),
         filter(split(trim(m), " "),
           t => t =!= "|" && t =!= "").as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+        array_join(col("toks"), " ").as("toks_s"))
+      .orderBy(idCol)
+  }
+
+  // ------------------------------------------------------------------
+  // Byte-level (UTF-8) family — the production-tokenizer regime (GPT-2 /
+  // LLaMA style, Sennrich et al. 2016 applied to bytes): symbols are
+  // individual UTF-8 BYTES rendered as 2-hex-char strings ("68", "c3",
+  // ...), merges concatenate them. Bytes sidestep the grapheme problem
+  // the ASCII family documents (multi-byte substr semantics diverge
+  // between engines): hex strings are engine-portable, so the oracle
+  // replays the identical replace chain with zero Unicode semantics.
+  // Unlike the ASCII family there is NO lowercasing and NO letter
+  // filter — words are whitespace-split (the GPT-2 pre-tokenize
+  // analog), punctuation and multi-byte codepoints flow through as
+  // ordinary byte symbols. Scale posture identical to the char family:
+  // one corpus-scale word-count pass, Heaps-bounded vocabulary rounds,
+  // bounded driver winner per round.
+  // ------------------------------------------------------------------
+
+  /** Portable whitespace class: Java \s and RE2 \s disagree on \x0B, so
+    * both engines get this explicit class (the oracle's
+    * string_split_regex uses the same characters). */
+  val WsClass = "[ \\t\\n\\r\\f]+"
+
+  /** Byte-level vocab0: whitespace-split words, UTF-8 byte length >= 2
+    * (a 1-byte word carries no pairs), repr = lowercase hex split into
+    * byte symbols ("héllo" -> "68 c3 a9 6c 6c 6f"). */
+  private def byteVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(coalesce(col(textCol), lit("")), WsClass)).as("w"))
+      .filter(octet_length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("repr", trim(regexp_replace(
+        lower(hex(encode(col("w"), "UTF-8"))), "(..)", "$1 ")))
+      .localCheckpoint()
+
+  /** Byte-level merge training (the `q_bpe_bytes_train` surface):
+    * (round, pair_a, pair_b, n) with hex-byte-string pairs. */
+  def trainMergesBytes(docs: DataFrame, textCol: String = "text",
+                       nMerges: Int = 6): DataFrame = {
+    val (m, _, cleanup) = mergeLoop(byteVocab(docs, textCol), nMerges)
+    // the merge table is driver-local (createDataFrame over the bounded
+    // winner rows), independent of the vocabulary checkpoint — release it
+    cleanup()
+    m
+  }
+
+  /** Byte-level corpus ENCODE (the `q_bpe_bytes_encode` surface): train,
+    * then segment every document scan-side with the static replace
+    * chain — one corpus pass, no shuffle, exactly [[encodeCorpus]]'s
+    * plan shape. Word boundaries need no marker: whitespace runs
+    * normalize to one space whose byte "20" can never appear inside a
+    * merge pattern (training words are whitespace-free), so it is an
+    * unmergeable separator by construction. Output: (doc_id, n_tokens,
+    * toks_s — space-joined hex-byte-string tokens), doc_id order. */
+  def encodeCorpusBytes(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        nMerges: Int = 6): DataFrame = {
+    val (mergeDf, _, cleanup) = mergeLoop(byteVocab(docs, textCol), nMerges)
+    val merges = mergeDf.select("round", "pair_a", "pair_b")
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    cleanup()
+    val norm = regexp_replace(coalesce(col(textCol), lit("")), WsClass, " ")
+    // "(..)" -> "$1 " leaves a trailing space, so only the leading pad
+    // is explicit — every symbol is then space-delimited on both sides
+    val spaced = concat(lit(" "), regexp_replace(
+      lower(hex(encode(norm, "UTF-8"))), "(..)", "$1 "))
+    var m: Column = spaced
+    for ((a, b) <- merges; _ <- 1 to ReplacePasses)
+      m = replace(m, lit(s" $a $b "), lit(s" $a$b "))
+    docs.select(col(idCol),
+        filter(split(trim(m), " "),
+          t => t =!= "20" && t =!= "").as("toks"))
       .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
         array_join(col("toks"), " ").as("toks_s"))
       .orderBy(idCol)

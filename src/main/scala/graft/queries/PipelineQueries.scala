@@ -985,8 +985,36 @@ object PipelineQueries {
     // table driver-bounded (judge r10 ask #7)
     "q_bpe_encode" -> ((s, d) =>
       graft.operators.Bpe.encodeCorpus(Tables.documents(s, d), "doc_id",
-        "text", nMerges = 4))
+        "text", nMerges = 4)),
+
+    // byte-level (UTF-8) BPE — the production-tokenizer regime: symbols
+    // are UTF-8 bytes as hex strings, so multi-byte text segments
+    // exactly and the oracle is engine-portable (no grapheme
+    // semantics). The corpus is augmented with deterministic multi-byte
+    // suffixes in BOTH engines (the driver testdata is pure ASCII —
+    // without this the row would not certify the multi-byte claim).
+    "q_bpe_bytes_train" -> ((s, d) =>
+      graft.operators.Bpe.trainMergesBytes(
+        bpeBytesDocs(Tables.documents(s, d)), "btext", nMerges = 6)),
+
+    // scan-side byte-level corpus encode: same static-replace-chain plan
+    // as q_bpe_encode (one pass, no shuffle), whitespace byte "20" as
+    // the structurally-unmergeable boundary
+    "q_bpe_bytes_encode" -> ((s, d) =>
+      graft.operators.Bpe.encodeCorpusBytes(
+        bpeBytesDocs(Tables.documents(s, d)), "doc_id", "btext",
+        nMerges = 6))
   )
+
+  /** The byte-BPE corpus: documents plus the deterministic multi-byte
+    * suffix column — MUST stay the byte-for-byte twin of
+    * [[BpeBytesTextSql]]. */
+  private def bpeBytesDocs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("btext", concat(coalesce(col("text"), lit("")),
+      when(col("doc_id") % 3 === 0, lit(" héllo wörld"))
+        .when(col("doc_id") % 3 === 1, lit(" 日本語 データ"))
+        .otherwise(lit(""))))
 
   /** Unrolled-iteration PageRank oracle: the same decimal-quantized
     * update replayed as chained CTEs. Every float op is CAST AS DOUBLE
@@ -1069,7 +1097,14 @@ object PipelineQueries {
       "(SELECT unnest(string_split_regex(coalesce(text, ''), " +
       "'[^A-Za-z]+')) AS w0 FROM documents) t " +
       "WHERE length(t.w0) >= 2) GROUP BY w)"
-    val rounds = (1 to nMerges).map { r =>
+    base + bpeRoundsSql(nMerges)
+  }
+
+  /** The per-round pair-count / winner / merge CTEs — alphabet-agnostic
+    * (shared by the char-level and byte-level families; symbols are
+    * opaque space-separated strings in both). */
+  private def bpeRoundsSql(nMerges: Int): String =
+    (1 to nMerges).map { r =>
       val merged = {
         var m = "' ' || v.repr || ' '"
         for (_ <- 1 to graft.operators.Bpe.ReplacePasses)
@@ -1087,7 +1122,59 @@ object PipelineQueries {
       s"v$r AS (SELECT v.w, v.c, $merged AS repr " +
       s"FROM v${r - 1} v CROSS JOIN w$r m)"
     }.mkString(", ", ", ", "")
-    base + rounds
+
+  /** SQL text expression for the byte-BPE corpus: the parquet text plus
+    * a deterministic multi-byte suffix on 2/3 of the docs — the corpus
+    * the rows certify MUST contain text the ASCII family cannot segment
+    * (the driver testdata is pure ASCII). The Spark query builds the
+    * identical column; both engines see the same bytes. */
+  private val BpeBytesTextSql: String =
+    "(coalesce(text, '') || CASE doc_id % 3 " +
+    "WHEN 0 THEN ' héllo wörld' " +
+    "WHEN 1 THEN ' 日本語 データ' ELSE '' END)"
+
+  /** Byte-level training CTEs: same rounds, byte-symbol vocabulary —
+    * whitespace-split words (explicit portable class: Java \s and RE2
+    * \s disagree on \x0B), UTF-8 byte length >= 2, repr = lowercase hex
+    * split into 2-char byte symbols. Mirrors
+    * [[graft.operators.Bpe.encodeCorpusBytes]] bit for bit. */
+  private def bpeBytesCtesSql(nMerges: Int): String = {
+    val base =
+      "WITH v0 AS (SELECT w, count(*) AS c, " +
+      "trim(regexp_replace(lower(hex(encode(w))), '(..)', '\\1 ', 'g')) " +
+      "AS repr FROM " +
+      s"(SELECT unnest(string_split_regex(coalesce($BpeBytesTextSql, ''), " +
+      "'[ \\t\\n\\r\\f]+')) AS w FROM documents) t " +
+      "WHERE octet_length(encode(w)) >= 2 GROUP BY w)"
+    base + bpeRoundsSql(nMerges)
+  }
+
+  private def bpeBytesTrainOracleSql(nMerges: Int): String = {
+    val out = (1 to nMerges).map { r =>
+      s"SELECT CAST($r AS INT) AS round, a AS pair_a, b AS pair_b, " +
+      s"CAST(n AS BIGINT) AS n FROM w$r"
+    }.mkString(" UNION ALL ")
+    s"${bpeBytesCtesSql(nMerges)} SELECT * FROM ($out) ORDER BY round"
+  }
+
+  /** Byte-level ENCODE oracle: whitespace-normalize, hex to byte
+    * symbols, the identical nested-replace chain, drop the "20"
+    * separator symbol. */
+  private def bpeBytesEncodeOracleSql(nMerges: Int): String = {
+    var m = "d.sp"
+    for (r <- 1 to nMerges; _ <- 1 to graft.operators.Bpe.ReplacePasses)
+      m = s"replace($m, m$r.pat, m$r.rp)"
+    val crosses = (1 to nMerges).map(r => s"CROSS JOIN w$r m$r").mkString(" ")
+    s"${bpeBytesCtesSql(nMerges)}, " +
+    "sp AS (SELECT doc_id, ' ' || regexp_replace(lower(hex(encode(" +
+    s"regexp_replace(coalesce($BpeBytesTextSql, ''), " +
+    "'[ \\t\\n\\r\\f]+', ' ', 'g')))), '(..)', '\\1 ', 'g') " +
+    "AS sp FROM documents), " +
+    s"enc AS (SELECT doc_id, trim($m) AS seg FROM sp d $crosses), " +
+    "tk AS (SELECT doc_id, list_filter(string_split(seg, ' '), " +
+    "t -> t != '20' AND t != '') AS toks FROM enc) " +
+    "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+    "array_to_string(toks, ' ') AS toks_s FROM tk ORDER BY doc_id"
   }
 
   /** Unrolled Morton-interleave oracle for the Z-order report: bit i of
@@ -1170,6 +1257,8 @@ object PipelineQueries {
 
     "q_bpe_apply" -> bpeApplyOracleSql(4, 40),
     "q_bpe_encode" -> bpeEncodeOracleSql(4),
+    "q_bpe_bytes_train" -> bpeBytesTrainOracleSql(6),
+    "q_bpe_bytes_encode" -> bpeBytesEncodeOracleSql(6),
 
     "q_zorder_layout" -> zorderOracleSql(8, 8),
 
