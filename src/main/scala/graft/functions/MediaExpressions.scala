@@ -90,6 +90,55 @@ object MediaHeaderImpl {
     null
   }
 
+  private def le16(b: Array[Byte], i: Int): Int = u(b(i)) | (u(b(i + 1)) << 8)
+  private def le24(b: Array[Byte], i: Int): Int =
+    u(b(i)) | (u(b(i + 1)) << 8) | (u(b(i + 2)) << 16)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u(b(i)).toLong | (u(b(i + 1)).toLong << 8) |
+      (u(b(i + 2)).toLong << 16) | (u(b(i + 3)).toLong << 24)
+
+  /** GIF87a/GIF89a: 6-byte signature, then the logical screen
+    * descriptor — LE16 width, LE16 height (GIF89a spec §18). */
+  private def parseGif(b: Array[Byte]): InternalRow = {
+    if (b.length < 10) return null
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || h <= 0) return null
+    row("gif", w, h)
+  }
+
+  /** WebP: RIFF + "WEBP", then ONE of the three first-chunk layouts
+    * (container spec):
+    *  - "VP8 " lossy — 3-byte frame tag, 3-byte start code 9d 01 2a,
+    *    then LE14 width/height (upper 2 bits are the scale field);
+    *  - "VP8L" lossless — 0x2f signature byte, then a LE32 whose bits
+    *    0-13 are width-1 and 14-27 height-1;
+    *  - "VP8X" extended — 4 flag/reserved bytes, then LE24 canvas
+    *    width-1 and LE24 canvas height-1. */
+  private def parseWebp(b: Array[Byte]): InternalRow = {
+    if (b.length < 16) return null
+    if (tag4(b, 12, "VP8 ")) {
+      if (b.length < 30) return null
+      // key-frame start code per the VP8 bitstream guide (RFC 6386 §9.1)
+      if (!(u(b(23)) == 0x9d && u(b(24)) == 0x01 && u(b(25)) == 0x2a)) return null
+      val w = le16(b, 26) & 0x3fff; val h = le16(b, 28) & 0x3fff
+      if (w <= 0 || h <= 0) return null
+      row("webp", w, h)
+    } else if (tag4(b, 12, "VP8L")) {
+      if (b.length < 25 || u(b(20)) != 0x2f) return null
+      val v = le32(b, 21)
+      val w = (v & 0x3fff).toInt + 1; val h = ((v >> 14) & 0x3fff).toInt + 1
+      row("webp", w, h)
+    } else if (tag4(b, 12, "VP8X")) {
+      if (b.length < 30) return null
+      val w = le24(b, 24) + 1; val h = le24(b, 27) + 1
+      row("webp", w, h)
+    } else null
+  }
+
+  private def tag4(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
   /** Callable from generated Java. Returns null for unknown containers. */
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 4) return null
@@ -97,6 +146,11 @@ object MediaHeaderImpl {
         b.length >= 8 && u(b(4)) == 0x0d && u(b(5)) == 0x0a &&
         u(b(6)) == 0x1a && u(b(7)) == 0x0a) parsePng(b)
     else if (u(b(0)) == 0xff && u(b(1)) == 0xd8) parseJpeg(b)
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+             b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      parseGif(b)
+    else if (b.length >= 12 && tag4(b, 0, "RIFF") && tag4(b, 8, "WEBP"))
+      parseWebp(b)
     else null
   }
 }
