@@ -34,6 +34,38 @@ object TrainingQueries {
      "lam AS (SELECT b, ln((tgt_c + 1e0) / (tgt_tot + 256e0)) - " +
      "ln((raw_c + 1e0) / (raw_tot + 256e0)) AS lam FROM m CROSS JOIN tot)")
 
+  /** DuckDB replay of Packing.packBestFit at (budget 96, buckets 8):
+    * a recursive CTE walks each bucket's (n_tokens DESC, doc_id) order in
+    * lockstep, carrying the open-bin remaining-capacity LIST; first-fit =
+    * list_position over a >= capacity mask (DuckDB's list_position returns
+    * 0, not NULL, on no-hit). Oversize docs (> budget) replay the negative
+    * per-bucket ids. `assign` is the full (doc_id, bucket, n_tokens,
+    * bin_id) layout, shared by q_pack_bestfit and q_pack_report. */
+  private val PackFfdCtesSql: String = {
+    val pos = "list_position(list_transform(w.bins, x -> x >= s.n_tokens), true)"
+    ("WITH RECURSIVE d AS (SELECT doc_id, doc_id % 8 AS bucket, " +
+     "CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT) AS n_tokens " +
+     "FROM documents), " +
+     "small AS (SELECT doc_id, bucket, n_tokens, " +
+     "row_number() OVER (PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) AS rk " +
+     "FROM d WHERE n_tokens > 0 AND n_tokens <= 96), " +
+     "walk AS (SELECT bucket, 0 AS rk, CAST(NULL AS BIGINT) AS doc_id, " +
+     "CAST(NULL AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS bin_id, " +
+     "CAST([] AS BIGINT[]) AS bins " +
+     "FROM (SELECT DISTINCT bucket FROM small) " +
+     "UNION ALL " +
+     "SELECT s.bucket, s.rk, s.doc_id, s.n_tokens, " +
+     s"CAST(CASE WHEN $pos = 0 THEN len(w.bins) + 1 ELSE $pos END AS BIGINT) AS bin_id, " +
+     s"CASE WHEN $pos = 0 THEN list_append(w.bins, 96 - s.n_tokens) " +
+     s"ELSE list_slice(w.bins, 1, $pos - 1) || [w.bins[$pos] - s.n_tokens] " +
+     s"|| list_slice(w.bins, $pos + 1, len(w.bins)) END AS bins " +
+     "FROM walk w JOIN small s ON s.bucket = w.bucket AND s.rk = w.rk + 1), " +
+     "assign AS (SELECT doc_id, bucket, n_tokens, bin_id FROM walk WHERE rk > 0 " +
+     "UNION ALL SELECT doc_id, bucket, n_tokens, " +
+     "CAST(-row_number() OVER (PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) " +
+     "AS BIGINT) AS bin_id FROM d WHERE n_tokens > 96)")
+  }
+
   /** Per-language fractions for the stratified sample: distinct
     * power-of-two rates (exact at the 1/2¹⁶ threshold granularity) plus a
     * keep-all stratum (zh) so the ≥1.0 fast path is driver-visible. */
@@ -81,6 +113,17 @@ object TrainingQueries {
     "q_pack_sequences" -> ((s, d) =>
       Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
         budget = 512, buckets = 8).orderBy("doc_id")),
+
+    // budget 96 (not 512) so BOTH assignment paths are driver-visible on
+    // this corpus: docs run 1..99 tokens, so 97..99-token docs exercise
+    // the oversize (negative-bin) branch while the rest bin-pack
+    "q_pack_bestfit" -> ((s, d) =>
+      Packing.packBestFit(Tables.documents(s, d), "doc_id", "text",
+        budget = 96, buckets = 8).orderBy("doc_id")),
+
+    "q_pack_report" -> ((s, d) =>
+      Packing.packReport(Tables.documents(s, d), "doc_id", "text",
+        budget = 96, buckets = 8)),
 
     // benchmark = every 11th doc (a planted eval set), corpus = the rest;
     // w=5 collisions on this corpus are exactly the true near-dups of
@@ -454,6 +497,34 @@ object TrainingQueries {
        "SELECT doc_id, bucket, n_tokens, tok_start, tok_start // 512 AS chunk_id, " +
        "(tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS chunks_spanned " +
        "FROM c ORDER BY doc_id"),
+
+    "q_pack_bestfit" ->
+      (PackFfdCtesSql +
+       " SELECT doc_id, bucket, n_tokens, bin_id FROM assign ORDER BY doc_id"),
+
+    "q_pack_report" ->
+      (PackFfdCtesSql +
+       ", cc AS (SELECT doc_id, bucket, n_tokens, " +
+       "CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id " +
+       "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start " +
+       "FROM d WHERE n_tokens > 0), " +
+       "cagg AS (SELECT bucket, " +
+       "CAST((sum(n_tokens) + 95) // 96 AS BIGINT) AS concat_chunks, " +
+       "CAST(sum(CASE WHEN (tok_start + n_tokens - 1) // 96 - tok_start // 96 + 1 > 1 " +
+       "THEN 1 ELSE 0 END) AS BIGINT) AS concat_seam_docs, " +
+       "CAST(sum(n_tokens) AS BIGINT) AS ct FROM cc GROUP BY bucket), " +
+       "ffd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(sum(n_tokens) AS BIGINT) AS tokens, " +
+       "CAST(coalesce(max(CASE WHEN bin_id > 0 THEN bin_id END), 0) + " +
+       "coalesce(sum(CASE WHEN bin_id < 0 THEN (n_tokens + 95) // 96 END), 0) " +
+       "AS BIGINT) AS ffd_bins, " +
+       "CAST(count(CASE WHEN bin_id < 0 THEN 1 END) AS BIGINT) AS oversize_docs " +
+       "FROM assign GROUP BY bucket) " +
+       "SELECT f.bucket, n_docs, tokens, oversize_docs, ffd_bins, " +
+       "ffd_bins * 96 - tokens AS ffd_slack, " +
+       "CAST(ffd_bins * 96 - tokens AS DOUBLE) / (ffd_bins * 96) AS ffd_waste_frac, " +
+       "concat_chunks, concat_chunks * 96 - ct AS concat_slack, concat_seam_docs " +
+       "FROM ffd f JOIN cagg c ON f.bucket = c.bucket ORDER BY f.bucket"),
 
     "q_decontaminate" -> DecontaminateOracleSql,
 

@@ -107,6 +107,56 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("packBestFit replays textbook FFD exactly and respects the budget") {
+    val budget = 96
+    val out = Packing.packBestFit(docs, "doc_id", "text", budget, buckets = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    // local single-threaded FFD over the same (n desc, id) order per bucket
+    val expect = out.map(r => (r._1, r._2, r._3)).toSeq
+      .groupBy(_._2).flatMap { case (bucket, ds) =>
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var neg = 0L
+        ds.sortBy(d => (-d._3, d._1)).map { case (id, _, n) =>
+          if (n > budget) { neg -= 1; (id, neg) }
+          else {
+            var i = 0
+            while (i < bins.length && bins(i) < n) i += 1
+            if (i == bins.length) bins += (budget - n) else bins(i) -= n
+            (id, (i + 1).toLong)
+          }
+        }
+      }.toMap
+    assert(out.nonEmpty && out.exists(_._4 < 0),
+      "fixture must exercise the oversize branch (docs run up to 99 tokens)")
+    out.foreach { case (id, _, _, bin) =>
+      assert(bin == expect(id), s"doc $id: got bin $bin, FFD says ${expect(id)}")
+    }
+    // no bin overfull
+    val fill = out.filter(_._4 > 0).groupBy(r => (r._2, r._4)).map(_._2.map(_._3).sum)
+    assert(fill.forall(_ <= budget), "a bin exceeded the token budget")
+    // partitioning-invariant
+    val again = Packing.packBestFit(docs.repartition(13), "doc_id", "text",
+      budget, buckets = 4).as[(Long, Long, Long, Long)].collect().toSet
+    assert(again == out.toSet, "layout must not depend on input partitioning")
+  }
+
+  test("packReport accounts every token and shows the waste/seam tradeoff") {
+    val rep = Packing.packReport(docs, "doc_id", "text", budget = 96, buckets = 4)
+      .collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (tokens, ffdBins, ffdSlack) =
+        (r.getAs[Long]("tokens"), r.getAs[Long]("ffd_bins"), r.getAs[Long]("ffd_slack"))
+      assert(ffdBins * 96 - tokens == ffdSlack)
+      val frac = r.getAs[Double]("ffd_waste_frac")
+      assert(frac >= 0.0 && frac < 1.0)
+      // concat packs denser (slack < one bin) but pays in seam docs;
+      // FFD never splits a non-oversize doc, paying slack instead
+      assert(r.getAs[Long]("concat_slack") < 96)
+      assert(r.getAs[Long]("ffd_bins") >= r.getAs[Long]("concat_chunks"))
+    }
+  }
+
   // ------------------------------------------------------- decontaminate
 
   test("decontaminate flags a planted benchmark copy and clean() drops it") {
