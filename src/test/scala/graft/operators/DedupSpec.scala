@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import graft.tables.Tables
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -507,6 +508,48 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.dedupParagraphs(base.repartition(7), "doc_id", "text")
       .select("doc_id", "text_deduped").as[(Long, String)].collect().sorted.toSeq
     assert(a == b)
+  }
+
+  test("minhashRecallReport grades banding against the exact truth set") {
+    val docs = Tables.documents(spark, sf())
+      .withColumn("text", coalesce(col("text"), lit("")))
+    val rep = Dedup.minhashRecallReport(docs, "doc_id", "text",
+      tau = 0.7, numPerm = 128, bands = 4).collect()
+    val overall = rep.find(_.getAs[Long]("bkt") == -1L).get
+    val buckets = rep.filter(_.getAs[Long]("bkt") >= 0L)
+    // bucket rows partition the truth set; overall row sums them
+    assert(overall.getAs[Long]("n_truth") ==
+      buckets.map(_.getAs[Long]("n_truth")).sum)
+    assert(overall.getAs[Long]("n_caught") ==
+      buckets.map(_.getAs[Long]("n_caught")).sum)
+    // caught is a subset of truth in every bucket (exact verify step)
+    assert(buckets.forall(r =>
+      r.getAs[Long]("n_caught") <= r.getAs[Long]("n_truth")))
+    // n_truth equals the exact pair count at the same tau
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      w = 3, tau = 0.7, prefixFilter = false).count()
+    assert(overall.getAs[Long]("n_truth") == exact)
+    // S-curve literals: monotone non-decreasing across buckets, in [0,1]
+    val ordered = buckets.sortBy(_.getAs[Long]("bkt"))
+    val los = ordered.map(_.getAs[Double]("p_lo"))
+    assert(los.zip(los.tail).forall { case (a, b) => a <= b })
+    assert(ordered.forall { r =>
+      val (lo, hi) = (r.getAs[Double]("p_lo"), r.getAs[Double]("p_hi"))
+      lo >= 0.0 && lo <= hi && hi <= 1.0
+    })
+    // this operating point is genuinely approximate AND theory-consistent
+    assert(overall.getAs[Boolean]("theory_ok"))
+  }
+
+  test("minhashRecallReport shows recall 1 at the verified-complete point") {
+    val docs = Tables.documents(spark, sf())
+      .withColumn("text", coalesce(col("text"), lit("")))
+    val rep = Dedup.minhashRecallReport(docs, "doc_id", "text",
+      tau = 0.5, numPerm = 128, bands = 32).collect()
+    val overall = rep.find(_.getAs[Long]("bkt") == -1L).get
+    assert(overall.getAs[Double]("recall") == 1.0,
+      "r=4/b=32 banding at tau 0.5 is the verified-complete operating point")
+    assert(overall.getAs[Boolean]("theory_ok"))
   }
 
   test("clusterSizeReport histogram accounts for every clustered doc") {
