@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) subword tokenizer — the OTHER
+  * production tokenizer family (Kudo 2018; T5/ALBERT/mT5 use it where
+  * GPT/LLaMA use BPE), completing the repo's tokenizer surface
+  * (`Bpe`: char-level + byte-level merge training/encode).
+  *
+  * Algorithm (one Viterbi-EM round, documented operating point):
+  *  1. SEED vocab: every corpus character (full coverage) plus the
+  *     `topMulti` most frequent substrings of length 2..`maxPieceLen`
+  *     (occurrence-weighted by word frequency, count >= `minCount`;
+  *     ties break on the piece string). Seed prob = cnt / total.
+  *  2. VITERBI segmentation of every distinct word under the seed
+  *     probs (maximize the product of piece probabilities; ties prefer
+  *     the longer final piece — fixed deterministic rule).
+  *  3. HARD-EM (M-step): re-count pieces over the Viterbi segmentations
+  *     (occurrence-weighted), drop unused pieces, renormalize. Every
+  *     word's own Viterbi path survives the pruning, so corpus coverage
+  *     is preserved by construction.
+  *
+  * Determinism discipline: probabilities are single exact-integer IEEE
+  * divisions; the DP multiplies them in a fixed order (prefix-product
+  * times piece prob), so the DuckDB oracle replaying the identical
+  * recurrence reproduces every score BIT-FOR-BIT — the segmentations
+  * and scores are hash-gated, not approximated.
+  *
+  * Scale posture (100 TB): the corpus is touched by ONE distributed
+  * scan (word counts — partial-agg'd groupBy). Everything after runs on
+  * the DISTINCT-word table (Heaps-law-bounded, millions of rows at
+  * corpus scale, not billions): seed candidates explode distinct words
+  * (not the corpus), the global top-K is one bounded reduce, the
+  * vocab (topMulti + alphabet) is a driver/broadcast-sized constant,
+  * and the per-word DP runs data-parallel over distinct words via
+  * mapPartitions (whole-word sequential semantics no Catalyst operator
+  * expresses) with the vocab broadcast. Re-attaching segmentations to
+  * documents is a plain equi-join on the word key (AQE skew-split
+  * handles stopword-hot keys) — spec-covered, not a query row.
+  */
+object Unigram {
+
+  /** One Viterbi pass: best segmentation of `word` under `probs`
+    * (pieces up to `maxLen` chars). Returns (pieces, score). Positions
+    * unreachable under a pruned vocab carry score 0 and are skipped;
+    * the final position is always reachable for corpus words (seed has
+    * full char coverage; EM keeps every word's own path). */
+  private[operators] def viterbi(word: String,
+                                 probs: collection.Map[String, Double],
+                                 maxLen: Int): (List[String], Double) = {
+    val n = word.length
+    val best = new Array[Double](n + 1)
+    val bl = new Array[Int](n + 1)
+    best(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(maxLen, i)) {
+        if (best(i - l) > 0.0) {
+          val p = probs.getOrElse(word.substring(i - l, i), 0.0)
+          if (p > 0.0) {
+            val s = best(i - l) * p
+            if (s > best(i) || (s == best(i) && l > bl(i))) {
+              best(i) = s; bl(i) = l
+            }
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (best(n) == 0.0) return (word.map(_.toString).toList, 0.0)
+    var pieces = List.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val l = bl(pos)
+      pieces = word.substring(pos - l, pos) :: pieces
+      pos -= l
+    }
+    (pieces, best(n))
+  }
+
+  /** Distinct words with occurrence counts — the ONE corpus scan. */
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(coalesce(col(textCol), lit("")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+
+  /** Seed vocab (piece -> count): all chars + top multi-char substrings.
+    * Bounded collect: alphabet + topMulti rows. */
+  private def seedCounts(wc: DataFrame, maxPieceLen: Int, topMulti: Int,
+                         minCount: Int): Seq[(String, Long)] = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val cand = wc
+      .join(spark.range(1, maxPieceLen + 1).toDF("l"),
+        col("l") <= length(col("word")))
+      .select(col("wcount"), explode(expr(
+        "transform(sequence(1, length(word) - l + 1), i -> substring(word, i, l))"))
+        .as("piece"))
+      .groupBy("piece").agg(sum("wcount").as("cnt"))
+    val chars = cand.filter(length(col("piece")) === 1)
+    val multi = cand.filter(length(col("piece")) > 1 && col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("piece")).limit(topMulti)
+    chars.unionByName(multi).select("piece", "cnt")
+      .as[(String, Long)].collect().toSeq
+  }
+
+  private def toProbs(counts: Seq[(String, Long)]): Map[String, Double] = {
+    val total = counts.map(_._2).sum.toDouble
+    counts.map { case (p, c) => p -> c.toDouble / total }.toMap
+  }
+
+  /** Segment every distinct word (data-parallel, broadcast vocab) →
+    * (word, wcount, pieces). */
+  private def segmentAll(wc: DataFrame, probs: Map[String, Double],
+                         maxLen: Int): Dataset[(String, Long, Seq[String], Double)] = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(probs)
+    wc.select("word", "wcount").as[(String, Long)].mapPartitions { it =>
+      val v = bc.value
+      it.map { case (w, c) =>
+        val (pieces, score) = viterbi(w, v, maxLen)
+        (w, c, pieces, score)
+      }
+    }
+  }
+
+  /** EM-round piece counts under the seed vocab (occurrence-weighted). */
+  private def emCounts(docs: DataFrame, textCol: String, maxPieceLen: Int,
+                       topMulti: Int, minCount: Int): DataFrame = {
+    val wc = wordCounts(docs, textCol)
+    val seed = toProbs(seedCounts(wc, maxPieceLen, topMulti, minCount))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    segmentAll(wc, seed, maxPieceLen)
+      .flatMap { case (_, c, pieces, _) => pieces.map(p => (p, c)) }
+      .toDF("piece", "wcount")
+      .groupBy("piece").agg(sum("wcount").as("cnt"))
+  }
+
+  /** Trained vocab after seed + one hard-EM round:
+    * (piece, cnt, prob), ordered by piece. */
+  def train(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+            topMulti: Int = 150, minCount: Int = 2): DataFrame = {
+    val c1 = emCounts(docs, textCol, maxPieceLen, topMulti, minCount)
+    // total over the (vocab-bounded) trained counts: one grouped agg +
+    // a broadcast of the single total row — never a corpus-sized window
+    val total = c1.agg(sum("cnt").as("t"))
+    c1.crossJoin(broadcast(total))
+      .select(col("piece"), col("cnt"),
+        (col("cnt").cast("double") / col("t").cast("double")).as("prob"))
+      .orderBy("piece")
+  }
+
+  /** Per-distinct-word Viterbi segmentation under the TRAINED vocab:
+    * (word, wcount, segmentation, n_pieces, score), ordered by word. */
+  def segmentWords(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                   topMulti: Int = 150, minCount: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val trained = train(docs, textCol, maxPieceLen, topMulti, minCount)
+      .select("piece", "prob").as[(String, Double)].collect().toMap
+    val wc = wordCounts(docs, textCol)
+    segmentAll(wc, trained, maxPieceLen)
+      .map { case (w, c, pieces, score) =>
+        (w, c, pieces.mkString(" "), pieces.length.toLong, score)
+      }
+      .toDF("word", "wcount", "segmentation", "n_pieces", "score")
+      .orderBy("word")
+  }
+}

@@ -1047,6 +1047,21 @@ object PipelineQueries {
         .orderBy("nationkey")
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenizer — the OTHER production
+    // tokenizer family (Kudo 2018; T5/ALBERT vs GPT/LLaMA's BPE): seed
+    // vocab (chars + top-150 weighted substrings) → Viterbi segmentation
+    // of the distinct-word table → one hard-EM recount/renormalize.
+    // One corpus scan; everything else is Heaps-bounded. The oracle
+    // replays BOTH Viterbi DPs (seed + trained) as lockstep recursive
+    // CTEs carrying the per-word best/backpointer lists with the vocab
+    // as an in-row MAP — scores and segmentations match bit-for-bit
+    // (probs are exact-int divisions, DP multiplies in a fixed order).
+    "q_unigram_train" -> ((s, d) =>
+      graft.operators.Unigram.train(Tables.documents(s, d), "text")),
+
+    "q_unigram_segment" -> ((s, d) =>
+      graft.operators.Unigram.segmentWords(Tables.documents(s, d), "text")),
+
     // BPE merge TRAINING (the iterative loop q_bpe_pairs feeds): four
     // rounds of count-best-pair → merge-everywhere over the
     // frequency-weighted distinct-word vocabulary. The only corpus-scale
@@ -1138,6 +1153,70 @@ object PipelineQueries {
     * IDENTICAL 6 nested left-to-right replace() calls over the padded
     * symbol string ([[graft.operators.Bpe.ReplacePasses]]) — engine
     * parity is by construction, not by a fixpoint argument. */
+  /** Per-length candidate score at the NEW DP position (w.i + 1):
+    * prefix best times the vocab MAP's piece prob (empty extraction →
+    * NULL → excluded). Part of the unigram Viterbi replay. */
+  private def unigramSlSql(l: Int): String =
+    (s"(CASE WHEN $l <= w.i + 1 THEN " +
+     s"w.best[w.i + 2 - $l] * (w.m[substr(w.word, w.i + 2 - $l, $l)][1]) " +
+     "ELSE NULL END)")
+
+  /** Lockstep Viterbi DP + backwalk over the distinct-word table under
+    * the vocab CTE `vocabCte(piece, p)`: recursive CTE `name` carries
+    * (best, backpointer) lists per word with the vocab as an in-row MAP;
+    * `name_s` holds (word, wcount, score, pieces). The recurrence is the
+    * EXACT Scala order (prefix-product * piece prob; argmax with
+    * longest-piece tie rule via the descending-length CASE), so scores
+    * replay bit-for-bit. Unreachable positions carry 0 (greatest over
+    * coalesced candidates) exactly like the Scala guard. */
+  private def unigramWalkSql(name: String, vocabCte: String): String = {
+    val s = (1 to 4).map(l => l -> unigramSlSql(l)).toMap
+    val mx = s"greatest(coalesce(${s(1)},0), coalesce(${s(2)},0), " +
+      s"coalesce(${s(3)},0), coalesce(${s(4)},0))"
+    val blc = s"CASE WHEN $mx = 0 THEN 0 " +
+      (4 to 1 by -1).map(l => s"WHEN ${s(l)} = $mx THEN $l").mkString(" ") + " END"
+    (s"$name AS (SELECT word, wcount, 0 AS i, [CAST(1.0 AS DOUBLE)] AS best, " +
+     "[0] AS bl, vm.m AS m FROM wc CROSS JOIN " +
+     s"(SELECT map(list(piece ORDER BY piece), list(p ORDER BY piece)) AS m FROM $vocabCte) vm " +
+     "UNION ALL " +
+     s"SELECT w.word, w.wcount, w.i + 1, list_append(w.best, $mx), " +
+     s"list_append(w.bl, $blc), w.m FROM $name w WHERE w.i < length(w.word)), " +
+     s"${name}_f AS (SELECT word, wcount, best[length(word)+1] AS score, bl " +
+     s"FROM $name WHERE i = length(word)), " +
+     s"${name}_b AS (SELECT word, wcount, score, bl, CAST(length(word) AS INT) AS pos, " +
+     s"CAST([] AS VARCHAR[]) AS pieces FROM ${name}_f " +
+     "UNION ALL SELECT word, wcount, score, bl, pos - bl[pos+1], " +
+     s"list_prepend(substr(word, pos - bl[pos+1] + 1, bl[pos+1]), pieces) " +
+     s"FROM ${name}_b WHERE pos > 0), " +
+     s"${name}_s AS (SELECT word, wcount, score, pieces FROM ${name}_b WHERE pos = 0)")
+  }
+
+  /** Shared CTE chain of the unigram tokenizer oracle: word counts →
+    * seed candidates (substrings 1..4, weighted) → seed vocab (all chars
+    * + top-150 multi-char with cnt >= 2) → seed probs → Viterbi walk w0
+    * → hard-EM counts c1 → trained probs p1 → Viterbi walk w1. */
+  private def unigramCtesSql: String =
+    ("WITH RECURSIVE wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM (" +
+     "SELECT unnest(string_split(coalesce(text,''), ' ')) AS word FROM documents) " +
+     "WHERE word != '' GROUP BY word), " +
+     "cand AS (SELECT piece, CAST(sum(wcount) AS BIGINT) AS cnt FROM (" +
+     "SELECT wcount, unnest([substr(word, i, l) " +
+     "for i in range(1, length(word) - l + 2)]) AS piece " +
+     "FROM wc CROSS JOIN (VALUES (1),(2),(3),(4)) v(l) WHERE l <= length(word)) " +
+     "GROUP BY piece), " +
+     "seedv AS (SELECT piece, cnt FROM cand WHERE length(piece) = 1 " +
+     "UNION ALL SELECT piece, cnt FROM (" +
+     "SELECT piece, cnt FROM cand WHERE length(piece) > 1 AND cnt >= 2 " +
+     "ORDER BY cnt DESC, piece LIMIT 150)), " +
+     "seedp AS (SELECT piece, CAST(cnt AS DOUBLE) / " +
+     "CAST((SELECT sum(cnt) FROM seedv) AS DOUBLE) AS p FROM seedv), " +
+     unigramWalkSql("w0", "seedp") + ", " +
+     "c1 AS (SELECT piece, CAST(sum(wcount) AS BIGINT) AS cnt FROM (" +
+     "SELECT wcount, unnest(pieces) AS piece FROM w0_s) GROUP BY piece), " +
+     "p1 AS (SELECT piece, CAST(cnt AS DOUBLE) / " +
+     "CAST((SELECT sum(cnt) FROM c1) AS DOUBLE) AS p FROM c1), " +
+     unigramWalkSql("w1", "p1"))
+
   private def bpeTrainOracleSql(nMerges: Int): String = {
     val out = (1 to nMerges).map { r =>
       s"SELECT CAST($r AS INT) AS round, a AS pair_a, b AS pair_b, " +
@@ -1336,6 +1415,16 @@ object PipelineQueries {
     "event_type, value FROM events ORDER BY t, event_id LIMIT 5000), "
 
   val oracles: Map[String, String] = Map(
+    "q_unigram_train" ->
+      (unigramCtesSql +
+       " SELECT piece, cnt, CAST(cnt AS DOUBLE) / " +
+       "CAST((SELECT sum(cnt) FROM c1) AS DOUBLE) AS prob FROM c1 ORDER BY piece"),
+
+    "q_unigram_segment" ->
+      (unigramCtesSql +
+       " SELECT word, wcount, array_to_string(pieces, ' ') AS segmentation, " +
+       "CAST(len(pieces) AS BIGINT) AS n_pieces, score FROM w1_s ORDER BY word"),
+
     "q_bpe_train" -> bpeTrainOracleSql(4),
 
     "q_stats_pca" -> pcaOracleSql(12, 1.0 / math.sqrt(5.0) + ""),
