@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece subword tokenizer (Schuster & Nakajima 2012; the
+  * BERT-family production tokenizer) — completing the tokenizer triad
+  * beside [[Bpe]] (GPT/LLaMA byte-level merges) and [[Unigram]]
+  * (T5/ALBERT unigram-LM): same iterative merge loop as BPE but the
+  * winner maximizes the LIKELIHOOD score n(ab) / (n(a)·n(b)) rather
+  * than the raw pair count, and non-initial symbols carry the `##`
+  * continuation prefix ("hello" seeds as `h ##e ##l ##l ##o`; merging
+  * (`##l`,`##o`) yields `##lo` — the merged symbol keeps the LEFT
+  * symbol's prefix status and strips the right's `##`).
+  *
+  * Scale posture (identical to [[Bpe]]): ONE corpus-scale pass (the
+  * word-frequency groupBy — Zipf head collapses map-side); every round
+  * then runs on the Heaps'-law-bounded distinct-word vocabulary,
+  * localCheckpointed per round; the winner is one bounded driver row
+  * per round (the codebook shape — its literal becomes the next
+  * round's replace pattern). Segmentation runs data-parallel over
+  * distinct words with the (bounded) piece vocabulary broadcast.
+  *
+  * Determinism discipline: pair and symbol counts are exact integers;
+  * the score is computed as the FIXED-ORDER double expression
+  * `n.toDouble / na.toDouble / nb.toDouble` (two divisions — no
+  * integer product to overflow, and DuckDB replays the identical IEEE
+  * operations), tie-break (score desc, a asc, b asc). The merge step
+  * is the shared [[Bpe.ReplacePasses]] left-to-right replace chain, so
+  * the oracle replays rounds bit-for-bit. The `#` character cannot
+  * collide with word content: training words are `[a-z]+` by the same
+  * ASCII tokenize rule as the char-level BPE family. */
+object Wordpiece {
+
+  /** The one corpus-scale pass: ASCII tokenize + frequency count, with
+    * the WordPiece continuation seeding. 0/1-char words carry no pairs
+    * and are dropped HERE (mirrored by the oracle); [[segmentWords]]
+    * covers them — production tokenize spans the full text. */
+  private def vocab0(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(coalesce(col(textCol), lit("")),
+        "[^A-Za-z]+")).as("w0"))
+      .filter(length(col("w0")) >= 2)
+      .select(lower(col("w0")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("repr", concat(substring(col("w"), 1, 1), lit(" "),
+        trim(regexp_replace(expr("substring(w, 2)"), "(.)", "##$1 "))))
+      .localCheckpoint()
+
+  /** The likelihood-scored merge loop. Returns (merge table: round,
+    * pair_a, pair_b, n_pair, n_a, n_b, score; final vocabulary;
+    * cleanup handle for the last round's checkpoint). */
+  private def mergeLoop(v0: DataFrame,
+                        nMerges: Int): (DataFrame, DataFrame, () => Unit) = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"nMerges must be in [1, 64], got $nMerges")
+    val spark = v0.sparkSession
+    var vocab = v0
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long, Long, Double)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      // Pair AND symbol counts over the vocabulary-bounded relation
+      // (interpreted slice/arrays_zip is fine here — see Bpe.mergeLoop).
+      val sy = vocab.select(col("c"), split(col("repr"), " ").as("sy"))
+      val pairs = sy
+        .select(col("c"),
+          explode(arrays_zip(
+            slice(col("sy"), lit(1), size(col("sy")) - 1).as("a"),
+            slice(col("sy"), lit(2), size(col("sy")) - 1).as("b"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("c"))
+        .groupBy("a", "b").agg(sum("c").as("n"))
+      val syms = sy.select(explode(col("sy")).as("s"), col("c"))
+        .groupBy("s").agg(sum("c").as("ns"))
+      val winner = pairs
+        .join(syms.select(col("s").as("a"), col("ns").as("na")), "a")
+        .join(syms.select(col("s").as("b"), col("ns").as("nb")), "b")
+        // FIXED-ORDER double: n / na / nb (two divisions, no product)
+        .select(col("a"), col("b"), col("n"), col("na"), col("nb"),
+          (col("n").cast("double") / col("na").cast("double") /
+            col("nb").cast("double")).as("score"))
+        .orderBy(desc("score"), col("a"), col("b"))
+        .limit(1)
+        .collect() // ONE bounded row: the codebook shape
+      if (winner.isEmpty) {
+        exhausted = true
+      } else {
+        val row = winner(0)
+        val (a, b) = (row.getString(0), row.getString(1))
+        merges += ((r, a, b, row.getLong(2), row.getLong(3), row.getLong(4),
+          row.getDouble(5)))
+        val mergedSym = a + b.stripPrefix("##")
+        var m: Column = concat(lit(" "), col("repr"), lit(" "))
+        for (_ <- 1 to Bpe.ReplacePasses)
+          m = replace(m, lit(s" $a $b "), lit(s" $mergedSym "))
+        val next = vocab.withColumn("repr", trim(m)).localCheckpoint()
+        unpersistCheckpoint(vocab)
+        vocab = next
+      }
+      r += 1
+    }
+    val mergeDf = spark.createDataFrame(merges.toSeq)
+      .toDF("round", "pair_a", "pair_b", "n_pair", "n_a", "n_b", "score")
+      .orderBy("round")
+    val finalVocab = vocab
+    (mergeDf, finalVocab, () => unpersistCheckpoint(finalVocab))
+  }
+
+  /** The `q_wordpiece_train` surface: the learned merge table with the
+    * likelihood evidence (round, pair_a, pair_b, n_pair, n_a, n_b,
+    * score), round order. */
+  def trainMerges(docs: DataFrame, textCol: String = "text",
+                  nMerges: Int = 6): DataFrame = {
+    val (m, _, cleanup) = mergeLoop(vocab0(docs, textCol), nMerges)
+    cleanup() // merge table is driver-local — vocab checkpoint not needed
+    m
+  }
+
+  /** Greedy longest-match-first ("maximal munch") segmentation — the
+    * WordPiece ENCODE. Per position, take the LONGEST vocabulary piece
+    * (with the `##` prefix when not word-initial) that matches; the
+    * piece vocabulary is the trained symbol set plus both `c` and
+    * `##c` for every corpus character, so segmentation always succeeds
+    * (no [UNK] path needed on the training corpus — documented
+    * operating point). Content longer than `maxPieceLen` is excluded
+    * from the encode vocabulary in BOTH engines, bounding the match
+    * probe. */
+  private[operators] def greedy(word: String, vocab: Set[String],
+                                maxLen: Int): List[String] = {
+    val n = word.length
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = 0
+    while (pos < n) {
+      var l = math.min(maxLen, n - pos)
+      var found = 0
+      while (l >= 1 && found == 0) {
+        val cand = if (pos == 0) word.substring(0, l)
+                   else "##" + word.substring(pos, pos + l)
+        if (vocab.contains(cand)) found = l else l -= 1
+      }
+      if (found == 0) { // unreachable by construction; keep total anyway
+        out += (if (pos == 0) word.substring(0, 1) else "##" + word.substring(pos, pos + 1))
+        pos += 1
+      } else {
+        out += (if (pos == 0) word.substring(0, found)
+                else "##" + word.substring(pos, pos + found))
+        pos += found
+      }
+    }
+    out.toList
+  }
+
+  /** The `q_wordpiece_segment` surface: greedy segmentation of every
+    * distinct word (INCLUDING the 1-char words training drops) under
+    * the trained piece vocabulary — (word, wcount, pieces_s, n_pieces),
+    * word order. The vocabulary is a bounded broadcast (alphabet·2 +
+    * nMerges pieces); the DP runs data-parallel over the Heaps-bounded
+    * distinct-word table via mapPartitions (greedy whole-word matching
+    * is sequential per word — no Catalyst operator expresses it). */
+  def segmentWords(docs: DataFrame, textCol: String = "text",
+                   nMerges: Int = 6, maxPieceLen: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, finalVocab, cleanup) = mergeLoop(vocab0(docs, textCol), nMerges)
+    // trained pieces: distinct symbols of the final reprs — a bounded
+    // collect (≤ 2·alphabet + nMerges rows by construction)
+    val trained = finalVocab
+      .select(explode(split(col("repr"), " ")).as("p"))
+      .distinct().as[String].collect().toSet
+    cleanup()
+    // all distinct words (len >= 1 — encode covers what training drops)
+    val wc = docs
+      .select(explode(split(coalesce(col(textCol), lit("")),
+        "[^A-Za-z]+")).as("w0"))
+      .filter(length(col("w0")) >= 1)
+      .select(lower(col("w0")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+    // alphabet closure: c and ##c for every corpus character
+    val alpha = wc
+      .select(explode(split(col("word"), "")).as("ch"))
+      .filter(col("ch") =!= "").distinct().as[String].collect().toSet
+    val vocab = (trained ++ alpha ++ alpha.map("##" + _))
+      .filter(p => p.stripPrefix("##").length <= maxPieceLen)
+    val bc = spark.sparkContext.broadcast(vocab)
+    wc.select("word", "wcount").as[(String, Long)].mapPartitions { it =>
+      val v = bc.value
+      it.map { case (w, c) =>
+        val pieces = greedy(w, v, maxPieceLen)
+        (w, c, pieces.mkString(" "), pieces.length.toLong)
+      }
+    }.toDF("word", "wcount", "pieces_s", "n_pieces")
+      .orderBy("word")
+  }
+
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+}

@@ -1062,6 +1062,26 @@ object PipelineQueries {
     "q_unigram_segment" -> ((s, d) =>
       graft.operators.Unigram.segmentWords(Tables.documents(s, d), "text")),
 
+    // WordPiece (Schuster & Nakajima 2012) — the BERT-family tokenizer,
+    // closing the production triad (BPE = GPT/LLaMA, unigram = T5).
+    // Same merge-loop scale posture as q_bpe_train but the winner
+    // maximizes the likelihood score n(ab)/(n(a)·n(b)) — computed as
+    // the FIXED-ORDER double `n/na/nb` (two divisions, no overflowable
+    // product) so DuckDB replays the identical IEEE ops; `##`
+    // continuation symbols ride inline in the repr string, so the
+    // shared 6-pass replace chain still does the merge-everywhere step.
+    "q_wordpiece_train" -> ((s, d) =>
+      graft.operators.Wordpiece.trainMerges(Tables.documents(s, d), "text")),
+
+    // Greedy longest-match-first segmentation (maximal munch) of every
+    // distinct word under the trained piece vocab — the WordPiece
+    // ENCODE. Oracle replays the greedy walk as a recursive CTE with
+    // the piece vocab as an in-row presence MAP, lengths probed
+    // descending — the Viterbi-replay discipline of q_unigram_segment,
+    // minus the DP scores (greedy is score-free).
+    "q_wordpiece_segment" -> ((s, d) =>
+      graft.operators.Wordpiece.segmentWords(Tables.documents(s, d), "text")),
+
     // BPE merge TRAINING (the iterative loop q_bpe_pairs feeds): four
     // rounds of count-best-pair → merge-everywhere over the
     // frequency-weighted distinct-word vocabulary. The only corpus-scale
@@ -1216,6 +1236,102 @@ object PipelineQueries {
      "p1 AS (SELECT piece, CAST(cnt AS DOUBLE) / " +
      "CAST((SELECT sum(cnt) FROM c1) AS DOUBLE) AS p FROM c1), " +
      unigramWalkSql("w1", "p1"))
+
+  /** WordPiece training-round CTEs (round r): adjacent-pair counts p_r
+    * AND symbol counts s_r over the round's vocabulary, the
+    * likelihood-scored winner w_r (score = n/na/nb as the identical
+    * fixed-order double divisions, ties (score desc, a, b)), and the
+    * merged vocabulary v_r via the shared 6-pass replace chain — the
+    * merged symbol strips the right side's `##`. Every CTE is
+    * MATERIALIZED: with three references per round, DuckDB's default
+    * inlining re-evaluates the chain 3^rounds times (measured 90s →
+    * 0.24s at sf0.01). */
+  private def wordpieceRoundsSql(nMerges: Int): String =
+    (1 to nMerges).map { r =>
+      val merged = {
+        var m = "' ' || v.repr || ' '"
+        for (_ <- 1 to graft.operators.Bpe.ReplacePasses)
+          m = s"replace($m, m.pat, m.rp)"
+        s"trim($m)"
+      }
+      s"p$r AS MATERIALIZED (SELECT list_extract(sy, i) AS a, " +
+      "list_extract(sy, i + 1) AS b, c FROM " +
+      "(SELECT sy, c, unnest(range(1, len(sy))) AS i FROM " +
+      s"(SELECT string_split(repr, ' ') AS sy, c FROM v${r - 1}))), " +
+      s"s$r AS MATERIALIZED (SELECT s, sum(c) AS ns FROM " +
+      s"(SELECT unnest(string_split(repr, ' ')) AS s, c FROM v${r - 1}) " +
+      "GROUP BY s), " +
+      s"w$r AS MATERIALIZED (SELECT p.a, p.b, p.n, sa.ns AS na, sb.ns AS nb, " +
+      "CAST(p.n AS DOUBLE) / CAST(sa.ns AS DOUBLE) / CAST(sb.ns AS DOUBLE) AS score, " +
+      "' ' || p.a || ' ' || p.b || ' ' AS pat, " +
+      "' ' || p.a || (CASE WHEN p.b LIKE '##%' THEN substr(p.b, 3) ELSE p.b END) || ' ' AS rp " +
+      s"FROM (SELECT a, b, sum(c) AS n FROM p$r GROUP BY a, b) p " +
+      s"JOIN s$r sa ON p.a = sa.s JOIN s$r sb ON p.b = sb.s " +
+      "ORDER BY score DESC, p.a, p.b LIMIT 1), " +
+      s"v$r AS MATERIALIZED (SELECT v.w, v.c, $merged AS repr " +
+      s"FROM v${r - 1} v CROSS JOIN w$r m)"
+    }.mkString(", ", ", ", "")
+
+  /** WordPiece v0: ASCII-tokenized distinct words (>= 2 chars) with the
+    * `##` continuation seeding ("hello" -> "h ##e ##l ##l ##o"). */
+  private def wordpieceCtesSql(nMerges: Int): String =
+    ("WITH RECURSIVE v0 AS MATERIALIZED (SELECT w, count(*) AS c, " +
+     "substr(w, 1, 1) || ' ' || " +
+     "trim(regexp_replace(substr(w, 2), '(.)', '##\\1 ', 'g')) AS repr " +
+     "FROM (SELECT lower(t.w0) AS w FROM " +
+     "(SELECT unnest(string_split_regex(coalesce(text, ''), " +
+     "'[^A-Za-z]+')) AS w0 FROM documents) t " +
+     "WHERE length(t.w0) >= 2) GROUP BY w)" +
+     wordpieceRoundsSql(nMerges))
+
+  private def wordpieceTrainOracleSql(nMerges: Int): String = {
+    val out = (1 to nMerges).map { r =>
+      s"SELECT CAST($r AS INT) AS round, a AS pair_a, b AS pair_b, " +
+      "CAST(n AS BIGINT) AS n_pair, CAST(na AS BIGINT) AS n_a, " +
+      s"CAST(nb AS BIGINT) AS n_b, score FROM w$r"
+    }.mkString(" UNION ALL ")
+    s"${wordpieceCtesSql(nMerges)} SELECT * FROM ($out) ORDER BY round"
+  }
+
+  /** Greedy longest-match-first segmentation replay: the encode vocab
+    * (final-round symbols + c/##c for every corpus char, content
+    * length <= maxLen) becomes an in-row presence MAP; a recursive CTE
+    * walks each word choosing the longest matching piece (lengths
+    * probed descending — the exact Scala loop), `##`-prefixed when not
+    * word-initial. Covers the 1-char words training drops. */
+  private def wordpieceSegmentOracleSql(nMerges: Int, maxLen: Int): String = {
+    def cand(l: Int): String =
+      s"(CASE WHEN g.pos = 0 THEN substr(g.word, 1, $l) " +
+      s"ELSE '##' || substr(g.word, g.pos + 1, $l) END)"
+    val chosen = "CASE " + (maxLen to 1 by -1).map(l =>
+      s"WHEN $l <= length(g.word) - g.pos AND g.m[${cand(l)}][1] IS NOT NULL THEN $l")
+      .mkString(" ") + " ELSE 1 END"
+    (wordpieceCtesSql(nMerges) + ", " +
+     "wc2 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM " +
+     "(SELECT lower(t.w0) AS word FROM " +
+     "(SELECT unnest(string_split_regex(coalesce(text, ''), " +
+     "'[^A-Za-z]+')) AS w0 FROM documents) t " +
+     "WHERE length(t.w0) >= 1) GROUP BY word), " +
+     "alpha AS MATERIALIZED (SELECT DISTINCT substr(word, i, 1) AS ch FROM " +
+     "(SELECT word, unnest(range(1, length(word) + 1)) AS i FROM wc2)), " +
+     "wp AS MATERIALIZED (SELECT DISTINCT piece FROM (" +
+     s"SELECT unnest(string_split(repr, ' ')) AS piece FROM v$nMerges " +
+     "UNION SELECT ch FROM alpha UNION SELECT '##' || ch FROM alpha) " +
+     "WHERE length(CASE WHEN piece LIKE '##%' THEN substr(piece, 3) " +
+     s"ELSE piece END) <= $maxLen), " +
+     "vm AS MATERIALIZED (SELECT map(list(piece ORDER BY piece), " +
+     "list(1 ORDER BY piece)) AS m FROM wp), " +
+     "g AS (SELECT word, wcount, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces, " +
+     "vm.m AS m FROM wc2 CROSS JOIN vm " +
+     "UNION ALL " +
+     "SELECT word, wcount, pos + l, " +
+     "list_append(pieces, CASE WHEN pos = 0 THEN substr(word, 1, l) " +
+     "ELSE '##' || substr(word, pos + 1, l) END), m " +
+     s"FROM (SELECT g.*, ($chosen) AS l FROM g WHERE g.pos < length(g.word))) " +
+     "SELECT word, wcount, array_to_string(pieces, ' ') AS pieces_s, " +
+     "CAST(len(pieces) AS BIGINT) AS n_pieces FROM g " +
+     "WHERE pos = length(word) ORDER BY word")
+  }
 
   private def bpeTrainOracleSql(nMerges: Int): String = {
     val out = (1 to nMerges).map { r =>
@@ -1424,6 +1540,10 @@ object PipelineQueries {
       (unigramCtesSql +
        " SELECT word, wcount, array_to_string(pieces, ' ') AS segmentation, " +
        "CAST(len(pieces) AS BIGINT) AS n_pieces, score FROM w1_s ORDER BY word"),
+
+    "q_wordpiece_train" -> wordpieceTrainOracleSql(6),
+
+    "q_wordpiece_segment" -> wordpieceSegmentOracleSql(6, 8),
 
     "q_bpe_train" -> bpeTrainOracleSql(4),
 

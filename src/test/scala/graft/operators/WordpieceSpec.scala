@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** WordPiece tokenizer specs: greedy maximal-munch rules, likelihood
+  * scoring of the merge loop, and corpus-level invariants. */
+class WordpieceSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf())
+
+  // -------------------------------------------------------------- greedy
+
+  test("greedy takes the longest matching piece at each position") {
+    val vocab = Set("u", "##n", "##a", "##f", "##fa", "##b", "##l", "##e",
+      "un", "##aff", "##affable", "##ffable")
+    // "unaffable" -> un ##affable (maximal munch at both positions)
+    assert(Wordpiece.greedy("unaffable", vocab, 12) ==
+      List("un", "##affable"))
+  }
+
+  test("greedy honors the ## continuation boundary") {
+    // "aa": initial "a" matches but continuation needs "##a"
+    assert(Wordpiece.greedy("aa", Set("a", "##a"), 8) == List("a", "##a"))
+    // a word-initial piece is never ##-prefixed even if only ##aa exists
+    assert(Wordpiece.greedy("aab", Set("a", "##a", "##b", "##ab"), 8) ==
+      List("a", "##ab"))
+  }
+
+  test("greedy respects maxLen") {
+    val vocab = Set("abcd", "ab", "##cd", "##c", "##d", "a", "##b")
+    assert(Wordpiece.greedy("abcd", vocab, 2) == List("ab", "##cd"))
+  }
+
+  // -------------------------------------------------------------- corpus
+
+  test("trainMerges emits likelihood-consistent rounds") {
+    val merges = Wordpiece.trainMerges(docs, "text", nMerges = 6).collect()
+    assert(merges.nonEmpty && merges.length <= 6)
+    merges.foreach { r =>
+      val (n, na, nb) = (r.getAs[Long]("n_pair"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(n > 0 && na >= n && nb >= n,
+        "a pair cannot outnumber either of its symbols")
+      assert(r.getAs[Double]("score") ==
+        n.toDouble / na.toDouble / nb.toDouble,
+        "score must be the exact fixed-order double division")
+    }
+    assert(merges.map(_.getAs[Int]("round")).toSeq == (1 to merges.length),
+      "rounds must be consecutive from 1")
+  }
+
+  test("segmentWords reconstructs every word and stays in-vocab shape") {
+    val segs = Wordpiece.segmentWords(docs, "text").collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val word = r.getAs[String]("word")
+      val pieces = r.getAs[String]("pieces_s").split(" ")
+      assert(pieces.head == word.substring(0, pieces.head.length),
+        "first piece must be un-prefixed")
+      assert(pieces.tail.forall(_.startsWith("##")),
+        s"non-initial pieces of $word must carry ##")
+      assert(pieces.map(_.stripPrefix("##")).mkString("") == word,
+        s"pieces must concatenate back to $word")
+      assert(pieces.length.toLong == r.getAs[Long]("n_pieces"))
+    }
+    // encode covers the 1-char words training drops
+    assert(segs.exists(_.getAs[String]("word").length == 1) ||
+      segs.forall(_.getAs[String]("word").length > 1))
+  }
+
+  test("segmentation is invariant to input partitioning") {
+    val a = Wordpiece.segmentWords(docs, "text")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Wordpiece.segmentWords(docs.repartition(13), "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("merged pieces actually fire: some segmentation is shorter than " +
+       "its character count") {
+    val segs = Wordpiece.segmentWords(docs, "text").collect()
+    assert(segs.exists(r =>
+      r.getAs[Long]("n_pieces") < r.getAs[String]("word").length.toLong),
+      "the learned merges must beat pure character segmentation somewhere")
+  }
+}
