@@ -281,4 +281,26 @@ object TextAnalysis {
     GraftFunctions.ensureRegistered(docs.sparkSession)
     docs.select(col(idCol) +: fingerprintCols(col(textCol)): _*)
   }
+
+  /** [[fingerprint]] with GLOBALLY id-ordered output, without paying
+    * `orderBy` twice. A plain `fingerprint(...).orderBy(id)` runs the
+    * whole normalize+hash projection TWICE: Spark's RangePartitioner
+    * first does a full sampling pass over the sort's child to pick
+    * range bounds, and that child IS the expensive projection (measured
+    * at the 1000x decade: 294s unordered vs 572s orderBy — the sort
+    * exactly doubles the op). Here the range exchange runs against the
+    * RAW (id, text) scan (sampling pass = a cheap parquet read, 1.65s
+    * at 1000x), rows sort within partitions, and the projection
+    * evaluates ONCE, post-sort. Range partitions + per-partition sort
+    * is the same physical order `orderBy` produces. Trade: the shuffle
+    * carries text instead of (md5, hash64) — bytes for compute, the
+    * right trade for a regex-bound projection on every box measured. */
+  def fingerprintOrdered(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol), col(textCol))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .select(col(idCol) +: fingerprintCols(col(textCol)): _*)
+  }
 }

@@ -171,4 +171,36 @@ object Unigram {
       .toDF("word", "wcount", "segmentation", "n_pieces", "score")
       .orderBy("word")
   }
+
+  /** Doc-level ENCODE (the `q_unigram_encode` surface): per-document
+    * token streams under the trained vocab — the production tokenize
+    * step, making the word-key reattach shape driver-visible (the
+    * segmentation itself runs ONCE per distinct word, never per
+    * occurrence). Plan: distinct-word Viterbi (mapPartitions, broadcast
+    * vocab) → posexplode of the document word sequence → equi-join on
+    * the word key (AQE handles stopword-hot skew) → per-doc reassembly
+    * by word position. Output (doc_id, n_tokens, toks_s), doc order. */
+  def encodeCorpus(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", maxPieceLen: Int = 4,
+                   topMulti: Int = 150, minCount: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val trained = train(docs, textCol, maxPieceLen, topMulti, minCount)
+      .select("piece", "prob").as[(String, Double)].collect().toMap
+    val wc = wordCounts(docs, textCol)
+    val segs = segmentAll(wc, trained, maxPieceLen)
+      .map { case (w, _, pieces, _) => (w, pieces) }
+      .toDF("word", "pieces")
+    val words = docs
+      .select(col(idCol), posexplode(split(coalesce(col(textCol), lit("")),
+        " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    words.join(segs, "word")
+      .groupBy(idCol)
+      .agg(flatten(array_sort(collect_list(struct(col("pos"),
+        col("pieces")))).getField("pieces")).as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+        array_join(col("toks"), " ").as("toks_s"))
+      .orderBy(idCol)
+  }
 }

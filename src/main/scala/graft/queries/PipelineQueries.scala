@@ -526,10 +526,13 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text",
         minWords = 30, maxWords = 80).orderBy("doc_id")),
 
+    // ordered via range-exchange-BEFORE-projection: a trailing
+    // .orderBy would re-run the normalize+hash projection in the range
+    // sampling pass (572s vs 294s at 1000x — see fingerprintOrdered)
     "q_text_fingerprint" -> ((s, d) =>
-      TextAnalysis.fingerprint(
+      TextAnalysis.fingerprintOrdered(
         Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
-        "doc_id", "text").orderBy("doc_id")),
+        "doc_id", "text")),
 
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.byteStats(Tables.documents(s, d), "doc_id", "text")
@@ -1062,6 +1065,14 @@ object PipelineQueries {
     "q_unigram_segment" -> ((s, d) =>
       graft.operators.Unigram.segmentWords(Tables.documents(s, d), "text")),
 
+    // Doc-level unigram ENCODE: per-document token streams — the
+    // production tokenize step. Segmentation runs ONCE per distinct
+    // word (mapPartitions + broadcast vocab); documents reattach via
+    // the word-key equi-join + positional reassembly (the claim the
+    // r11 verdict had as spec-only, now a hard-oracle row).
+    "q_unigram_encode" -> ((s, d) =>
+      graft.operators.Unigram.encodeCorpus(Tables.documents(s, d))),
+
     // WordPiece (Schuster & Nakajima 2012) — the BERT-family tokenizer,
     // closing the production triad (BPE = GPT/LLaMA, unigram = T5).
     // Same merge-loop scale posture as q_bpe_train but the winner
@@ -1540,6 +1551,18 @@ object PipelineQueries {
       (unigramCtesSql +
        " SELECT word, wcount, array_to_string(pieces, ' ') AS segmentation, " +
        "CAST(len(pieces) AS BIGINT) AS n_pieces, score FROM w1_s ORDER BY word"),
+
+    "q_unigram_encode" ->
+      (unigramCtesSql + ", " +
+       "dwords AS (SELECT doc_id, unnest(ws) AS word, " +
+       "generate_subscripts(ws, 1) AS pos FROM " +
+       "(SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws " +
+       "FROM documents)), " +
+       "enc AS (SELECT d.doc_id, flatten(list(s.pieces ORDER BY d.pos)) AS toks " +
+       "FROM (SELECT * FROM dwords WHERE word != '') d " +
+       "JOIN w1_s s ON d.word = s.word GROUP BY d.doc_id) " +
+       "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+       "array_to_string(toks, ' ') AS toks_s FROM enc ORDER BY doc_id"),
 
     "q_wordpiece_train" -> wordpieceTrainOracleSql(6),
 

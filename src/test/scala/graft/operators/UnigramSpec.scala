@@ -73,6 +73,32 @@ class UnigramSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("encodeCorpus token streams concatenate back to the word sequence") {
+    val enc = Unigram.encodeCorpus(docs, "doc_id", "text").collect()
+    assert(enc.nonEmpty)
+    val source = docs.select(col("doc_id"), coalesce(col("text"), lit("")))
+      .as[(Long, String)].collect().toMap
+    enc.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = r.getAs[String]("toks_s").split(" ")
+      assert(toks.length.toLong == r.getAs[Long]("n_tokens"))
+      val words = source(id).split(" ").filter(_.nonEmpty)
+      assert(toks.mkString("") == words.mkString(""),
+        s"doc $id: tokens must concatenate to its word characters")
+    }
+    // docs with at least one word all appear
+    val expected = source.count(_._2.split(" ").exists(_.nonEmpty))
+    assert(enc.length == expected)
+  }
+
+  test("encodeCorpus is invariant to input partitioning") {
+    val a = Unigram.encodeCorpus(docs, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Unigram.encodeCorpus(docs.repartition(13), "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("multi-char pieces actually win: some word segments into fewer " +
        "pieces than its character count") {
     val segs = Unigram.segmentWords(docs, "text").collect()
