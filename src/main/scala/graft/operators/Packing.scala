@@ -66,11 +66,17 @@ object Packing {
     * shuffle on the bucket key, then a per-bucket in-task walk
     * (mapPartitions is justified here: whole-operator sequential
     * semantics no Catalyst operator expresses). Task memory is the
-    * open-bin array, ~ bucketTokens/budget longs (8 bytes/bin — size
-    * buckets so a bucket holds ≲10⁹ tokens and the array stays ≪ 16 MB);
-    * the first-fit scan is O(open bins) per doc. The layout is a pure
-    * function of (token counts, doc_id order) — partitioning/rerun
-    * invariant, replayed bin-for-bin by the oracle's recursive CTE.
+    * open-bin structure, ~ bucketTokens/budget longs (size buckets so a
+    * bucket holds ≲10⁹ tokens and it stays ≪ 32 MB). The first-fit
+    * lookup runs on a leftmost-fit SEGMENT TREE ([[FirstFitBins]]) —
+    * O(log bins) per doc. The r12 sf100 ladder caught the naive linear
+    * probe going quadratic (2.9 s → 7.1 s → 262 s per decade: each
+    * small late doc re-scanned ~every earlier bin); the tree computes
+    * the IDENTICAL leftmost-fit placement (equivalence
+    * property-specced), so results and oracle are unchanged. The
+    * layout is a pure function of (token counts, doc_id order) —
+    * partitioning/rerun invariant, replayed bin-for-bin by the
+    * oracle's recursive CTE.
     * Output: (doc_id, bucket, n_tokens, bin_id). */
   def packBestFit(docs: DataFrame, idCol: String, textCol: String,
                   budget: Int, buckets: Int): DataFrame = {
@@ -97,16 +103,13 @@ object Packing {
         // several buckets may share a partition; the bucket-first sort
         // makes each a contiguous run, so state resets on bucket change
         var cur = Long.MinValue
-        var bins: scala.collection.mutable.ArrayBuffer[Long] = null
+        var bins: FirstFitBins = null
         it.map { case (docId, bucket, n) =>
           if (bins == null || bucket != cur) {
             cur = bucket
-            bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+            bins = new FirstFitBins(budget)
           }
-          var i = 0
-          while (i < bins.length && bins(i) < n) i += 1
-          if (i == bins.length) bins += (budget - n) else bins(i) -= n
-          (docId, bucket, n, (i + 1).toLong)
+          (docId, bucket, n, (bins.place(n) + 1).toLong)
         }
       }.toDF("doc_id", "bucket", "n_tokens", "bin_id")
     small.union(oversize)
@@ -163,5 +166,67 @@ object Packing {
       posexplode(graft.functions.GraftFunctions.word_chunks(
         coalesce(col(textCol), lit("")), size, stride))
         .as(Seq("chunk_idx", "chunk")))
+  }
+}
+
+/** Leftmost-fit bin index in O(log bins): a complete binary segment
+  * tree whose leaves hold each open bin's REMAINING capacity and whose
+  * inner nodes hold the max of their children. `place(n)` descends
+  * left-first from the root (left child's max ≥ n ⇒ the leftmost
+  * fitting bin is in the left subtree), giving exactly the placement
+  * the textbook first-fit linear probe computes — `PackingSpec` holds
+  * the equivalence property over random workloads. Opening a bin
+  * appends leaf `nBins` (doubling the leaf array when full — amortized
+  * O(1) rebuild); unopened leaves hold 0, which never matches since
+  * every doc has n ≥ 1. */
+private[operators] final class FirstFitBins(budget: Long) {
+  private var cap = 16
+  private var tree = new Array[Long](2 * cap) // tree(cap + i) = leaf i
+  private var nBins = 0
+
+  def size: Int = nBins
+
+  /** Remaining capacity of bin `i` (spec/introspection). */
+  def remaining(i: Int): Long = tree(cap + i)
+
+  /** Place a doc of `n` tokens; returns the 0-based bin index. */
+  def place(n: Long): Int = {
+    if (tree(1) >= n) {
+      var node = 1
+      while (node < cap)
+        node = if (tree(2 * node) >= n) 2 * node else 2 * node + 1
+      val i = node - cap
+      set(i, tree(node) - n)
+      i
+    } else {
+      if (nBins == cap) grow()
+      val i = nBins
+      nBins += 1
+      set(i, budget - n)
+      i
+    }
+  }
+
+  private def set(i: Int, v: Long): Unit = {
+    var node = cap + i
+    tree(node) = v
+    node >>= 1
+    while (node >= 1) {
+      tree(node) = math.max(tree(2 * node), tree(2 * node + 1))
+      node >>= 1
+    }
+  }
+
+  private def grow(): Unit = {
+    val old = tree
+    val oldCap = cap
+    cap *= 2
+    tree = new Array[Long](2 * cap)
+    System.arraycopy(old, oldCap, tree, cap, oldCap)
+    var node = cap - 1
+    while (node >= 1) {
+      tree(node) = math.max(tree(2 * node), tree(2 * node + 1))
+      node -= 1
+    }
   }
 }

@@ -140,6 +140,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(again == out.toSet, "layout must not depend on input partitioning")
   }
 
+  test("FirstFitBins segment tree equals the linear first-fit probe") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val budget = 50 + rnd.nextInt(200)
+      val tree = new FirstFitBins(budget)
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (_ <- 1 to 2000) {
+        val n = 1L + rnd.nextInt(budget)
+        var i = 0
+        while (i < bins.length && bins(i) < n) i += 1
+        if (i == bins.length) bins += (budget - n) else bins(i) -= n
+        assert(tree.place(n) == i, s"trial $trial: tree diverged from linear probe")
+      }
+      assert(tree.size == bins.length)
+      bins.indices.foreach(i => assert(tree.remaining(i) == bins(i)))
+    }
+  }
+
   test("packReport accounts every token and shows the waste/seam tradeoff") {
     val rep = Packing.packReport(docs, "doc_id", "text", budget = 96, buckets = 4)
       .collect()
