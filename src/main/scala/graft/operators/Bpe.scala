@@ -178,6 +178,18 @@ object Bpe {
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     cleanup()
+    encodeWithMerges(docs, idCol, textCol, merges).orderBy(idCol)
+  }
+
+  /** Segmentation under a FROZEN merge table — the pure scan-side half
+    * of [[encodeCorpus]] (train once, deploy the bounded merge list as
+    * a static replace chain). Being a single projection with no join,
+    * shuffle, or state, it runs UNCHANGED on a stream
+    * ([[graft.streaming.EventStreams.bpeEncodeStream]] — the frozen
+    * nb_scores/dsir_score deployment pattern applied to tokenize).
+    * Output (idCol, n_tokens, toks_s), unordered. */
+  def encodeWithMerges(docs: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
     val spaced = concat(lit(" "), regexp_replace(
       regexp_replace(lower(coalesce(col(textCol), lit(""))),
         "[^a-z]+", "|"),
@@ -190,7 +202,6 @@ object Bpe {
           t => t =!= "|" && t =!= "").as("toks"))
       .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
         array_join(col("toks"), " ").as("toks_s"))
-      .orderBy(idCol)
   }
 
   // ------------------------------------------------------------------

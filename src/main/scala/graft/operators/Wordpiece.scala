@@ -193,6 +193,31 @@ object Wordpiece {
       .orderBy("word")
   }
 
+  /** Doc-level ENCODE (the `q_wordpiece_encode` surface) — same shape
+    * as [[Unigram.encodeCorpus]]: greedy segmentation runs ONCE per
+    * distinct word, documents reattach via posexplode → word-key
+    * equi-join → positional reassembly. NOTE the word key here is the
+    * ASCII-tokenized lowercase word (the family's tokenize rule), so
+    * the doc word sequence is the `[^A-Za-z]+`-split sequence. Output
+    * (doc_id, n_tokens, toks_s), doc order; zero-word docs drop. */
+  def encodeCorpus(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", nMerges: Int = 6,
+                   maxPieceLen: Int = 8): DataFrame = {
+    val segs = segmentWords(docs, textCol, nMerges, maxPieceLen)
+      .select(col("word"), split(col("pieces_s"), " ").as("pieces"))
+    val words = docs
+      .select(col(idCol), posexplode(split(lower(coalesce(col(textCol),
+        lit(""))), "[^a-z]+")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    words.join(segs, "word")
+      .groupBy(idCol)
+      .agg(flatten(array_sort(collect_list(struct(col("pos"),
+        col("pieces")))).getField("pieces")).as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+        array_join(col("toks"), " ").as("toks_s"))
+      .orderBy(idCol)
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd

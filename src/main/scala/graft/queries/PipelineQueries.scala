@@ -1093,6 +1093,12 @@ object PipelineQueries {
     "q_wordpiece_segment" -> ((s, d) =>
       graft.operators.Wordpiece.segmentWords(Tables.documents(s, d), "text")),
 
+    // Doc-level WordPiece encode — the q_unigram_encode reattach shape
+    // under the greedy segmentation (segment once per distinct word,
+    // posexplode + word-key join + positional reassembly).
+    "q_wordpiece_encode" -> ((s, d) =>
+      graft.operators.Wordpiece.encodeCorpus(Tables.documents(s, d))),
+
     // BPE merge TRAINING (the iterative loop q_bpe_pairs feeds): four
     // rounds of count-best-pair → merge-everywhere over the
     // frequency-weighted distinct-word vocabulary. The only corpus-scale
@@ -1310,7 +1316,7 @@ object PipelineQueries {
     * walks each word choosing the longest matching piece (lengths
     * probed descending — the exact Scala loop), `##`-prefixed when not
     * word-initial. Covers the 1-char words training drops. */
-  private def wordpieceSegmentOracleSql(nMerges: Int, maxLen: Int): String = {
+  private def wordpieceGreedyCtesSql(nMerges: Int, maxLen: Int): String = {
     def cand(l: Int): String =
       s"(CASE WHEN g.pos = 0 THEN substr(g.word, 1, $l) " +
       s"ELSE '##' || substr(g.word, g.pos + 1, $l) END)"
@@ -1338,11 +1344,30 @@ object PipelineQueries {
      "SELECT word, wcount, pos + l, " +
      "list_append(pieces, CASE WHEN pos = 0 THEN substr(word, 1, l) " +
      "ELSE '##' || substr(word, pos + 1, l) END), m " +
-     s"FROM (SELECT g.*, ($chosen) AS l FROM g WHERE g.pos < length(g.word))) " +
-     "SELECT word, wcount, array_to_string(pieces, ' ') AS pieces_s, " +
+     s"FROM (SELECT g.*, ($chosen) AS l FROM g WHERE g.pos < length(g.word)))")
+  }
+
+  private def wordpieceSegmentOracleSql(nMerges: Int, maxLen: Int): String =
+    (wordpieceGreedyCtesSql(nMerges, maxLen) +
+     " SELECT word, wcount, array_to_string(pieces, ' ') AS pieces_s, " +
      "CAST(len(pieces) AS BIGINT) AS n_pieces FROM g " +
      "WHERE pos = length(word) ORDER BY word")
-  }
+
+  /** Doc-level WordPiece encode replay: the greedy-walk results keyed
+    * by distinct word, reattached to the `[^a-z]+`-split lowercase doc
+    * word sequence by position — the q_unigram_encode join shape. */
+  private def wordpieceEncodeOracleSql(nMerges: Int, maxLen: Int): String =
+    (wordpieceGreedyCtesSql(nMerges, maxLen) + ", " +
+     "gs AS (SELECT word, pieces FROM g WHERE pos = length(word)), " +
+     "dwords AS (SELECT doc_id, unnest(ws) AS word, " +
+     "generate_subscripts(ws, 1) AS wpos FROM " +
+     "(SELECT doc_id, string_split_regex(lower(coalesce(text, '')), " +
+     "'[^a-z]+') AS ws FROM documents)), " +
+     "enc AS (SELECT d.doc_id, flatten(list(s.pieces ORDER BY d.wpos)) AS toks " +
+     "FROM (SELECT * FROM dwords WHERE word != '') d " +
+     "JOIN gs s ON d.word = s.word GROUP BY d.doc_id) " +
+     "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+     "array_to_string(toks, ' ') AS toks_s FROM enc ORDER BY doc_id")
 
   private def bpeTrainOracleSql(nMerges: Int): String = {
     val out = (1 to nMerges).map { r =>
@@ -1567,6 +1592,8 @@ object PipelineQueries {
     "q_wordpiece_train" -> wordpieceTrainOracleSql(6),
 
     "q_wordpiece_segment" -> wordpieceSegmentOracleSql(6, 8),
+
+    "q_wordpiece_encode" -> wordpieceEncodeOracleSql(6, 8),
 
     "q_bpe_train" -> bpeTrainOracleSql(4),
 

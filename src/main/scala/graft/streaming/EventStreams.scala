@@ -328,6 +328,20 @@ object EventStreams {
         (col(valueCol) - col("ref_mean")) / col("ref_std")))
       .filter(abs(col("z")) > threshold)
 
+  /** Streaming corpus tokenize under a FROZEN BPE merge table — the
+    * production deployment shape of the tokenizer (train once in
+    * batch, tokenize the ingest stream forever): the bounded merge
+    * list compiles into [[graft.operators.Bpe.encodeWithMerges]]'s
+    * static replace chain, a single scan-side projection — STATELESS
+    * (zero state-store operators, no watermark, no join), a merge
+    * refresh is a query restart with a new list. Emits exactly the
+    * batch encode's (id, n_tokens, toks_s) per arriving doc
+    * (bit-for-bit parity spec-asserted — the frozen nb_scores /
+    * dsir_score deployment pattern applied to tokenize). */
+  def bpeEncodeStream(stream: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame =
+    graft.operators.Bpe.encodeWithMerges(stream, idCol, textCol, merges)
+
   /** Streaming robust outlier gate — the streaming shape of
     * Events.robustOutliers, same pattern as [[anomalyStream]]: the
     * per-type (median, MAD) come from a STATIC snapshot

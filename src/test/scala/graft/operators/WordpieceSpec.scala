@@ -77,6 +77,24 @@ class WordpieceSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("encodeCorpus token streams strip to the doc's word characters") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val enc = Wordpiece.encodeCorpus(docs, "doc_id", "text").collect()
+    assert(enc.nonEmpty)
+    val source = docs.select(col("doc_id"), coalesce(col("text"), lit("")))
+      .as[(Long, String)].collect().toMap
+    enc.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = r.getAs[String]("toks_s").split(" ")
+      assert(toks.length.toLong == r.getAs[Long]("n_tokens"))
+      val words = source(id).toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      assert(toks.map(_.stripPrefix("##")).mkString("") == words.mkString(""),
+        s"doc $id: de-prefixed tokens must concatenate to its word chars")
+    }
+  }
+
   test("merged pieces actually fire: some segmentation is shorter than " +
        "its character count") {
     val segs = Wordpiece.segmentWords(docs, "text").collect()

@@ -808,6 +808,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bpeEncodeStream tokenizes arriving docs bit-for-bit like the " +
+       "batch encode, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, sf())
+    val merges = graft.operators.Bpe.trainMerges(docs, "text", nMerges = 4)
+      .select("pair_a", "pair_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(merges.nonEmpty, "fixture must learn at least one merge")
+    val batch = graft.operators.Bpe
+      .encodeCorpus(docs, "doc_id", "text", nMerges = 4)
+      .collect().map(_.toString).toSet
+    val rows = docs.select($"doc_id", coalesce($"text", lit("")).as("text"))
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = bpeEncodeStream(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .writeStream.format("memory").queryName("bpenc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bpenc").collect().map(_.toString).toSet
+      assert(streamed == batch,
+        "stream must emit exactly the batch encode's token streams")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the frozen-merge tokenize must run with zero state-store operators")
+    } finally q.stop()
+  }
+
   test("benchmarkNgrams gate refuses an oversized vocabulary") {
     import spark.implicits._
     val big = (1L to 50L)
