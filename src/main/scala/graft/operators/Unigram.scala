@@ -172,6 +172,31 @@ object Unigram {
       .orderBy("word")
   }
 
+  /** Whole-document tokenize under a FROZEN vocab — the deploy-time
+    * scan-side form (no join, no reassembly): split on spaces, Viterbi
+    * each word, concatenate in word order. Exactly the token stream
+    * [[encodeCorpus]] emits for the same doc (the join-based batch
+    * shape exists so segmentation runs once per DISTINCT word; this
+    * form re-segments per occurrence — the right trade on a stream,
+    * where there is no corpus to dedup against). Empty-word docs yield
+    * no tokens (the batch inner join drops them the same way). */
+  def encodeTokens(text: String, vocab: collection.Map[String, Double],
+                   maxLen: Int): Seq[String] =
+    text.split(" ").iterator.filter(_.nonEmpty)
+      .flatMap(w => viterbi(w, vocab, maxLen)._1).toSeq
+
+  /** The trained vocab as a driver map (piece → prob) — the frozen
+    * snapshot [[encodeTokens]] / the streaming twin deploy. Bounded:
+    * alphabet + topMulti pieces. */
+  def vocabSnapshot(docs: DataFrame, textCol: String = "text",
+                    maxPieceLen: Int = 4, topMulti: Int = 150,
+                    minCount: Int = 2): Map[String, Double] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, textCol, maxPieceLen, topMulti, minCount)
+      .select("piece", "prob").as[(String, Double)].collect().toMap
+  }
+
   /** Doc-level ENCODE (the `q_unigram_encode` surface): per-document
     * token streams under the trained vocab — the production tokenize
     * step, making the word-key reattach shape driver-visible (the

@@ -1099,6 +1099,16 @@ object PipelineQueries {
     "q_wordpiece_encode" -> ((s, d) =>
       graft.operators.Wordpiece.encodeCorpus(Tables.documents(s, d))),
 
+    // Cross-family tokenizer comparison: occurrence-weighted fertility
+    // (tokens/word) and compression (chars/token) for the three trained
+    // families over the same corpus — each scored on its OWN word
+    // universe (the comparison's point). Exact-long totals; the two
+    // ratios are single IEEE divisions replayed by the oracle, whose
+    // three training replays nest as independent WITH scopes inside
+    // MATERIALIZED CTEs (no CTE-name collisions, no inlining blowup).
+    "q_tokenizer_report" -> ((s, d) =>
+      graft.operators.TokenizerReport.report(Tables.documents(s, d))),
+
     // BPE merge TRAINING (the iterative loop q_bpe_pairs feeds): four
     // rounds of count-best-pair → merge-everywhere over the
     // frequency-weighted distinct-word vocabulary. The only corpus-scale
@@ -1369,6 +1379,39 @@ object PipelineQueries {
      "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
      "array_to_string(toks, ' ') AS toks_s FROM enc ORDER BY doc_id")
 
+  /** Tokenizer-comparison oracle: the three family replays run as
+    * INDEPENDENT nested WITH scopes inside MATERIALIZED CTEs (their
+    * internal names — v0.., w1.., wc.. — would collide in one flat
+    * WITH), then one stats union + the two exact-long IEEE ratios. */
+  private def tokenizerReportOracleSql: String = {
+    val bpeInner = bpeCtesSql(4) +
+      ", ones AS (SELECT w, count(*) AS c FROM (SELECT lower(t.w0) AS w " +
+      "FROM (SELECT unnest(string_split_regex(coalesce(text, ''), " +
+      "'[^A-Za-z]+')) AS w0 FROM documents) t WHERE length(t.w0) = 1) " +
+      "GROUP BY w) " +
+      "SELECT c, length(w) AS chars, len(string_split(repr, ' ')) AS np FROM v4 " +
+      "UNION ALL SELECT c, 1 AS chars, 1 AS np FROM ones"
+    val ugInner = unigramCtesSql +
+      " SELECT word, wcount, CAST(len(pieces) AS BIGINT) AS n_pieces FROM w1_s"
+    ("WITH bseg AS MATERIALIZED (" + bpeInner + "), " +
+     "wseg AS MATERIALIZED (" + wordpieceSegmentOracleSql(6, 8) + "), " +
+     "useg AS MATERIALIZED (" + ugInner + "), " +
+     "fams AS (" +
+     "SELECT 'bpe' AS family, CAST(sum(c) AS BIGINT) AS total_words, " +
+     "CAST(sum(c * chars) AS BIGINT) AS total_chars, " +
+     "CAST(sum(c * np) AS BIGINT) AS total_tokens FROM bseg " +
+     "UNION ALL SELECT 'wordpiece', CAST(sum(wcount) AS BIGINT), " +
+     "CAST(sum(wcount * length(word)) AS BIGINT), " +
+     "CAST(sum(wcount * n_pieces) AS BIGINT) FROM wseg " +
+     "UNION ALL SELECT 'unigram', CAST(sum(wcount) AS BIGINT), " +
+     "CAST(sum(wcount * length(word)) AS BIGINT), " +
+     "CAST(sum(wcount * n_pieces) AS BIGINT) FROM useg) " +
+     "SELECT family, total_words, total_chars, total_tokens, " +
+     "CAST(total_tokens AS DOUBLE) / CAST(total_words AS DOUBLE) AS fertility, " +
+     "CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS chars_per_token " +
+     "FROM fams ORDER BY family")
+  }
+
   private def bpeTrainOracleSql(nMerges: Int): String = {
     val out = (1 to nMerges).map { r =>
       s"SELECT CAST($r AS INT) AS round, a AS pair_a, b AS pair_b, " +
@@ -1594,6 +1637,8 @@ object PipelineQueries {
     "q_wordpiece_segment" -> wordpieceSegmentOracleSql(6, 8),
 
     "q_wordpiece_encode" -> wordpieceEncodeOracleSql(6, 8),
+
+    "q_tokenizer_report" -> tokenizerReportOracleSql,
 
     "q_bpe_train" -> bpeTrainOracleSql(4),
 

@@ -342,6 +342,34 @@ object EventStreams {
                       merges: Seq[(String, String)]): DataFrame =
     graft.operators.Bpe.encodeWithMerges(stream, idCol, textCol, merges)
 
+  /** Streaming unigram-LM tokenize under a FROZEN vocab snapshot
+    * ([[graft.operators.Unigram.vocabSnapshot]]): whole-doc Viterbi
+    * per arriving row via mapPartitions with the bounded vocab
+    * broadcast — STATELESS (zero state-store operators, no watermark,
+    * no join: the batch op's distinct-word join exists to dedup
+    * segmentation work across a corpus; a stream has no corpus, so the
+    * scan-side form re-segments per occurrence). Emits exactly the
+    * batch [[graft.operators.Unigram.encodeCorpus]] rows per doc
+    * (bit-for-bit parity spec-asserted); zero-word docs drop, matching
+    * the batch inner join. */
+  def unigramEncodeStream(stream: DataFrame, idCol: String, textCol: String,
+                          vocab: Map[String, Double],
+                          maxLen: Int = 4): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    stream.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")).as("__text"))
+      .as[(Long, String)].mapPartitions { it =>
+        val v = bc.value
+        it.flatMap { case (id, text) =>
+          val toks = graft.operators.Unigram.encodeTokens(text, v, maxLen)
+          if (toks.isEmpty) Iterator.empty
+          else Iterator.single((id, toks.length.toLong, toks.mkString(" ")))
+        }
+      }.toDF(idCol, "n_tokens", "toks_s")
+  }
+
   /** Streaming robust outlier gate — the streaming shape of
     * Events.robustOutliers, same pattern as [[anomalyStream]]: the
     * per-type (median, MAD) come from a STATIC snapshot

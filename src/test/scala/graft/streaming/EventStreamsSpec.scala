@@ -838,6 +838,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("unigramEncodeStream tokenizes arriving docs bit-for-bit like the " +
+       "batch encode, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, sf())
+    val vocab = graft.operators.Unigram.vocabSnapshot(docs, "text")
+    assert(vocab.nonEmpty)
+    val batch = graft.operators.Unigram
+      .encodeCorpus(docs, "doc_id", "text")
+      .collect().map(_.toString).toSet
+    val rows = docs.select($"doc_id", coalesce($"text", lit("")).as("text"))
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = unigramEncodeStream(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", vocab)
+      .writeStream.format("memory").queryName("ugenc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ugenc").collect().map(_.toString).toSet
+      assert(streamed == batch,
+        "stream must emit exactly the batch encode's token streams")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the frozen-vocab tokenize must run with zero state-store operators")
+    } finally q.stop()
+  }
+
   test("benchmarkNgrams gate refuses an oversized vocabulary") {
     import spark.implicits._
     val big = (1L to 50L)
