@@ -626,6 +626,13 @@ object PipelineQueries {
     "q_stream_dedupe" -> ((s, d) =>
       graft.streaming.StreamParity.dedupeParity(s, d)),
 
+    // streaming tokenize (frozen-merge deployment) parity UNDER
+    // RESTART: stateless op, so the certificate is offset recovery (no
+    // doc lost or re-emitted across the checkpointed restart) + token
+    // streams equal to the BATCH encode's oracle, bit-for-bit.
+    "q_stream_tokenize" -> ((s, d) =>
+      graft.streaming.StreamParity.tokenizeParity(s, d)),
+
     // the full curation composition (gates -> exact dedup -> minhash
     // near-dup dedup), summarized per language; oracle-checked — the
     // near-dup stage runs at tau 0.8 where banding recall is verified
@@ -1432,15 +1439,16 @@ object PipelineQueries {
   /** The ENCODE half: every document segmented by the learned merges —
     * the training replay CTEs, then the identical whole-document
     * char-spacing + boundary-marker + nested-replace chain in SQL. */
-  private def bpeEncodeOracleSql(nMerges: Int): String = {
+  private def bpeEncodeOracleSql(nMerges: Int,
+                                 src: String = "documents"): String = {
     var m = "d.sp"
     for (r <- 1 to nMerges; _ <- 1 to graft.operators.Bpe.ReplacePasses)
       m = s"replace($m, m$r.pat, m$r.rp)"
     val crosses = (1 to nMerges).map(r => s"CROSS JOIN w$r m$r").mkString(" ")
-    s"${bpeCtesSql(nMerges)}, " +
+    s"${bpeCtesSql(nMerges, src)}, " +
     "sp AS (SELECT doc_id, ' ' || regexp_replace(regexp_replace(" +
     "lower(coalesce(text, '')), '[^a-z]+', '|', 'g'), '(.)', '\\1 ', 'g') " +
-    "AS sp FROM documents), " +
+    s"AS sp FROM $src), " +
     s"enc AS (SELECT doc_id, trim($m) AS seg FROM sp d $crosses), " +
     "tk AS (SELECT doc_id, list_filter(string_split(seg, ' '), " +
     "t -> t != '|' AND t != '') AS toks FROM enc) " +
@@ -1448,13 +1456,14 @@ object PipelineQueries {
     "array_to_string(toks, ' ') AS toks_s FROM tk ORDER BY doc_id"
   }
 
-  private def bpeCtesSql(nMerges: Int): String = {
+  private def bpeCtesSql(nMerges: Int,
+                         src: String = "documents"): String = {
     val base =
       "WITH v0 AS (SELECT w, count(*) AS c, " +
       "trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS repr FROM " +
       "(SELECT lower(t.w0) AS w FROM " +
       "(SELECT unnest(string_split_regex(coalesce(text, ''), " +
-      "'[^A-Za-z]+')) AS w0 FROM documents) t " +
+      s"'[^A-Za-z]+')) AS w0 FROM $src) t " +
       "WHERE length(t.w0) >= 2) GROUP BY w)"
     base + bpeRoundsSql(nMerges)
   }
@@ -2171,6 +2180,12 @@ object PipelineQueries {
        "SELECT event_id, user_id, event_type, value, " +
        "strftime(t, '%Y-%m-%d %H:%M:%S') AS ts_s FROM slice " +
        "ORDER BY event_id"),
+
+    // the stream tokenizes the doc slice with merges trained on the
+    // same slice — the oracle is the BATCH encode replay restricted to
+    // that slice (training and segmentation both run over it)
+    "q_stream_tokenize" -> bpeEncodeOracleSql(4,
+      "(SELECT * FROM documents ORDER BY doc_id LIMIT 2000)"),
 
     "q_asof_join" ->
       ("WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t " +

@@ -65,15 +65,16 @@ object StreamParity {
     * each phase holds that run's updates (merge = later phase wins per
     * key). A hash-green parity row therefore certifies "stream converges
     * to batch UNDER restart", driver-visibly — not just in specs. */
-  private def runRestartedPhases[O](
-      spark: SparkSession, phases: Seq[Seq[Seq[Event]]],
+  private def runRestartedPhases[I, O](
+      spark: SparkSession, phases: Seq[Seq[Seq[I]]],
       mode: OutputMode,
-      build: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[_])(
-      implicit enc: org.apache.spark.sql.Encoder[O]): Seq[Seq[O]] = {
+      build: org.apache.spark.sql.Dataset[I] => org.apache.spark.sql.Dataset[_])(
+      implicit encI: org.apache.spark.sql.Encoder[I],
+      encO: org.apache.spark.sql.Encoder[O]): Seq[Seq[O]] = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val mem = MemoryStream[Event]
+    val mem = MemoryStream[I]
     val stream = build(mem.toDS()).toDF()
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
     // the memory sink cannot recover from a checkpoint — foreachBatch is
@@ -130,7 +131,7 @@ object StreamParity {
     val (h1, h2) = rows.splitAt(rows.size / 2)
     val far1 = new Timestamp(maxMs + (gapSeconds + 86400L) * 1000L)
     val far2 = new Timestamp(far1.getTime + (gapSeconds + 86400L) * 1000L)
-    val collected = runRestartedPhases[Session](spark,
+    val collected = runRestartedPhases[Event, Session](spark,
       Seq(
         Seq(h1),
         Seq(h2,
@@ -161,7 +162,7 @@ object StreamParity {
     import spark.implicits._
     val rows = sliceEvents(spark, sfDir)
     val (h1, h2) = rows.splitAt(rows.size / 2)
-    val collected = runRestartedPhases[FunnelUpdate](spark,
+    val collected = runRestartedPhases[Event, FunnelUpdate](spark,
         Seq(Seq(h1), Seq(h2)), OutputMode.Update,
         ds => EventStreams.funnelStream(ds, stepA, stepB, windowSeconds))
       .foldLeft(Map.empty[Long, FunnelUpdate]) { (acc, phase) =>
@@ -190,7 +191,7 @@ object StreamParity {
     import spark.implicits._
     val rows = sliceEvents(spark, sfDir)
     val (h1, h2) = rows.splitAt(rows.size / 2)
-    val collected = runRestartedPhases[Event](spark,
+    val collected = runRestartedPhases[Event, Event](spark,
         Seq(Seq(h1), Seq(h2)), OutputMode.Update,
         ds => EventStreams.upsertStream(ds))
       .foldLeft(Map.empty[Long, Event]) { (acc, phase) =>
@@ -215,7 +216,7 @@ object StreamParity {
     import spark.implicits._
     val rows = sliceEvents(spark, sfDir)
     val (h1, _) = rows.splitAt(rows.size / 2)
-    val collected = runRestartedPhases[Event](spark,
+    val collected = runRestartedPhases[Event, Event](spark,
       Seq(
         Seq(h1 ++ h1), // in-batch duplicates
         // cross-RESTART replay: the full slice re-feeds after the
@@ -231,5 +232,36 @@ object StreamParity {
         col("value"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
       .orderBy("event_id")
+  }
+
+  /** Streaming-tokenize parity UNDER RESTART (the deployment shape:
+    * merges trained in batch over the slice, the stream tokenizes with
+    * the frozen table): the doc slice splits across a checkpointed
+    * stop/restart through [[EventStreams.bpeEncodeStream]]. The op is
+    * STATELESS, so what the green hash certifies is exactly the
+    * deployment contract — source-offset recovery (no doc lost, none
+    * re-emitted by the restarted query) plus bit-for-bit equality of
+    * every token stream with the BATCH encode's oracle. Constant
+    * `sliceDocs` fixture at every sf (class-doc discipline). */
+  def tokenizeParity(spark: SparkSession, sfDir: String,
+                     sliceDocs: Int = 2000): DataFrame = {
+    import spark.implicits._
+    val slice = Tables.documents(spark, sfDir)
+      .orderBy("doc_id").limit(sliceDocs)
+    val merges = graft.operators.Bpe.trainMerges(slice, "text", nMerges = 4)
+      .select("pair_a", "pair_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val rows = slice
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)].collect().toSeq
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val collected = runRestartedPhases[(Long, String), (Long, Long, String)](
+        spark, Seq(Seq(h1), Seq(h2)), OutputMode.Append,
+        ds => {
+          val df = ds.toDF("doc_id", "text")
+          EventStreams.bpeEncodeStream(df, "doc_id", "text", merges)
+            .as[(Long, Long, String)]
+        }).flatten
+    collected.toDF("doc_id", "n_tokens", "toks_s").orderBy("doc_id")
   }
 }
