@@ -1079,4 +1079,79 @@ object Dedup {
       .withColumn("removed", col("vec_id") =!= col("cluster_id"))
       .orderBy("vec_id")
   }
+
+  /** ExactSubstr duplicate-span REMOVAL — the "cut" step of Lee et al.
+    * 2021 (Deduplicating Training Data Makes Language Models Better),
+    * the dedup mode production LLM pipelines actually deploy: instead of
+    * dropping whole near-dup documents, every w-token span that occurs
+    * in >= 2 DISTINCT documents is excised from all of them, the covered
+    * token runs merged, and the surviving tokens reassembled in order.
+    * `q_shared_spans` reports which docs share spans; this op performs
+    * the surgery and reports what was removed.
+    *
+    * Spark shape (all relational, no per-doc driver work):
+    *  1. posexplode ALL w-token spans in order (native `word_ngrams`,
+    *     one scan) -> (doc_id, pos, md5(span)) with pos = the span's
+    *     start token index. md5, not xxhash64, so the
+    *     duplicate classes are VALUE-IDENTICAL in both engines (any
+    *     astronomically-unlikely collision would agree cross-engine).
+    *  2. cross-doc duplicate classes via ONE partial-agg pass:
+    *     groupBy(h).agg(min,max doc) and keep min<>max — ">= 2 distinct
+    *     docs" without a count(distinct) expansion; the shuffle carries
+    *     (16-byte hash, two longs) regardless of span text width.
+    *  3. flag occurrences (equi-join back on h), expand each flagged
+    *     start to its covered token indexes (sequence + explode of w
+    *     ints), distinct -> the per-doc covered set.
+    *  4. maximal-run count via a per-doc lag window (run starts where
+    *     the previous covered index is not j-1).
+    *  5. kept tokens = posexploded tokens LEFT ANTI covered; per-doc
+    *     positional reassembly (the `q_unigram_encode` idiom).
+    * Every shuffle carries ids + fixed-width ints; nothing is O(n²) in
+    * documents and no doc's text leaves its scan except as kept tokens.
+    * Docs fully covered by duplicate spans come back with empty text
+    * (n_kept = 0) rather than disappearing. */
+  def cutDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int = 6): DataFrame = {
+    require(w > 0, s"w must be positive, got $w")
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val base = docs.select(col(idCol).as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    val spans = base.select(col("doc_id"),
+        posexplode(GraftFunctions.word_ngrams(col("text"), w))
+          .as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), md5(col("s")).as("h"))
+    val dup = spans.groupBy("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
+    val flagged = spans.join(dup, "h").select("doc_id", "pos")
+    val covered = flagged
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("j"))
+      .distinct()
+    val byDoc = Window.partitionBy("doc_id").orderBy("j")
+    val runs = covered
+      .withColumn("prev", lag(col("j"), 1).over(byDoc))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_cut_tokens"),
+        sum(when(col("prev").isNull || col("j") - col("prev") > 1, 1L)
+          .otherwise(0L)).as("n_runs"))
+    val toks = base.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("j", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(array_sort(collect_list(struct(col("j"), col("tok"))))
+          .getField("tok"), " ").as("text_cut"))
+    base.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(runs, Seq("doc_id"), "left_outer")
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        round(coalesce(col("n_cut_tokens"), lit(0L)) /
+          col("n_tokens"), 6).as("cut_frac"),
+        coalesce(col("text_cut"), lit("")).as("text_cut"))
+      .orderBy("doc_id")
+  }
 }

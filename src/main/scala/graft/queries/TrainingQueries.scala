@@ -220,6 +220,15 @@ object TrainingQueries {
         Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))),
         "doc_id", "text", w = 6, minShared = 2, maxDf = 16)),
 
+    // ExactSubstr REMOVAL (Lee et al. 2021 — the cut step): every 6-token
+    // span occurring in >= 2 distinct docs is excised, covered runs
+    // merged, survivors reassembled in order; the recurring exact-dup
+    // texts in the corpus produce whole-doc cuts, chance 6-gram overlaps
+    // produce interior surgical ones
+    "q_dedup_spans_cut" -> ((s, d) =>
+      Dedup.cutDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        w = 6)),
+
     // CCNet paragraph dedup over a planted two-paragraph corpus: para 1 =
     // the doc's own text (exact-dup texts recur in the corpus), para 2 =
     // one of 7 shared boilerplate blocks — both classes of repeat are
@@ -663,6 +672,38 @@ object TrainingQueries {
        "JOIN keep k ON a.sg = k.sg JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id) " +
        "SELECT doc_a, doc_b, count(*) AS n_spans FROM p GROUP BY 1, 2 " +
        "HAVING count(*) >= 2 ORDER BY doc_a, doc_b"),
+
+    // the cut replay: md5 span classes (value-identical to the Spark
+    // side), min<>max for ">= 2 distinct docs", covered = flagged starts
+    // expanded by w, runs via lag, anti-join for kept tokens
+    "q_dedup_spans_cut" ->
+      ("WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t " +
+       "FROM documents), " +
+       "sh AS (SELECT doc_id, [md5(array_to_string(t[i:i+5], ' ')) " +
+       "for i in range(1, len(t)-4)] AS hs FROM toks), " +
+       "sp AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, " +
+       "unnest(hs) AS h FROM sh), " +
+       "dup AS (SELECT h FROM sp GROUP BY h HAVING min(doc_id) <> max(doc_id)), " +
+       "flag AS (SELECT doc_id, pos FROM sp JOIN dup USING (h)), " +
+       "cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 6)) AS j FROM flag), " +
+       "runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_tokens, " +
+       "CAST(sum(CASE WHEN prev IS NULL OR j - prev > 1 THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_runs FROM (SELECT doc_id, j, " +
+       "lag(j) OVER (PARTITION BY doc_id ORDER BY j) AS prev FROM cov) " +
+       "GROUP BY doc_id), " +
+       "tk AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS j, " +
+       "unnest(t) AS tok FROM toks), " +
+       "kept AS (SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.j) " +
+       "AS text_cut FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id " +
+       "AND tk.j = cov.j WHERE cov.j IS NULL GROUP BY tk.doc_id), " +
+       "base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks) " +
+       "SELECT b.doc_id, b.n_tokens, " +
+       "coalesce(r.n_cut_tokens, 0) AS n_cut_tokens, " +
+       "coalesce(r.n_runs, 0) AS n_runs, " +
+       "round(coalesce(r.n_cut_tokens, 0) / b.n_tokens, 6) AS cut_frac, " +
+       "coalesce(k.text_cut, '') AS text_cut " +
+       "FROM base b LEFT JOIN runs r USING (doc_id) " +
+       "LEFT JOIN kept k USING (doc_id) ORDER BY doc_id"),
 
     // CCNet paragraph dedup: first (doc_id, para_idx) per distinct
     // paragraph survives; docs reassembled in original paragraph order

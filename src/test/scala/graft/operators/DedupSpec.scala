@@ -474,6 +474,80 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 5L)))
   }
 
+  // ----------------------------------------------------- cutDuplicateSpans
+
+  /** Driver-side reference for the ExactSubstr cut: spans of w tokens,
+    * duplicate iff the span string occurs in >= 2 distinct docs, covered
+    * indexes merged, survivors rejoined. */
+  private def bruteCut(corpus: Seq[(Long, String)], w: Int)
+      : Seq[(Long, Long, Long, Long, String)] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val spanDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, ts) <- toks; i <- 0 to ts.length - w)
+      spanDocs(ts.slice(i, i + w).mkString(" ")) =
+        spanDocs.getOrElse(ts.slice(i, i + w).mkString(" "), Set()) + id
+    val dup = spanDocs.filter(_._2.size >= 2).keySet
+    toks.map { case (id, ts) =>
+      val covered = (for (i <- 0 to ts.length - w
+             if dup(ts.slice(i, i + w).mkString(" ")); j <- i until i + w)
+        yield j).toSet
+      val runs = covered.toSeq.sorted.foldLeft((0L, -10)) { case ((n, prev), j) =>
+        (if (j - prev > 1) n + 1 else n, j)
+      }._1
+      val kept = ts.indices.filterNot(covered).map(ts)
+      (id, ts.length.toLong, covered.size.toLong, runs, kept.mkString(" "))
+    }
+  }
+
+  test("cutDuplicateSpans excises a shared span, merges overlap, keeps the rest") {
+    // docs 1/2 share exactly "a b c d e f" (two overlapping flagged
+    // starts in doc 1 would still be one run); doc 3 untouched; doc 4 is
+    // shorter than w; doc 5 repeats a span WITHIN itself only -> no cut
+    val df = Seq(
+      (1L, "x a b c d e f y z p q r"),
+      (2L, "m n a b c d e f o w v u"),
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      (4L, "tiny doc"),
+      (5L, "r s t u v w r s t u v w")).toDF("doc_id", "text")
+    val got = Dedup.cutDuplicateSpans(df, "doc_id", "text", w = 6)
+      .select("doc_id", "n_tokens", "n_cut_tokens", "n_runs", "text_cut")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 12L, 6L, 1L, "x y z p q r"),
+      (2L, 12L, 6L, 1L, "m n o w v u"),
+      (3L, 8L, 0L, 0L, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      (4L, 2L, 0L, 0L, "tiny doc"),
+      (5L, 12L, 0L, 0L, "r s t u v w r s t u v w")), s"got $got")
+  }
+
+  test("cutDuplicateSpans fully removes a recurring doc; cut_frac is exact") {
+    val t = "a b c d e f g h"
+    val out = Dedup.cutDuplicateSpans(
+      Seq((1L, t), (2L, t), (3L, doc(7))).toDF("doc_id", "text"),
+      "doc_id", "text", w = 6)
+      .select("doc_id", "n_cut_tokens", "cut_frac", "text_cut")
+      .as[(Long, Long, Double, String)].collect().sortBy(_._1).toSeq
+    assert(out.take(2) == Seq((1L, 8L, 1.0, ""), (2L, 8L, 1.0, "")))
+    assert(out(2)._2 == 0L && out(2)._4 == doc(7))
+  }
+
+  test("cutDuplicateSpans equals the driver brute force on random overlapping docs") {
+    val r = new scala.util.Random(11)
+    // random docs over a TINY vocab so chance 6-gram collisions occur,
+    // plus planted verbatim splices for guaranteed structured overlap
+    val tiny = Vector("p", "q", "r", "s")
+    def rdoc(n: Int) = (1 to n).map(_ => tiny(r.nextInt(tiny.size))).mkString(" ")
+    val base = (1L to 12L).map(i => i -> rdoc(5 + r.nextInt(40)))
+    val spliced = base ++ Seq(
+      13L -> (base(0)._2.split(" ").take(9).mkString(" ") + " " + rdoc(8)),
+      14L -> base(3)._2)
+    val got = Dedup.cutDuplicateSpans(spliced.toDF("doc_id", "text"),
+        "doc_id", "text", w = 6)
+      .select("doc_id", "n_tokens", "n_cut_tokens", "n_runs", "text_cut")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == bruteCut(spliced, 6).sortBy(_._1), s"got $got")
+  }
+
   // ----------------------------------------------------- dedupParagraphs
 
   test("dedupParagraphs keeps first occurrence, reassembles, custom sep") {
