@@ -165,4 +165,44 @@ object Decontaminate {
     (corpus.join(rep.select(col("doc_id").as("__contaminated_id")),
       col(idCol) === col("__contaminated_id"), "left_anti"), cleanup)
   }
+
+  /** SURGICAL decontamination: instead of dropping whole contaminated
+    * documents ([[clean]]), excise exactly the benchmark-colliding
+    * w-gram spans and keep the rest of each document — the span-removal
+    * posture (the FLAN/eval-leak variant of Lee et al.'s ExactSubstr
+    * cut) for corpora where whole-doc drops waste too much clean text.
+    *
+    * Flagging rule: a span-start occurrence (doc, pos) is flagged when
+    * its w-gram appears ANYWHERE in the benchmark (positional
+    * `word_ngrams` on the corpus side — every occurrence, not the
+    * per-doc-distinct set the report counts). The benchmark side is the
+    * same size-gated broadcast distinct-n-gram set as [[report]]; the
+    * covered-run merge / reassembly is [[Dedup.cutFlaggedSpans]].
+    * Returns one row per corpus doc (untouched docs included, cut_frac
+    * 0) — the write-back shape a curation pipeline wants. */
+  def cutContaminated(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                      textCol: String, w: Int = 5,
+                      maxBroadcast: Long = MaxBroadcastNgrams): DataFrame =
+    cutContaminatedManaged(corpus, benchmark, idCol, textCol, w,
+      maxBroadcast)._1
+
+  /** [[cutContaminated]] plus the cache-lifecycle handle: (plan,
+    * cleanup). Invoke cleanup after the cut output is materialized. */
+  def cutContaminatedManaged(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String, w: Int = 5,
+                             maxBroadcast: Long = MaxBroadcastNgrams)
+      : (DataFrame, () => Unit) = {
+    require(w > 0, s"w must be positive, got $w")
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val base = corpus.select(col(idCol).as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    val (bench, _, cleanup) =
+      benchNgramsManaged(benchmark, textCol, w, maxBroadcast)
+    val flagged = base.select(col("doc_id"),
+        posexplode(GraftFunctions.word_ngrams(col("text"), w))
+          .as(Seq("pos", "sg")))
+      .join(bench, Seq("sg"), "left_semi")
+      .select("doc_id", "pos")
+    (Dedup.cutFlaggedSpans(base, flagged, w), cleanup)
+  }
 }

@@ -1124,6 +1124,17 @@ object Dedup {
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx")).select("h")
     val flagged = spans.join(dup, "h").select("doc_id", "pos")
+    cutFlaggedSpans(base, flagged, w)
+  }
+
+  /** Shared span surgery: given `base` (doc_id, text) and `flagged`
+    * (doc_id, pos) span-start occurrences, excise the covered w-token
+    * windows and reassemble. Covered-index expansion, maximal-run count
+    * (per-doc lag window), LEFT ANTI kept tokens, positional
+    * reassembly — steps 3-5 of [[cutDuplicateSpans]], reused by
+    * [[Decontaminate.cutContaminated]] with a different flagging rule. */
+  private[operators] def cutFlaggedSpans(base: DataFrame, flagged: DataFrame,
+                                         w: Int): DataFrame = {
     val covered = flagged
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("j"))

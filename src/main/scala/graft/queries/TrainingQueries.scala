@@ -229,6 +229,18 @@ object TrainingQueries {
       Dedup.cutDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
         w = 6)),
 
+    // surgical decontamination: the q_decontaminate fixture (benchmark =
+    // doc_id % 11 == 0) but benchmark-colliding 5-gram spans are EXCISED
+    // from the corpus docs instead of the docs being dropped
+    "q_decontaminate_cut" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("text", coalesce(col("text"), lit("")))
+      Decontaminate.cutContaminated(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0),
+        "doc_id", "text", w = 5)
+    }),
+
     // CCNet paragraph dedup over a planted two-paragraph corpus: para 1 =
     // the doc's own text (exact-dup texts recur in the corpus), para 2 =
     // one of 7 shared boilerplate blocks — both classes of repeat are
@@ -697,6 +709,42 @@ object TrainingQueries {
        "AS text_cut FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id " +
        "AND tk.j = cov.j WHERE cov.j IS NULL GROUP BY tk.doc_id), " +
        "base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks) " +
+       "SELECT b.doc_id, b.n_tokens, " +
+       "coalesce(r.n_cut_tokens, 0) AS n_cut_tokens, " +
+       "coalesce(r.n_runs, 0) AS n_runs, " +
+       "round(coalesce(r.n_cut_tokens, 0) / b.n_tokens, 6) AS cut_frac, " +
+       "coalesce(k.text_cut, '') AS text_cut " +
+       "FROM base b LEFT JOIN runs r USING (doc_id) " +
+       "LEFT JOIN kept k USING (doc_id) ORDER BY doc_id"),
+
+    // surgical-decontamination replay: benchmark (% 11 == 0) distinct
+    // 5-grams, corpus span occurrences joined positionally, then the same
+    // covered/runs/anti-join surgery as q_dedup_spans_cut with w = 5
+    "q_decontaminate_cut" ->
+      ("WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), " +
+       "corp AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs " +
+       "WHERE doc_id % 11 <> 0), " +
+       "bsg AS (SELECT DISTINCT unnest(gs) AS sg FROM " +
+       "(SELECT [array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)] " +
+       "AS gs FROM (SELECT string_split(text, ' ') AS t FROM docs " +
+       "WHERE doc_id % 11 = 0))), " +
+       "sp AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos, " +
+       "unnest(gs) AS sg FROM (SELECT doc_id, " +
+       "[array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)] AS gs " +
+       "FROM corp)), " +
+       "flag AS (SELECT doc_id, pos FROM sp JOIN bsg USING (sg)), " +
+       "cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS j FROM flag), " +
+       "runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_tokens, " +
+       "CAST(sum(CASE WHEN prev IS NULL OR j - prev > 1 THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_runs FROM (SELECT doc_id, j, " +
+       "lag(j) OVER (PARTITION BY doc_id ORDER BY j) AS prev FROM cov) " +
+       "GROUP BY doc_id), " +
+       "tk AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS j, " +
+       "unnest(t) AS tok FROM corp), " +
+       "kept AS (SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.j) " +
+       "AS text_cut FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id " +
+       "AND tk.j = cov.j WHERE cov.j IS NULL GROUP BY tk.doc_id), " +
+       "base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM corp) " +
        "SELECT b.doc_id, b.n_tokens, " +
        "coalesce(r.n_cut_tokens, 0) AS n_cut_tokens, " +
        "coalesce(r.n_runs, 0) AS n_runs, " +

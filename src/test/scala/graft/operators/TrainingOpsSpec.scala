@@ -207,6 +207,50 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r1.filter(col("n_shared") < 3).count() == 0)
   }
 
+  test("cutContaminated excises exactly the benchmark-colliding spans") {
+    // bench holds "a b c d e"; corpus doc 1 embeds it mid-text, doc 2 is
+    // clean, doc 3 embeds two separated copies (two runs)
+    val bench = Seq((100L, "z z a b c d e z z")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "u v a b c d e w x"),
+      (2L, "u v w x y u v w x"),
+      (3L, "a b c d e u u u a b c d e")).toDF("doc_id", "text")
+    val got = Decontaminate.cutContaminated(corpus, bench, "doc_id", "text",
+        w = 5)
+      .select("doc_id", "n_tokens", "n_cut_tokens", "n_runs", "text_cut")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // doc 1: also matches "z z a b c"? no — corpus has "u v a b c".
+    // Only the exact 5-gram "a b c d e" (and bench grams containing it)
+    // can collide; bench grams are windows of its own text, and the only
+    // one present in doc 1 is "a b c d e" itself.
+    assert(got == Seq(
+      (1L, 9L, 5L, 1L, "u v w x"),
+      (2L, 9L, 0L, 0L, "u v w x y u v w x"),
+      (3L, 13L, 10L, 2L, "u u u")), s"got $got")
+  }
+
+  test("cutContaminated agrees with report: cut docs == flagged docs, " +
+      "and a doc-level benchmark copy is fully erased") {
+    val corpus0 = docs.filter(col("doc_id") % 11 =!= 0)
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+    val leaked = bench.limit(1).select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars"))
+    val corpus = corpus0.unionByName(leaked)
+    val cut = Decontaminate.cutContaminated(corpus, bench, "doc_id", "text",
+      w = 5).cache()
+    try {
+      val cutIds = cut.filter(col("n_cut_tokens") > 0)
+        .select("doc_id").as[Long].collect().toSet
+      val flaggedIds = Decontaminate.report(corpus, bench, "doc_id", "text",
+        w = 5, minShared = 1).select("doc_id").as[Long].collect().toSet
+      assert(cutIds == flaggedIds, "span surgery and doc flagging disagree")
+      val erased = cut.filter(col("doc_id") >= 1000000L)
+        .select("cut_frac", "text_cut").as[(Double, String)].collect()
+      assert(erased.toSeq == Seq((1.0, "")), "verbatim leak must vanish")
+      assert(cut.count() == corpus.count(), "every corpus doc gets a row")
+    } finally cut.unpersist()
+  }
+
   // ------------------------------------------------- cluster best/mixture
 
   test("bestPerCluster keeps the max-quality member, ties to min id") {
