@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontaminate, Dedup, LanguageModel, Multimodal, Packing, Redaction, Sampling, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Export, LanguageModel, Multimodal, Packing, Redaction, Sampling, TextAnalysis}
 import graft.tables.Tables
 
 /** SURVEY.md §2.2 additions (r6) — deterministic sampling, sequence
@@ -17,6 +17,18 @@ object TrainingQueries {
   /** DuckDB twin of Sampling.hashKey. */
   private def keySql(id: String, seed: String = "s42"): String =
     s"substr(md5('$seed|' || CAST($id AS VARCHAR)), 1, 4)"
+
+  /** Fold the first `n` hex nibbles of `hx` into a BIGINT — the DuckDB
+    * replay of Spark's `conv(substr(md5(..),1,n),16,10)` (n <= 15 keeps
+    * the value inside a signed 64-bit long). Explicit power literals, no
+    * floating pow. */
+  private def hexFoldSql(hx: String, n: Int): String = {
+    require(n >= 1 && n <= 15)
+    (1 to n).map { i =>
+      val pow = java.math.BigInteger.valueOf(16L).pow(n - i)
+      s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+  }
 
   /** The DSIR estimator's CTE chain (through the per-bucket λ table) —
     * shared by q_dsir_weights and q_dsir_select. */
@@ -211,6 +223,12 @@ object TrainingQueries {
           shards = 16)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")),
+
+    // the export sink's manifest: 16 epochShuffle-keyed shards, per-shard
+    // doc/token/char counts + an order-independent id-salted XOR checksum
+    "q_export_manifest" -> ((s, d) =>
+      Export.shardManifest(Tables.documents(s, d), "doc_id", "text",
+        seed = "s42", shards = 16)),
 
     // absolute span overlap (Lee et al. ExactSubstr analog): pairs
     // sharing >= 2 distinct 6-token spans, boilerplate grams (df > 16)
@@ -670,6 +688,27 @@ object TrainingQueries {
        "CAST(row_number() OVER (PARTITION BY substr(key, 1, 1) " +
        "ORDER BY key, doc_id) AS BIGINT) AS pos " +
        "FROM k ORDER BY shard, pos"),
+
+    // manifest replay: shard = leading key nibble (16 shards ≡ top 4 of
+    // the 32 leading key bits the Spark side divides), checksum = XOR of
+    // the 15-nibble fold of md5(id|text) — id-salted so duplicate texts
+    // cannot cancel
+    "q_export_manifest" ->
+      ("WITH v AS (SELECT doc_id, " +
+       "CAST(strpos('0123456789abcdef', " +
+       s"substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard, " +
+       "CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS tok, " +
+       "CAST(length(coalesce(text, '')) AS BIGINT) AS chr, " +
+       "CAST(" +
+       hexFoldSql("md5(CAST(doc_id AS VARCHAR) || '|' || coalesce(text, ''))",
+         15) +
+       " AS BIGINT) AS hv FROM documents) " +
+       "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(sum(tok) AS BIGINT) AS n_tokens, " +
+       "CAST(sum(chr) AS BIGINT) AS n_chars, " +
+       "CAST(bit_xor(hv) AS BIGINT) AS checksum, " +
+       "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+       "FROM v GROUP BY shard ORDER BY shard"),
 
     // 6-token spans: t[i:i+5] is 1-based INCLUSIVE (6 elements); df gate
     // 2..16 BEFORE pairing, >= 2 shared spans per pair
