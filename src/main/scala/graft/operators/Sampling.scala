@@ -195,4 +195,67 @@ object Sampling {
       .orderBy(hashKey(seed, col(idCol)), col(idCol))
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
   }
+
+  /** TOKEN-budget mixture realization, exact ANCHOR: per source, take
+    * docs in deterministic hash-key order until the next doc would push
+    * the source's running token total past `budget` — the step that
+    * turns mixture weights into an actual training corpus ("give me N
+    * tokens of each source, reproducibly"). Docs are kept whole (the
+    * boundary-crossing doc is dropped, not truncated — packing owns
+    * sub-doc layout).
+    *
+    * The per-source cumulative sum is a window over a NARROW
+    * (id, source, n_tok, key) projection (the epochShuffle discipline —
+    * text never enters the sort). Like [[exactPerStratum]] this anchors
+    * the pair: a 100 TB source serializes its window in one task, so at
+    * scale use [[takeTokenBudgetRate]] — the scan-side thinning twin
+    * whose expected kept-token mass is the same budget. */
+  def takeTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                      srcCol: String, budget: Long,
+                      seed: String = "s42"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val narrow = docs.select(col(idCol).as("doc_id"),
+      col(srcCol).as("source"),
+      size(org.apache.spark.sql.functions.split(
+        coalesce(col(textCol), lit("")), " ")).cast("long").as("n_tok"),
+      hashKey(seed, col(idCol)).as("__key"))
+    val w = Window.partitionBy("source").orderBy(col("__key"), col("doc_id"))
+    narrow.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+      .select("doc_id", "source", "n_tok", "cum_tok")
+      .orderBy("source", "cum_tok", "doc_id")
+  }
+
+  /** TOKEN-budget mixture realization, scale TWIN: thin each source at
+    * rate budget/total_tokens with the content-keyed threshold, so the
+    * EXPECTED kept token mass per source is the budget while the whole
+    * op stays one bounded per-source aggregate plus a scan-side filter
+    * (no window, no per-source serialization). The threshold is derived
+    * in integer arithmetic — floor(budget·2¹⁶ / total) — so both
+    * engines agree bit-for-bit; sources already under budget keep
+    * everything. */
+  def takeTokenBudgetRate(docs: DataFrame, idCol: String, textCol: String,
+                          srcCol: String, budget: Long,
+                          seed: String = "s42"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val tok = size(org.apache.spark.sql.functions.split(
+      coalesce(col(textCol), lit("")), " ")).cast("long")
+    // bounded driver collect: one row per source (the mixture's stratum
+    // count, thousands at most), same posture as the stratified rate map
+    val totals = docs.groupBy(col(srcCol).as("source"))
+      .agg(sum(tok).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val keep = totals.sortBy(_._1).foldRight(lit(false)) {
+      case ((src, tot), rest) =>
+        val thr16 = math.min(65536L, budget * 65536L / tot)
+        val cond =
+          if (thr16 >= 65536L) lit(true)
+          else hashKey(seed, col(idCol)) < lit(f"$thr16%04x")
+        when(col(srcCol) === lit(src), cond).otherwise(rest)
+    }
+    docs.filter(keep)
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        tok.as("n_tok"))
+      .orderBy("source", "doc_id")
+  }
 }

@@ -182,6 +182,18 @@ object TrainingQueries {
       TextAnalysis.mixtureWeights(Tables.documents(s, d), "text",
         Seq("lang", "source")).orderBy("lang", "source")),
 
+    // token-budget mixture REALIZATION, exact anchor: per source, docs in
+    // hash-key order until the next doc would cross 800 tokens
+    "q_mixture_take" -> ((s, d) =>
+      Sampling.takeTokenBudget(Tables.documents(s, d), "doc_id", "text",
+        "source", budget = 800L)),
+
+    // the scan-side scale twin: per-source thinning at the integer-exact
+    // rate floor(budget·2^16 / total_tokens) — expected kept mass = budget
+    "q_mixture_take_rate" -> ((s, d) =>
+      Sampling.takeTokenBudgetRate(Tables.documents(s, d), "doc_id", "text",
+        "source", budget = 800L)),
+
     // feature extraction over the synthesized containers: 8-bin byte
     // histogram via the native byte_histogram Expression; the oracle
     // re-derives every byte from the hex reconstruction — a histogram
@@ -631,6 +643,31 @@ object TrainingQueries {
        "SELECT lang, source, count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens, " +
        "round(CAST(SUM(ntok) AS DOUBLE) / CAST(SUM(SUM(ntok)) OVER () AS DOUBLE), 6) AS weight " +
        "FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // budget-take replay: per-source cumulative token sum in
+    // (hash key, doc_id) order, keep while cum <= 800
+    "q_mixture_take" ->
+      ("WITH v AS (SELECT doc_id, source, " +
+       "CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok, " +
+       s"${keySql("doc_id")} AS key FROM documents), " +
+       "c AS (SELECT doc_id, source, n_tok, " +
+       "CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY key, doc_id) " +
+       "AS BIGINT) AS cum_tok FROM v) " +
+       "SELECT doc_id, source, n_tok, cum_tok FROM c WHERE cum_tok <= 800 " +
+       "ORDER BY source, cum_tok, doc_id"),
+
+    // rate-twin replay: integer threshold floor(800·2^16 / total) per
+    // source, keep iff the 4-nibble key fold compares under it
+    "q_mixture_take_rate" ->
+      ("WITH v AS (SELECT doc_id, source, " +
+       "CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok, " +
+       "CAST(" +
+       hexFoldSql("md5('s42|' || CAST(doc_id AS VARCHAR))", 4) +
+       " AS BIGINT) AS k16 FROM documents), " +
+       "thr AS (SELECT source, least(65536, 800 * 65536 // " +
+       "CAST(sum(n_tok) AS BIGINT)) AS t16 FROM v GROUP BY source) " +
+       "SELECT doc_id, source, n_tok FROM v JOIN thr USING (source) " +
+       "WHERE t16 >= 65536 OR k16 < t16 ORDER BY source, doc_id"),
 
     "q_multimodal_features" ->
       (s"WITH p AS (SELECT doc_id, $PayloadHexSql AS hx FROM documents), " +

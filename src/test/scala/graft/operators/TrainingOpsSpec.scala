@@ -251,6 +251,58 @@ class TrainingOpsSpec extends SparkSpec {
     } finally cut.unpersist()
   }
 
+  // --------------------------------------------------- token-budget take
+
+  private def jvmKey(seed: String, id: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$seed|$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 4)
+  }
+
+  test("takeTokenBudget: maximal prefix in key order, never over budget") {
+    val data = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("source"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long"))
+      .as[(Long, String, Long)].collect().toSeq
+    val budget = 2000L
+    val got = Sampling.takeTokenBudget(Tables.documents(spark, sf()),
+        "doc_id", "text", "source", budget)
+      .select("doc_id", "source", "n_tok", "cum_tok")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // brute force: the longest per-source prefix (in (key, id) order)
+    // whose running total stays <= budget — the cumulative sum includes
+    // every doc in order, so nothing re-enters after the first crossing
+    val expect = data.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val sorted = rows.sortBy(r => (jvmKey("s42", r._1), r._1))
+      val cums = sorted.scanLeft(0L)(_ + _._3).tail
+      sorted.zip(cums).filter(_._2 <= budget)
+        .map { case (r, c) => (r._1, src, r._3, c) }
+    }
+    assert(got.toSet == expect.toSet, "windowed prefix mismatch")
+    assert(got.groupBy(_._2).values.forall(_.map(_._3).sum <= budget))
+  }
+
+  test("takeTokenBudgetRate: exact threshold membership; small sources keep all") {
+    val docs = Tables.documents(spark, sf())
+    val budget = 2000L
+    val data = docs.select(col("doc_id"), col("source"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long"))
+      .as[(Long, String, Long)].collect().toSeq
+    val totals = data.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val got = Sampling.takeTokenBudgetRate(docs, "doc_id", "text", "source",
+        budget).select("doc_id").as[Long].collect().toSet
+    val expect = data.filter { case (id, src, _) =>
+      val thr = math.min(65536L, budget * 65536L / totals(src))
+      thr >= 65536L || java.lang.Long.parseLong(jvmKey("s42", id), 16) < thr
+    }.map(_._1).toSet
+    assert(got == expect, "rate membership must be the exact integer rule")
+    // a tiny source (fewer total tokens than the budget) is kept whole
+    val tiny = Seq((1L, "only three tokens", "small"),
+      (2L, "a b", "small")).toDF("doc_id", "text", "source")
+    assert(Sampling.takeTokenBudgetRate(tiny, "doc_id", "text", "source",
+      budget).count() == 2)
+  }
+
   // ------------------------------------------------- cluster best/mixture
 
   test("bestPerCluster keeps the max-quality member, ties to min id") {
