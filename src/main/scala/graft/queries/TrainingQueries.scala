@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontaminate, Dedup, Export, LanguageModel, Multimodal, Packing, Redaction, Sampling, TextAnalysis}
+import graft.operators.{DataCard, Decontaminate, Dedup, Export, LanguageModel, Multimodal, Packing, Redaction, Sampling, TextAnalysis}
 import graft.tables.Tables
 
 /** SURVEY.md §2.2 additions (r6) — deterministic sampling, sequence
@@ -181,6 +181,12 @@ object TrainingQueries {
     "q_mixture_weights" -> ((s, d) =>
       TextAnalysis.mixtureWeights(Tables.documents(s, d), "text",
         Seq("lang", "source")).orderBy("lang", "source")),
+
+    // per-source corpus data card: volume, exact-dup mass, language mix,
+    // short-doc fraction — the release datasheet row
+    "q_corpus_datacard" -> ((s, d) =>
+      DataCard.bySource(Tables.documents(s, d), "source", "lang", "text",
+        shortTokens = 50)),
 
     // token-budget mixture REALIZATION, exact anchor: per source, docs in
     // hash-key order until the next doc would cross 800 tokens
@@ -643,6 +649,36 @@ object TrainingQueries {
        "SELECT lang, source, count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens, " +
        "round(CAST(SUM(ntok) AS DOUBLE) / CAST(SUM(SUM(ntok)) OVER () AS DOUBLE), 6) AS weight " +
        "FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // data-card replay: same three partial aggs (volume, two-level
+    // distinct-md5 collapse, lang mix + window max with min-lang tie rule)
+    "q_corpus_datacard" ->
+      ("WITH base AS (SELECT source, coalesce(lang, '') AS lang, " +
+       "CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS tok, " +
+       "CAST(length(coalesce(text, '')) AS BIGINT) AS chr, " +
+       "md5(coalesce(text, '')) AS h FROM documents), " +
+       "vol AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(sum(tok) AS BIGINT) AS n_tokens, " +
+       "CAST(sum(chr) AS BIGINT) AS n_chars, " +
+       "CAST(sum(CASE WHEN tok < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short " +
+       "FROM base GROUP BY source), " +
+       "uniq AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique FROM " +
+       "(SELECT source, h FROM base GROUP BY source, h) GROUP BY source), " +
+       "mix AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n " +
+       "FROM base GROUP BY source, lang), " +
+       "lg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs, " +
+       "min(CASE WHEN n = maxn THEN lang END) AS top_lang, " +
+       "CAST(max(n) AS BIGINT) AS top_n FROM " +
+       "(SELECT *, max(n) OVER (PARTITION BY source) AS maxn FROM mix) " +
+       "GROUP BY source) " +
+       "SELECT source, n_docs, n_tokens, n_chars, " +
+       "round(n_tokens / n_docs, 2) AS mean_tokens, " +
+       "round(1e0 - n_unique / n_docs, 4) AS dup_frac, " +
+       "n_langs, top_lang, " +
+       "round(top_n / n_docs, 4) AS top_lang_share, " +
+       "round(n_short / n_docs, 4) AS short_frac " +
+       "FROM vol JOIN uniq USING (source) JOIN lg USING (source) " +
+       "ORDER BY source"),
 
     // budget-take replay: per-source cumulative token sum in
     // (hash key, doc_id) order, keep while cum <= 800

@@ -251,6 +251,24 @@ class TrainingOpsSpec extends SparkSpec {
     } finally cut.unpersist()
   }
 
+  // ------------------------------------------------------------ datacard
+
+  test("dataCard bySource: hand-computed volumes, dup mass, lang mix, ties") {
+    val df = Seq(
+      (1L, "a b c", "en", "A"),   // dup pair with doc 2
+      (2L, "a b c", "en", "A"),
+      (3L, "x", "de", "A"),       // short under shortTokens = 2
+      (4L, "p q", "en", "B"),     // B: en/de tie -> top_lang = min = "de"
+      (5L, "r s", "de", "B")).toDF("doc_id", "text", "lang", "source")
+    val got = DataCard.bySource(df, "source", "lang", "text", shortTokens = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6),
+        r.getString(7), r.getDouble(8), r.getDouble(9))).toSeq
+    assert(got == Seq(
+      ("A", 3L, 7L, 11L, 2.33, 0.3333, 2L, "en", 0.6667, 0.3333),
+      ("B", 2L, 4L, 6L, 2.0, 0.0, 2L, "de", 0.5, 0.0)), s"got $got")
+  }
+
   // --------------------------------------------------- token-budget take
 
   private def jvmKey(seed: String, id: Long): String = {
