@@ -40,7 +40,16 @@ object Export {
     *    diff when a checksum mismatches.
     * One shuffle: the shard groupBy (partial aggs combine map-side). */
   def shardManifest(docs: DataFrame, idCol: String, textCol: String,
-                    seed: String = "s42", shards: Int = 16): DataFrame = {
+                    seed: String = "s42", shards: Int = 16): DataFrame =
+    manifest(docs, idCol, textCol, seed, shards).orderBy("shard")
+
+  /** The manifest aggregation without the presentation sort — every
+    * aggregate here (count / sum / XOR / min / max) is MERGEABLE, so the
+    * identical plan runs as a Structured Streaming stateful aggregation
+    * (each micro-batch folds into per-shard state, nothing reprocesses;
+    * see EventStreams.manifestStream). */
+  def manifest(docs: DataFrame, idCol: String, textCol: String,
+               seed: String = "s42", shards: Int = 16): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
     docs.select(col(idCol).as("doc_id"),
         shardCol(idCol, seed, shards).as("shard"),
@@ -55,7 +64,6 @@ object Export {
         expr("bit_xor(__h)").as("checksum"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
-      .orderBy("shard")
   }
 
   /** Write the docs as a Hive-partitioned shard layout

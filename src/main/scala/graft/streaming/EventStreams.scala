@@ -342,6 +342,19 @@ object EventStreams {
                       merges: Seq[(String, String)]): DataFrame =
     graft.operators.Bpe.encodeWithMerges(stream, idCol, textCol, merges)
 
+  /** Streaming EXPORT-MANIFEST twin: the per-shard manifest maintained
+    * incrementally over an ingest stream — the exact batch
+    * [[graft.operators.Export.manifest]] plan run as a stateful
+    * streaming aggregation (count / sum / XOR / min / max are all
+    * mergeable, so each micro-batch folds into per-shard state and
+    * nothing reprocesses). Run with Complete output mode: the key space
+    * is the bounded shard count, so the full snapshot is tiny, and at
+    * any instant it equals the batch manifest of every row ingested so
+    * far (batch-parity spec across multi-batch feeds). */
+  def manifestStream(stream: DataFrame, idCol: String, textCol: String,
+                     seed: String = "s42", shards: Int = 16): DataFrame =
+    graft.operators.Export.manifest(stream, idCol, textCol, seed, shards)
+
   /** Streaming unigram-LM tokenize under a FROZEN vocab snapshot
     * ([[graft.operators.Unigram.vocabSnapshot]]): whole-doc Viterbi
     * per arriving row via mapPartitions with the bounded vocab

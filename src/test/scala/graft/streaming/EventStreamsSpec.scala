@@ -866,6 +866,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("manifestStream snapshot equals the batch manifest after each batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .select($"doc_id", coalesce($"text", lit("")).as("text"))
+      .as[(Long, String)].collect().toSeq
+    val (b1, rest) = docs.splitAt(docs.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = manifestStream(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", "s42", shards = 8)
+      .writeStream.format("memory").queryName("mfst")
+      .outputMode(OutputMode.Complete).start()
+    def snapshot() = spark.table("mfst").orderBy("shard")
+      .collect().map(_.toString).toSeq
+    def batchOf(rows: Seq[(Long, String)]) = graft.operators.Export
+      .shardManifest(rows.toDF("doc_id", "text"), "doc_id", "text",
+        "s42", shards = 8)
+      .collect().map(_.toString).toSeq
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(snapshot() == batchOf(b1),
+        "mid-stream snapshot must equal the batch manifest of rows so far")
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(snapshot() == batchOf(b1 ++ b2))
+      mem.addData(b3: _*); q.processAllAvailable()
+      assert(snapshot() == batchOf(docs),
+        "final snapshot must equal the full batch manifest")
+      assert(q.lastProgress.stateOperators.nonEmpty,
+        "the manifest is a stateful streaming aggregation")
+    } finally q.stop()
+  }
+
   test("benchmarkNgrams gate refuses an oversized vocabulary") {
     import spark.implicits._
     val big = (1L to 50L)
