@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{DataCard, Decontaminate, Dedup, Export, LanguageModel, Multimodal, Packing, Redaction, Sampling, TextAnalysis}
+import graft.operators.{DataCard, Decontaminate, Dedup, Denoise, Export, LanguageModel, Multimodal, Packing, Redaction, Sampling, TextAnalysis}
 import graft.tables.Tables
 
 /** SURVEY.md §2.2 additions (r6) — deterministic sampling, sequence
@@ -181,6 +181,12 @@ object TrainingQueries {
     "q_mixture_weights" -> ((s, d) =>
       TextAnalysis.mixtureWeights(Tables.documents(s, d), "text",
         Seq("lang", "source")).orderBy("lang", "source")),
+
+    // T5 span corruption (w = 3, thr 4096/2^16): deterministic hash-dealt
+    // span starts, merged runs -> ordered sentinels; (input, target) pair
+    "q_span_corrupt" -> ((s, d) =>
+      Denoise.spanCorrupt(Tables.documents(s, d), "doc_id", "text",
+        w = 3, thr16 = 4096L)),
 
     // per-source corpus data card: volume, exact-dup mass, language mix,
     // short-doc fraction — the release datasheet row
@@ -649,6 +655,45 @@ object TrainingQueries {
        "SELECT lang, source, count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens, " +
        "round(CAST(SUM(ntok) AS DOUBLE) / CAST(SUM(SUM(ntok)) OVER () AS DOUBLE), 6) AS weight " +
        "FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // span-corruption replay: hash-flagged starts (4-nibble fold < 4096),
+    // covered/run machinery, sentinel-spliced input + sentinel-prefixed
+    // target reassembled by position
+    "q_span_corrupt" ->
+      ("WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), " +
+       "tk AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS j, " +
+       "unnest(t) AS tok, len(t) AS len FROM " +
+       "(SELECT doc_id, string_split(text, ' ') AS t FROM base)), " +
+       "flag AS (SELECT doc_id, j AS pos FROM tk WHERE j <= len - 3 AND CAST(" +
+       hexFoldSql("md5('s42|' || CAST(doc_id AS VARCHAR) || '|' || " +
+         "CAST(j AS VARCHAR))", 4) +
+       " AS BIGINT) < 4096), " +
+       "cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 3)) AS j FROM flag), " +
+       "r AS (SELECT doc_id, j, CASE WHEN prev IS NULL OR j - prev > 1 " +
+       "THEN 1 ELSE 0 END AS start FROM (SELECT doc_id, j, " +
+       "lag(j) OVER (PARTITION BY doc_id ORDER BY j) AS prev FROM cov)), " +
+       "rr AS (SELECT doc_id, j, start, sum(start) " +
+       "OVER (PARTITION BY doc_id ORDER BY j) - 1 AS run FROM r), " +
+       "inp AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS input_s FROM (" +
+       "SELECT tk.doc_id, tk.j, tk.tok FROM tk LEFT JOIN cov " +
+       "ON tk.doc_id = cov.doc_id AND tk.j = cov.j WHERE cov.j IS NULL " +
+       "UNION ALL SELECT doc_id, j, " +
+       "'<extra_id_' || CAST(run AS VARCHAR) || '>' FROM rr WHERE start = 1) " +
+       "GROUP BY doc_id), " +
+       "tgt AS (SELECT rr.doc_id, CAST(count(*) AS BIGINT) AS n_corrupt, " +
+       "string_agg(CASE WHEN start = 1 THEN " +
+       "'<extra_id_' || CAST(run AS VARCHAR) || '> ' || tok ELSE tok END, " +
+       "' ' ORDER BY rr.j) AS target_s FROM rr JOIN tk " +
+       "ON rr.doc_id = tk.doc_id AND rr.j = tk.j GROUP BY rr.doc_id), " +
+       "sc AS (SELECT doc_id, CAST(sum(start) AS BIGINT) AS n_spans " +
+       "FROM rr GROUP BY doc_id), " +
+       "b2 AS (SELECT doc_id, text, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM base) " +
+       "SELECT doc_id, n_tokens, coalesce(n_corrupt, 0) AS n_corrupt, " +
+       "coalesce(n_spans, 0) AS n_spans, coalesce(input_s, text) AS input_s, " +
+       "coalesce(target_s, '') AS target_s FROM b2 " +
+       "LEFT JOIN inp USING (doc_id) LEFT JOIN tgt USING (doc_id) " +
+       "LEFT JOIN sc USING (doc_id) ORDER BY doc_id"),
 
     // data-card replay: same three partial aggs (volume, two-level
     // distinct-md5 collapse, lang mix + window max with min-lang tie rule)

@@ -251,6 +251,57 @@ class TrainingOpsSpec extends SparkSpec {
     } finally cut.unpersist()
   }
 
+  // ------------------------------------------------------- span corrupt
+
+  test("spanCorrupt: sentinels round-trip — splicing targets back into " +
+      "inputs reconstructs every original document") {
+    val docs = Tables.documents(spark, sf())
+    val out = Denoise.spanCorrupt(docs, "doc_id", "text", w = 3,
+        thr16 = 4096L)
+      .select("doc_id", "n_tokens", "n_corrupt", "n_spans", "input_s",
+        "target_s")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    val original = docs.select(col("doc_id"),
+        coalesce(col("text"), lit(""))).as[(Long, String)].collect().toMap
+    assert(out.exists(_._4 > 0), "fixture must actually corrupt something")
+    assert(out.exists(_._4 == 0), "some docs must pass through untouched")
+    out.foreach { case (id, nTok, nCorrupt, nSpans, input, target) =>
+      val inToks = input.split(" ", -1)
+      assert(inToks.count(_.startsWith("<extra_id_")) == nSpans)
+      assert(inToks.length - nSpans + nCorrupt == nTok,
+        s"doc $id token accounting broken")
+      // parse target into span k -> tokens
+      val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      var cur = -1
+      target.split(" ", -1).filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<extra_id_")) {
+          cur = t.stripPrefix("<extra_id_").stripSuffix(">").toInt
+          spans(cur) = Vector()
+        } else spans(cur) = spans(cur) :+ t
+      }
+      val rebuilt = inToks.flatMap { t =>
+        if (t.startsWith("<extra_id_")) {
+          val k = t.stripPrefix("<extra_id_").stripSuffix(">").toInt
+          spans(k)
+        } else Seq(t)
+      }.mkString(" ")
+      assert(rebuilt == original(id), s"doc $id does not round-trip")
+    }
+  }
+
+  test("spanCorrupt merges adjacent spans and never corrupts short docs") {
+    val out = Denoise.spanCorrupt(
+      Seq((1L, "a b"), (2L, "a b c d e f g h i j")).toDF("doc_id", "text"),
+      "doc_id", "text", w = 3, thr16 = 65535L) // flag every position
+      .select("doc_id", "n_corrupt", "n_spans", "input_s", "target_s")
+      .as[(Long, Long, Long, String, String)].collect().sortBy(_._1).toSeq
+    // doc 1 is shorter than w -> untouched; doc 2: every start flagged ->
+    // one merged run covering all 10 tokens, one sentinel
+    assert(out(0) == (1L, 0L, 0L, "a b", ""))
+    assert(out(1) == (2L, 10L, 1L, "<extra_id_0>",
+      "<extra_id_0> a b c d e f g h i j"), s"got ${out(1)}")
+  }
+
   // ------------------------------------------------------------ datacard
 
   test("dataCard bySource: hand-computed volumes, dup mass, lang mix, ties") {
