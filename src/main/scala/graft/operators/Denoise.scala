@@ -94,4 +94,55 @@ object Denoise {
         coalesce(col("target_s"), lit("")).as("target_s"))
       .orderBy("doc_id")
   }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): restructure a
+    * hash-chosen fraction of documents into PSM order —
+    * `<PRE> prefix <SUF> suffix <MID> middle` — so an autoregressive
+    * model learns infilling; the rest pass through verbatim (`plain`),
+    * mirroring the paper's fim-rate hyperparameter.
+    *
+    * Fully deterministic, fully scan-side: the apply decision is the
+    * 16-bit md5 threshold (rate = thr16/2¹⁶) and the two token cut
+    * points are independent 32-bit folds of md5(seed|id|p{1,2}) reduced
+    * mod (len+1) — a pure projection, ZERO shuffle (the one ordering is
+    * the presentation sort). Sentinels join as their own tokens via
+    * array concat, so empty prefix/middle/suffix segments never leave
+    * stray separators. Docs under `minTokens` stay plain. */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+                   thr16: Long = 32768L, minTokens: Int = 4,
+                   seed: String = "s42"): DataFrame = {
+    require(thr16 > 0 && thr16 <= 65536L && minTokens >= 2,
+      s"need 0 < thr16 <= 65536 and minTokens >= 2, got ($thr16, $minTokens)")
+    def fold(tag: String, hexLen: Int) =
+      conv(substring(md5(concat(lit(seed + "|"),
+        col("doc_id").cast("string"), lit("|" + tag))), 1, hexLen), 16, 10)
+        .cast("long")
+    val base = docs.select(col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("len", size(col("t")).cast("long"))
+    val withCuts = base
+      .withColumn("apply",
+        col("len") >= minTokens && fold("fim", 4) < thr16)
+      .withColumn("k1", fold("p1", 8) % (col("len") + 1L))
+      .withColumn("k2", fold("p2", 8) % (col("len") + 1L))
+      .withColumn("p1", when(col("apply"), least(col("k1"), col("k2")))
+        .otherwise(lit(null)))
+      .withColumn("p2", when(col("apply"), greatest(col("k1"), col("k2")))
+        .otherwise(lit(null)))
+    withCuts.select(col("doc_id"), col("len").as("n_tokens"),
+        when(col("apply"), lit("psm")).otherwise(lit("plain")).as("mode"),
+        col("p1"), col("p2"),
+        when(col("apply"), array_join(concat(
+            array(lit("<PRE>")),
+            expr("slice(t, 1, cast(p1 as int))"),
+            array(lit("<SUF>")),
+            expr("slice(t, cast(p2 as int) + 1, cast(len - p2 as int))"),
+            array(lit("<MID>")),
+            expr("slice(t, cast(p1 as int) + 1, cast(p2 - p1 as int))")),
+          " "))
+          .otherwise(col("text")).as("fim_s"))
+      .orderBy("doc_id")
+  }
 }

@@ -182,6 +182,12 @@ object TrainingQueries {
       TextAnalysis.mixtureWeights(Tables.documents(s, d), "text",
         Seq("lang", "source")).orderBy("lang", "source")),
 
+    // FIM (fill-in-the-middle) PSM restructuring at fim-rate 1/2: cut
+    // points are 32-bit md5 folds mod (len+1); short docs stay plain
+    "q_fim_transform" -> ((s, d) =>
+      Denoise.fimTransform(Tables.documents(s, d), "doc_id", "text",
+        thr16 = 32768L, minTokens = 4)),
+
     // T5 span corruption (w = 3, thr 4096/2^16): deterministic hash-dealt
     // span starts, merged runs -> ordered sentinels; (input, target) pair
     "q_span_corrupt" -> ((s, d) =>
@@ -655,6 +661,28 @@ object TrainingQueries {
        "SELECT lang, source, count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens, " +
        "round(CAST(SUM(ntok) AS DOUBLE) / CAST(SUM(SUM(ntok)) OVER () AS DOUBLE), 6) AS weight " +
        "FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // FIM replay: the same folds (4-nibble apply gate, 8-nibble cut
+    // points mod len+1), list-concat splice with sentinel tokens
+    "q_fim_transform" ->
+      ("WITH base AS (SELECT doc_id, coalesce(text, '') AS text, " +
+       "string_split(coalesce(text, ''), ' ') AS t FROM documents), " +
+       "c AS (SELECT doc_id, text, t, CAST(len(t) AS BIGINT) AS len, CAST(" +
+       hexFoldSql("md5('s42|' || CAST(doc_id AS VARCHAR) || '|fim')", 4) +
+       " AS BIGINT) AS ffim, CAST(" +
+       hexFoldSql("md5('s42|' || CAST(doc_id AS VARCHAR) || '|p1')", 8) +
+       " AS BIGINT) % (CAST(len(t) AS BIGINT) + 1) AS k1, CAST(" +
+       hexFoldSql("md5('s42|' || CAST(doc_id AS VARCHAR) || '|p2')", 8) +
+       " AS BIGINT) % (CAST(len(t) AS BIGINT) + 1) AS k2 FROM base), " +
+       "d AS (SELECT doc_id, text, t, len, " +
+       "(len >= 4 AND ffim < 32768) AS app, " +
+       "least(k1, k2) AS p1, greatest(k1, k2) AS p2 FROM c) " +
+       "SELECT doc_id, len AS n_tokens, " +
+       "CASE WHEN app THEN 'psm' ELSE 'plain' END AS mode, " +
+       "CASE WHEN app THEN p1 END AS p1, CASE WHEN app THEN p2 END AS p2, " +
+       "CASE WHEN app THEN array_to_string(['<PRE>'] || t[1:p1] || " +
+       "['<SUF>'] || t[p2+1:len] || ['<MID>'] || t[p1+1:p2], ' ') " +
+       "ELSE text END AS fim_s FROM d ORDER BY doc_id"),
 
     // span-corruption replay: hash-flagged starts (4-nibble fold < 4096),
     // covered/run machinery, sentinel-spliced input + sentinel-prefixed

@@ -302,6 +302,33 @@ class TrainingOpsSpec extends SparkSpec {
       "<extra_id_0> a b c d e f g h i j"), s"got ${out(1)}")
   }
 
+  // ------------------------------------------------------------ FIM
+
+  test("fimTransform: psm docs reorder to prefix/suffix/middle losslessly") {
+    val docs = Tables.documents(spark, sf())
+    val out = Denoise.fimTransform(docs, "doc_id", "text", thr16 = 32768L,
+        minTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getString(5))).toSeq
+    val original = docs.select(col("doc_id"),
+        coalesce(col("text"), lit(""))).as[(Long, String)].collect().toMap
+    val psm = out.filter(_._3 == "psm")
+    assert(psm.nonEmpty && psm.size < out.size,
+      "rate 1/2 must split the corpus both ways")
+    psm.foreach { case (id, nTok, _, p1, p2, fim) =>
+      val t = original(id).split(" ", -1)
+      assert(0L <= p1 && p1 <= p2 && p2 <= nTok)
+      val expect = (Seq("<PRE>") ++ t.slice(0, p1.toInt) ++ Seq("<SUF>") ++
+        t.slice(p2.toInt, t.length) ++ Seq("<MID>") ++
+        t.slice(p1.toInt, p2.toInt)).mkString(" ")
+      assert(fim == expect, s"doc $id PSM splice mismatch")
+    }
+    out.filter(_._3 == "plain").foreach { case (id, _, _, p1, p2, fim) =>
+      assert(fim == original(id) && p1 == -1L && p2 == -1L)
+    }
+  }
+
   // ------------------------------------------------------------ datacard
 
   test("dataCard bySource: hand-computed volumes, dup mass, lang mix, ties") {
