@@ -303,4 +303,32 @@ object TextAnalysis {
       .sortWithinPartitions(idCol)
       .select(col(idCol) +: fingerprintCols(col(textCol)): _*)
   }
+
+  /** Quality-threshold sweep: for every retention threshold t in
+    * {0, 0.05, ..., 0.95} report how many documents and tokens survive
+    * `distinct_ratio >= t` — the retention-vs-threshold curve a curation
+    * team reads before picking a quality cutoff. ONE corpus scan: docs
+    * bucket into floor(score*20) (capped at 19), a <= 20-row partial-agg
+    * groupBy, and the cumulative "kept at or above" roll-up is a tiny
+    * spine >= bucket join on the driver-side-broadcastable agg — the
+    * 100 TB cost is the scan, not the sweep. */
+  def qualitySweep(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val st = GraftFunctions.text_quality_stats(coalesce(col(textCol), lit("")))
+    val score = st.getField("n_distinct") / st.getField("n_tokens")
+    val bucketed = docs
+      .select(least(floor(score * 20), lit(19)).cast("int").as("bucket"),
+        st.getField("n_tokens").as("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("toks"))
+    val spine = spark.range(0, 20).select(col("id").cast("int").as("b"))
+    spine.join(bcast(bucketed), col("bucket") >= col("b"), "left")
+      .groupBy(col("b"))
+      .agg(coalesce(sum(col("docs")), lit(0L)).as("docs_kept"),
+        coalesce(sum(col("toks")), lit(0L)).as("tokens_kept"))
+      .select((col("b") * 5).as("threshold_pct"), col("docs_kept"),
+        col("tokens_kept"))
+  }
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** URL canonicalization and per-domain curation — the first stages of a
+  * web-crawl pipeline (CCNet / RefinedWeb style): the same page is crawled
+  * under many syntactic spellings of one URL, so exact-URL dedup only works
+  * after canonicalization, and per-domain quotas stop any single host from
+  * dominating the mixture.
+  *
+  * Canonical form (each step replayed verbatim by the DuckDB oracle):
+  *   1. scheme and host lowercased; http upgraded to https (scheme
+  *      normalization — crawl dedup treats the protocol move as the same
+  *      resource)
+  *   2. leading "www." stripped from the host
+  *   3. default ports ":80"/":443" stripped
+  *   4. path: "//" collapsed to "/", trailing "/" stripped (root stays "")
+  *   5. fragment dropped
+  *   6. query: tracking params removed (utm_*, fbclid, gclid, ref),
+  *      survivors sorted lexicographically by the full "k=v" pair and
+  *      rejoined; an emptied query drops its "?"
+  *
+  * Scale shape: canonicalization is a pure scan-side projection (regexp +
+  * array ops, no shuffle). URL dedup is one hash groupBy on the canonical
+  * string; the domain cap is one shuffle on host with a bounded per-host
+  * row_number (cap << host size, so AQE skew-split handles hot hosts).
+  */
+object UrlCuration {
+
+  /** Query-param names dropped as tracking noise (utm_* is a prefix). */
+  val TrackingParams: Seq[String] = Seq("fbclid", "gclid", "ref")
+
+  /** Deterministic messy-URL synthesis for the corpus: six spellings of
+    * the resource keyed (host = doc_id mod 13, path = doc_id mod 5,
+    * id param = doc_id mod 3), chosen so each variant exercises one
+    * canonicalization rule and all six collapse to the SAME canonical URL
+    * — dup groups are the (host, path, id) CRT classes (modulus 195, so
+    * any corpus past ~200 docs genuinely collides). Replayed verbatim by
+    * the oracle; the canonicalizer is what's tested. */
+  def withSyntheticUrls(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val h = pmod(id, lit(13)).cast("string")
+    val p = pmod(id, lit(5)).cast("string")
+    val q = pmod(id, lit(3)).cast("string")
+    val v = pmod(id, lit(6))
+    val url = when(v === 0,
+        concat(lit("https://SITE"), h, lit(".Example.COM/p"), p,
+          lit("/doc?id="), q, lit("&utm_source=feed#sec")))
+      .when(v === 1,
+        concat(lit("http://www.site"), h, lit(".example.com:80/p"), p,
+          lit("/doc?id="), q, lit("&utm_campaign=x")))
+      .when(v === 2,
+        concat(lit("https://site"), h, lit(".example.com:443/p"), p,
+          lit("/doc/?id="), q))
+      .when(v === 3,
+        concat(lit("https://site"), h, lit(".example.com/p"), p,
+          lit("/doc?ref=tw&id="), q))
+      .when(v === 4,
+        concat(lit("http://site"), h, lit(".example.com/p"), p,
+          lit("//doc?gclid=g1&id="), q))
+      .otherwise(
+        concat(lit("https://site"), h, lit(".example.com/p"), p,
+          lit("/doc?id="), q))
+    docs.withColumn("url", url)
+  }
+
+  /** Canonical host: lowercased authority minus "www." and default port. */
+  def hostCol(url: Column): Column = {
+    val auth = lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1))
+    regexp_replace(regexp_replace(auth, ":(80|443)$", ""), "^www\\.", "")
+  }
+
+  /** Canonical URL per the rule list above. */
+  def canonicalCol(url: Column): Column = {
+    val rawPath = regexp_extract(url, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    val path = regexp_replace(
+      regexp_replace(rawPath, "//+", "/"), "/$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val pairs = filter(split(query, "&"), kv => {
+      val k = split(kv, "=").getItem(0)
+      !(k.startsWith("utm_") ||
+        TrackingParams.foldLeft(lit(false))((acc, t) => acc || k === t))
+    })
+    val qs = array_join(array_sort(pairs), "&")
+    concat(lit("https://"), hostCol(url), path,
+      when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
+  /** Per-row canonicalization readout: (id, url, canon_url, host). */
+  def canonicalize(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs.select(col(idCol), col(urlCol),
+      canonicalCol(col(urlCol)).as("canon_url"),
+      hostCol(col(urlCol)).as("host"))
+
+  /** Exact dedup on the canonical URL: one hash groupBy, keeps the
+    * smallest id per group (first-crawled wins). */
+  def dedupByUrl(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs.select(col(idCol), canonicalCol(col(urlCol)).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Per-domain quota: keep at most `cap` documents per canonical host,
+    * best-first by (sizeCol DESC, id ASC). RefinedWeb-style host balance;
+    * the window sort is bounded by the host's row count and the output by
+    * cap, so the shuffle carries only (host, size, id). */
+  def domainCap(docs: DataFrame, idCol: String, urlCol: String,
+                sizeCol: String, cap: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col(sizeCol).desc, col(idCol))
+    docs.select(col(idCol), col(sizeCol), hostCol(col(urlCol)).as("host"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= cap)
+      .select(col(idCol), col("host"), col("rk"))
+  }
+}

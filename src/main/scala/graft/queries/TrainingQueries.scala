@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{DataCard, Decontaminate, Dedup, Denoise, Export, LanguageModel, Multimodal, Packing, Redaction, Sampling, TextAnalysis}
+import graft.operators.{C4Filter, DataCard, Decontaminate, Dedup, Denoise, Export, LanguageModel, Multimodal, Packing, Redaction, Sampling, SftRender, TextAnalysis, UrlCuration}
 import graft.tables.Tables
 
 /** SURVEY.md §2.2 additions (r6) — deterministic sampling, sequence
@@ -434,7 +434,57 @@ object TrainingQueries {
     "q_classify_report" -> ((s, d) =>
       graft.operators.Classify.classificationReport(
         nbPlanted(Tables.documents(s, d)), "doc_id", "lang", "text",
-        labels = NbLabels, alpha = 1.0, minCount = 2))
+        labels = NbLabels, alpha = 1.0, minCount = 2)),
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-punct +
+    // min-words + policy-term line filter, curly-brace doc drop, >= 3
+    // kept lines; one scan-side lambda projection, no shuffle
+    "q_c4_line_filter" -> ((s, d) =>
+      C4Filter.filterDocs(
+        C4Filter.withSyntheticLines(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "text").orderBy("doc_id")),
+
+    // the per-source retention readout over the same rule set
+    "q_c4_report" -> ((s, d) =>
+      C4Filter.report(
+        C4Filter.withSyntheticLines(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "text", "source").orderBy("source")),
+
+    // URL canonicalization: six messy spellings collapse to one canonical
+    // form (scheme/host/port/path/fragment/tracking-param rules)
+    "q_url_canonical" -> ((s, d) =>
+      UrlCuration.canonicalize(
+        UrlCuration.withSyntheticUrls(Tables.documents(s, d), "doc_id"),
+        "doc_id", "url").orderBy("doc_id")),
+
+    // exact dedup on the canonical URL (first-crawled id wins)
+    "q_url_dedup" -> ((s, d) =>
+      UrlCuration.dedupByUrl(
+        UrlCuration.withSyntheticUrls(Tables.documents(s, d), "doc_id"),
+        "doc_id", "url").orderBy("canon_url")),
+
+    // RefinedWeb-style per-domain quota: top-3 docs per canonical host
+    // by (n_chars DESC, doc_id)
+    "q_domain_cap" -> ((s, d) =>
+      UrlCuration.domainCap(
+        UrlCuration.withSyntheticUrls(Tables.documents(s, d), "doc_id"),
+        "doc_id", "url", "n_chars", cap = 3).orderBy("host", "rk")),
+
+    // SFT chat-template render: per-conversation byte-certified rendered
+    // string (md5) under the fixed ChatML-shaped template
+    "q_sft_render" -> ((s, d) =>
+      SftRender.render(Tables.events(s, d)).orderBy("user_id")),
+
+    // loss-mask spans for the same template: half-open char spans of
+    // every assistant-turn content — pure window arithmetic
+    "q_sft_masks" -> ((s, d) =>
+      SftRender.maskSpans(Tables.events(s, d)).orderBy("user_id", "turn_idx")),
+
+    // retention-vs-threshold curve over distinct_ratio: one corpus scan,
+    // <= 20-row agg, broadcast spine roll-up
+    "q_quality_sweep" -> ((s, d) =>
+      TextAnalysis.qualitySweep(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("threshold_pct"))
   )
 
   /** Label domain of the NB fixture (documents.lang, alphabetical — the
@@ -1183,6 +1233,154 @@ object TrainingQueries {
        "CASE WHEN tp / n_pred + tp / support > 0 THEN " +
        "round(2 * (tp / n_pred) * (tp / support) / " +
        "(tp / n_pred + tp / support), 6) END AS f1 " +
-       "FROM bt LEFT JOIN bp ON lbl = plbl ORDER BY label")
+       "FROM bt LEFT JOIN bp ON lbl = plbl ORDER BY label"),
+
+    // C4 line filter: the synthetic decoration (8-word chunks, 5-way mark
+    // cycle, mod-13 brace line) replayed verbatim, then the keep rule as
+    // plain SQL — string_agg ignores the NULLed dropped lines
+    "q_c4_line_filter" -> (C4CtesSql +
+      " SELECT doc_id, n_lines, n_kept, kept_text " +
+      "FROM g WHERE NOT braced AND n_kept >= 3 ORDER BY doc_id"),
+
+    "q_c4_report" -> (C4CtesSql +
+      ", j AS (SELECT g.doc_id, s.source, g.n_lines, g.n_kept, g.braced, " +
+      "(NOT g.braced AND g.n_kept >= 3) AS dk " +
+      "FROM g JOIN documents s USING (doc_id)) " +
+      "SELECT source, count(*) AS docs_in, " +
+      "CAST(sum(CASE WHEN dk THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept, " +
+      "CAST(sum(CASE WHEN braced THEN 1 ELSE 0 END) AS BIGINT) AS docs_braced, " +
+      "round(CAST(sum(n_kept) AS BIGINT) / CAST(sum(n_lines) AS BIGINT), 6) " +
+      "AS line_keep_frac FROM j GROUP BY source ORDER BY source"),
+
+    "q_url_canonical" -> (UrlCtesSql +
+      " SELECT doc_id, url, canon_url, host FROM q ORDER BY doc_id"),
+
+    "q_url_dedup" -> (UrlCtesSql +
+      " SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_dups " +
+      "FROM q GROUP BY canon_url ORDER BY canon_url"),
+
+    "q_domain_cap" -> (UrlCtesSql +
+      ", r AS (SELECT q.doc_id, q.host, s.n_chars, " +
+      "row_number() OVER (PARTITION BY q.host " +
+      "ORDER BY s.n_chars DESC, q.doc_id) AS rk " +
+      "FROM q JOIN documents s USING (doc_id)) " +
+      "SELECT doc_id, host, CAST(rk AS INT) AS rk FROM r " +
+      "WHERE rk <= 3 ORDER BY host, rk"),
+
+    // SFT render/masks: same fixed template (header lengths 9 / 14),
+    // same (ts, event_id) turn order, integer-only content
+    "q_sft_render" -> (SftCtesSql +
+      ", s AS (SELECT user_id, ts, event_id, " +
+      "CASE WHEN turn_idx % 2 = 0 THEN '<|user|>' || chr(10) " +
+      "ELSE '<|assistant|>' || chr(10) END || content || chr(10) AS seg " +
+      "FROM r) " +
+      "SELECT user_id, CAST(count(*) AS INT) AS n_turns, " +
+      "CAST(sum(length(seg)) AS INT) AS n_chars_r, " +
+      "md5(string_agg(seg, '' ORDER BY ts, event_id)) AS rendered_md5 " +
+      "FROM s GROUP BY user_id ORDER BY user_id"),
+
+    "q_sft_masks" -> (SftCtesSql +
+      ", s AS (SELECT user_id, ts, event_id, turn_idx, content, " +
+      "CASE WHEN turn_idx % 2 = 0 THEN 9 ELSE 14 END AS hlen, " +
+      "CASE WHEN turn_idx % 2 = 0 THEN 9 ELSE 14 END + length(content) + 1 " +
+      "AS seg_len FROM r), " +
+      "o AS (SELECT *, coalesce(sum(seg_len) OVER (PARTITION BY user_id " +
+      "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 " +
+      "PRECEDING), 0) AS off FROM s) " +
+      "SELECT user_id, CAST(turn_idx AS INT) AS turn_idx, " +
+      "CAST(off + hlen AS BIGINT) AS start_pos, " +
+      "CAST(off + hlen + length(content) AS BIGINT) AS end_pos " +
+      "FROM o WHERE turn_idx % 2 = 1 ORDER BY user_id, turn_idx"),
+
+    // retention sweep: identical (n_distinct / n_tokens) * 20 double
+    // bucketing, >= roll-up over a 20-row spine
+    "q_quality_sweep" ->
+      ("WITH x AS (SELECT coalesce(text, '') AS t FROM documents), " +
+       "m AS (SELECT least(CAST(floor((len(list_distinct(string_split(t, ' '))) " +
+       "/ len(string_split(t, ' '))) * 20) AS INT), 19) AS bucket, " +
+       "len(string_split(t, ' ')) AS n_tokens FROM x), " +
+       "g AS (SELECT bucket, count(*) AS docs, " +
+       "CAST(sum(n_tokens) AS BIGINT) AS toks FROM m GROUP BY bucket) " +
+       "SELECT CAST(r.b * 5 AS INT) AS threshold_pct, " +
+       "CAST(coalesce(sum(g.docs), 0) AS BIGINT) AS docs_kept, " +
+       "CAST(coalesce(sum(g.toks), 0) AS BIGINT) AS tokens_kept " +
+       "FROM range(0, 20) r(b) LEFT JOIN g ON g.bucket >= r.b " +
+       "GROUP BY r.b ORDER BY threshold_pct")
   )
+
+  /** Shared C4 synthesis + rule CTEs: decorate (replaying
+    * C4Filter.withSyntheticLines), apply the keep rule per line, group to
+    * per-doc counts/kept text. Ends at relation `g`. */
+  private def C4CtesSql: String =
+    ("WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk " +
+     "FROM documents), " +
+     "c AS (SELECT doc_id, [array_to_string(tk[i:i+7], ' ') " +
+     "for i in range(1, greatest(len(tk), 1) + 1, 8)] AS cs FROM t), " +
+     "l AS (SELECT doc_id, generate_subscripts(cs, 1) - 1 AS idx, " +
+     "unnest(cs) AS chunk FROM c), " +
+     "dl AS (SELECT doc_id, idx, CASE CAST((doc_id * 31 + idx) % 5 AS INT) " +
+     "WHEN 0 THEN chunk " +
+     "WHEN 1 THEN 'lorem ipsum dolor sit amet.' " +
+     "WHEN 2 THEN 'please enable javascript and accept our cookie policy.' " +
+     "ELSE chunk || '.' END AS line FROM l " +
+     "UNION ALL SELECT doc_id, 1000000 AS idx, '(function() {' AS line " +
+     "FROM t WHERE doc_id % 13 = 7), " +
+     "k AS (SELECT doc_id, idx, line, " +
+     "(right(line, 1) IN ('.', '!', '?', '\"')) " +
+     "AND len(string_split(line, ' ')) >= 5 " +
+     "AND NOT (contains(lower(line), 'javascript') " +
+     "OR contains(lower(line), 'lorem ipsum') " +
+     "OR contains(lower(line), 'cookie')) AS keep, " +
+     "contains(line, '{') AS brace FROM dl), " +
+     "g AS (SELECT doc_id, CAST(count(*) AS INT) AS n_lines, " +
+     "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept, " +
+     "bool_or(brace) AS braced, " +
+     "string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx) " +
+     "AS kept_text FROM k GROUP BY doc_id)")
+
+  /** Shared URL synthesis + canonicalization CTEs (replaying
+    * UrlCuration.withSyntheticUrls / canonicalCol). Ends at relation `q`
+    * with (doc_id, url, canon_url, host). */
+  private def UrlCtesSql: String = {
+    def mk(v: Int): String = {
+      val h = "CAST(doc_id % 13 AS VARCHAR)"
+      val p = "CAST(doc_id % 5 AS VARCHAR)"
+      val q = "CAST(doc_id % 3 AS VARCHAR)"
+      v match {
+        case 0 => s"'https://SITE' || $h || '.Example.COM/p' || $p || '/doc?id=' || $q || '&utm_source=feed#sec'"
+        case 1 => s"'http://www.site' || $h || '.example.com:80/p' || $p || '/doc?id=' || $q || '&utm_campaign=x'"
+        case 2 => s"'https://site' || $h || '.example.com:443/p' || $p || '/doc/?id=' || $q"
+        case 3 => s"'https://site' || $h || '.example.com/p' || $p || '/doc?ref=tw&id=' || $q"
+        case 4 => s"'http://site' || $h || '.example.com/p' || $p || '//doc?gclid=g1&id=' || $q"
+        case _ => s"'https://site' || $h || '.example.com/p' || $p || '/doc?id=' || $q"
+      }
+    }
+    ("WITH u AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INT) " +
+     (0 to 4).map(v => s"WHEN $v THEN ${mk(v)} ").mkString +
+     s"ELSE ${mk(5)} END AS url FROM documents), " +
+     "c AS (SELECT doc_id, url, " +
+     "regexp_replace(regexp_replace(lower(regexp_extract(url, " +
+     "'^[a-zA-Z]+://([^/?#]+)', 1)), ':(80|443)$', ''), '^www\\.', '') AS host, " +
+     "regexp_replace(regexp_replace(regexp_extract(url, " +
+     "'^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '//+', '/', 'g'), '/$', '') AS path, " +
+     "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), " +
+     "q AS (SELECT doc_id, url, host, " +
+     "'https://' || host || path || " +
+     "CASE WHEN length(qs) > 0 THEN '?' || qs ELSE '' END AS canon_url " +
+     "FROM (SELECT *, array_to_string(list_sort(list_filter(" +
+     "string_split(query, '&'), kv -> NOT (" +
+     "starts_with(string_split(kv, '=')[1], 'utm_') " +
+     "OR string_split(kv, '=')[1] IN ('fbclid', 'gclid', 'ref')))), '&') " +
+     "AS qs FROM c))")
+  }
+
+  /** Shared SFT turn CTEs: (ts, event_id)-ordered turns with 0-based
+    * turn_idx and integer-only content. Ends at relation `r`. */
+  private def SftCtesSql: String =
+    ("WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+     "event_type || ' ' || CAST(event_id % 1000 AS VARCHAR) AS content " +
+     "FROM events), " +
+     "r AS (SELECT user_id, ts, event_id, content, " +
+     "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 " +
+     "AS turn_idx FROM t)")
 }

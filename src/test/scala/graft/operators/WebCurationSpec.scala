@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** C4 line filtering, URL canonicalization/curation, SFT template
+  * rendering, and the quality-threshold sweep. */
+class WebCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- C4 line filter ----------------------------------------------------
+
+  private def docsDf = Seq(
+    // 3+ keepable lines (>= 5 words each, terminal punct via mark 3/4)
+    (12L, Seq.fill(8)("alpha beta gamma delta epsilon zeta eta theta").mkString(" ")),
+    // short doc: lines exist but < 3 survive
+    (1L, "one two three"),
+    // brace doc: doc_id % 13 == 7 -> appended "(function() {" drops it
+    (7L, Seq.fill(8)("alpha beta gamma delta epsilon zeta eta theta").mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("c4 filter keeps only terminal-punct, long, policy-clean lines") {
+    val decorated = C4Filter.withSyntheticLines(docsDf, "doc_id", "text")
+    val out = C4Filter.filterDocs(decorated, "doc_id", "text").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(!byId.contains(7L), "curly-brace doc must be dropped whole")
+    assert(!byId.contains(1L), "doc with < 3 kept lines must be dropped")
+    assert(byId.contains(12L))
+    val r = byId(12L)
+    val kept = r.getString(3).split("\n")
+    assert(kept.forall(l => l.endsWith(".") || l.endsWith("!") ||
+      l.endsWith("?") || l.endsWith("\"")))
+    assert(kept.forall(_.split(" ").length >= 5))
+    assert(kept.forall(l => !l.toLowerCase.contains("javascript") &&
+      !l.toLowerCase.contains("lorem ipsum") && !l.toLowerCase.contains("cookie")))
+    assert(r.getInt(2) === kept.length)
+  }
+
+  test("c4 report retention matches the per-doc filter") {
+    val decorated = C4Filter.withSyntheticLines(
+      docsDf.withColumn("source", lit("s")), "doc_id", "text")
+    val rep = C4Filter.report(decorated, "doc_id", "text", "source").collect()
+    assert(rep.length === 1)
+    assert(rep.head.getAs[Long]("docs_in") === 3L)
+    assert(rep.head.getAs[Long]("docs_kept") === 1L)
+    assert(rep.head.getAs[Long]("docs_braced") === 1L)
+  }
+
+  // ---- URL canonicalization ----------------------------------------------
+
+  test("all six messy spellings collapse to one canonical URL") {
+    // ids 0..5 share (id%13, id%5, id%3) only by accident; instead verify
+    // via direct spellings of ONE resource
+    val urls = Seq(
+      "https://SITE1.Example.COM/p2/doc?id=0&utm_source=feed#sec",
+      "http://www.site1.example.com:80/p2/doc?id=0&utm_campaign=x",
+      "https://site1.example.com:443/p2/doc/?id=0",
+      "https://site1.example.com/p2/doc?ref=tw&id=0",
+      "http://site1.example.com/p2//doc?gclid=g1&id=0",
+      "https://site1.example.com/p2/doc?id=0"
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+    val canon = urls.select(UrlCuration.canonicalCol(col("url"))).distinct().collect()
+    assert(canon.length === 1)
+    assert(canon.head.getString(0) === "https://site1.example.com/p2/doc?id=0")
+  }
+
+  test("canonicalization sorts surviving params and keeps non-tracking ones") {
+    val df = Seq((0L, "https://h.example.com/a?z=9&a=1&utm_x=t&fbclid=f&b=2"))
+      .toDF("doc_id", "url")
+    val c = df.select(UrlCuration.canonicalCol(col("url"))).head().getString(0)
+    assert(c === "https://h.example.com/a?a=1&b=2&z=9")
+  }
+
+  test("domain cap keeps at most cap docs per host, best-first") {
+    val df = (0L to 19L).map(i =>
+      (i, s"https://h${i % 2}.example.com/d$i", 100 - i.toInt)).toDF("doc_id", "url", "sz")
+    val out = UrlCuration.domainCap(df, "doc_id", "url", "sz", cap = 3).collect()
+    assert(out.length === 6)
+    // best-first: host h0 gets ids 0,2,4 (largest sz)
+    val h0 = out.filter(_.getString(1) == "h0.example.com").map(_.getLong(0)).sorted
+    assert(h0.toSeq === Seq(0L, 2L, 4L))
+  }
+
+  // ---- SFT render + masks -------------------------------------------------
+
+  test("mask spans address exactly the assistant contents of the render") {
+    val ev = graft.tables.Tables.events(spark, sf("sf0.001"))
+    val masks = SftRender.maskSpans(ev)
+      .where(col("user_id") === 1L).orderBy("turn_idx").collect()
+    assert(masks.nonEmpty)
+    // reconstruct the rendered string for user 1 independently
+    val turns = ev.where(col("user_id") === 1L)
+      .orderBy(col("ts"), col("event_id"))
+      .select(concat(col("event_type"), lit(" "),
+        pmod(col("event_id"), lit(1000)).cast("string")).as("c"))
+      .collect().map(_.getString(0))
+    val rendered = turns.zipWithIndex.map { case (c, i) =>
+      (if (i % 2 == 0) "<|user|>\n" else "<|assistant|>\n") + c + "\n"
+    }.mkString
+    masks.foreach { m =>
+      val (ti, s, e) = (m.getInt(1), m.getLong(2).toInt, m.getLong(3).toInt)
+      assert(ti % 2 === 1)
+      assert(rendered.substring(s, e) === turns(ti), s"span of turn $ti")
+    }
+    // and the render query's md5 certifies the same string
+    val md5Row = SftRender.render(ev).where(col("user_id") === 1L).head()
+    assert(md5Row.getAs[String]("rendered_md5") ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(rendered))
+    assert(md5Row.getAs[Int]("n_chars_r") === rendered.length)
+  }
+
+  // ---- quality sweep -------------------------------------------------------
+
+  test("quality sweep is monotone non-increasing and anchored at 0") {
+    val docs = graft.tables.Tables.documents(spark, sf("sf0.001"))
+    val rows = TextAnalysis.qualitySweep(docs, "doc_id", "text")
+      .orderBy("threshold_pct").collect()
+    assert(rows.length === 20)
+    assert(rows.head.getAs[Long]("docs_kept") === docs.count())
+    val kept = rows.map(_.getAs[Long]("docs_kept"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b })
+    val toks = rows.map(_.getAs[Long]("tokens_kept"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+  }
+}
