@@ -58,6 +58,15 @@ object C4Filter {
     docs.withColumn(textCol, array_join(withBrace, "\n"))
   }
 
+  /** The surviving lines of a '\n'-joined text under the keep rule —
+    * composable into batch and streaming projections alike. */
+  def keptLinesCol(text: Column, minWords: Int = 5): Column =
+    filter(split(text, "\n"), l => lineKept(l, minWords))
+
+  /** True iff any line carries a curly brace (the C4 whole-doc drop). */
+  def braceCol(text: Column): Column =
+    exists(split(text, "\n"), l => l.contains("{"))
+
   /** True iff the line survives C4's keep rule. */
   private def lineKept(l: Column, minWords: Int): Column = {
     val punct = TerminalPunct.foldLeft(lit(false)) { (acc, p) =>
@@ -74,12 +83,10 @@ object C4Filter {
     * text and line counts. */
   def filterDocs(docs: DataFrame, idCol: String, textCol: String,
                  minWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
-    val lines = split(col(textCol), "\n")
-    val kept = filter(lines, l => lineKept(l, minWords))
     docs
-      .withColumn("lines", lines)
-      .withColumn("kept_lines", kept)
-      .where(!exists(col("lines"), l => l.contains("{")) &&
+      .withColumn("lines", split(col(textCol), "\n"))
+      .withColumn("kept_lines", keptLinesCol(col(textCol), minWords))
+      .where(!braceCol(col(textCol)) &&
         size(col("kept_lines")) >= minKeptLines)
       .select(col(idCol),
         size(col("lines")).as("n_lines"),
@@ -94,8 +101,8 @@ object C4Filter {
   def report(docs: DataFrame, idCol: String, textCol: String,
              srcCol: String, minWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
     val lines = split(col(textCol), "\n")
-    val kept = filter(lines, l => lineKept(l, minWords))
-    val brace = exists(lines, l => l.contains("{"))
+    val kept = keptLinesCol(col(textCol), minWords)
+    val brace = braceCol(col(textCol))
     val docKept = !brace && size(kept) >= minKeptLines
     docs
       .select(col(srcCol),

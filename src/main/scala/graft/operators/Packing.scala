@@ -167,6 +167,43 @@ object Packing {
         coalesce(col(textCol), lit("")), size, stride))
         .as(Seq("chunk_idx", "chunk")))
   }
+
+  /** Length-bucketed batch planning — the padding-waste alternative to
+    * packing: docs batch with SAME-bucket peers (bucket = smallest power
+    * of two >= n_tokens, floored at `minBucket`), every doc pads to its
+    * bucket length, and batch size is `tokenBudget / bucket`. The report
+    * per bucket: doc/token counts, padding waste (absolute + fraction of
+    * the padded mass), batch size and batch count — the numbers a
+    * dynamic-batching dataloader is configured from.
+    *
+    * The bucket is INTEGER math on both engines (no log2 doubles):
+    * smallest pow2 >= m is 1 << bitlength(m - 1), bitlength via the
+    * binary-string length of the builtin `bin`. One scan + one <= ~10-row
+    * partial-agg groupBy — at 100 TB the cost is the token count scan. */
+  def lengthBuckets(docs: DataFrame, idCol: String, textCol: String,
+                    tokenBudget: Int = 4096, minBucket: Int = 16): DataFrame = {
+    require(Integer.bitCount(minBucket) == 1, "minBucket must be a power of 2")
+    val n = greatest(size(split(coalesce(col(textCol), lit("")), " ")), lit(1))
+    val m = greatest(n, lit(minBucket))
+    // bin() renders a BIGINT in two's complement; m-1 >= minBucket-1 >= 1
+    // keeps it positive so length(bin(m-1)) = bitlength(m-1). 2^k via
+    // pow is exact in doubles for any realistic bucket (k << 53)
+    val bucket = pow(lit(2.0), length(bin((m - 1).cast("long")))).cast("long")
+    docs.select(bucket.as("bucket"), n.cast("long").as("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("bucket") - col("n_tokens")).as("pad_tokens"))
+      .select(col("bucket"), col("n_docs"), col("tokens"), col("pad_tokens"),
+        round(col("pad_tokens") / (col("tokens") + col("pad_tokens")), 6)
+          .as("waste_frac"),
+        // budget and bucket are powers of two, so the double division is
+        // exact; a bucket past the budget still batches one-at-a-time
+        greatest(floor(lit(tokenBudget.toLong) / col("bucket")).cast("long"),
+          lit(1L)).as("batch_size"))
+      .withColumn("n_batches",
+        ceil(col("n_docs") / col("batch_size")).cast("long"))
+  }
 }
 
 /** Leftmost-fit bin index in O(log bins): a complete binary segment

@@ -484,7 +484,13 @@ object TrainingQueries {
     // <= 20-row agg, broadcast spine roll-up
     "q_quality_sweep" -> ((s, d) =>
       TextAnalysis.qualitySweep(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("threshold_pct"))
+        .orderBy("threshold_pct")),
+
+    // length-bucketed batch plan (pow2 buckets, 4096-token budget):
+    // padding waste + batch geometry per bucket, one scan + tiny agg
+    "q_length_buckets" -> ((s, d) =>
+      Packing.lengthBuckets(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("bucket"))
   )
 
   /** Label domain of the NB fixture (documents.lang, alphabetical — the
@@ -1305,7 +1311,23 @@ object TrainingQueries {
        "CAST(coalesce(sum(g.docs), 0) AS BIGINT) AS docs_kept, " +
        "CAST(coalesce(sum(g.toks), 0) AS BIGINT) AS tokens_kept " +
        "FROM range(0, 20) r(b) LEFT JOIN g ON g.bucket >= r.b " +
-       "GROUP BY r.b ORDER BY threshold_pct")
+       "GROUP BY r.b ORDER BY threshold_pct"),
+
+    // pow2 bucket = 1 << bitlength(m-1) — the same integer-only math as
+    // Packing.lengthBuckets; 4096/bucket is exact in doubles (both pow2)
+    "q_length_buckets" ->
+      ("WITH x AS (SELECT greatest(len(string_split(coalesce(text, ''), ' ')), 1) " +
+       "AS n FROM documents), " +
+       "b AS (SELECT CAST(1 << length(bin(greatest(n, 16) - 1)) AS BIGINT) " +
+       "AS bucket, n FROM x), " +
+       "g AS (SELECT bucket, count(*) AS n_docs, " +
+       "CAST(sum(n) AS BIGINT) AS tokens, " +
+       "CAST(sum(bucket - n) AS BIGINT) AS pad_tokens FROM b GROUP BY bucket) " +
+       "SELECT bucket, n_docs, tokens, pad_tokens, " +
+       "round(pad_tokens / (tokens + pad_tokens), 6) AS waste_frac, " +
+       "greatest(CAST(floor(4096 / bucket) AS BIGINT), 1) AS batch_size, " +
+       "CAST(ceil(n_docs / greatest(CAST(floor(4096 / bucket) AS BIGINT), 1)) " +
+       "AS BIGINT) AS n_batches FROM g ORDER BY bucket")
   )
 
   /** Shared C4 synthesis + rule CTEs: decorate (replaying

@@ -192,6 +192,32 @@ object EventStreams {
       .drop("__h")
   }
 
+  /** Streaming web-crawl ingestion: the streaming face of
+    * q_url_canonical + q_c4_line_filter + q_url_dedup in one pipeline —
+    * URL canonicalization and the C4 line filter are pure scan-side
+    * projections (zero state), then admission is exactly-once per
+    * CANONICAL url via the watermarked dedup state store, so re-crawls
+    * and syntactic URL variants of an already-ingested page drop at the
+    * door. Emits the rebuilt kept text + canonical url/host. */
+  def webIngestStream(docs: DataFrame, tsCol: String,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      urlCol: String = "url", minWords: Int = 5,
+                      minKeptLines: Int = 3,
+                      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.operators.{C4Filter, UrlCuration}
+    docs
+      .withColumn("canon_url", UrlCuration.canonicalCol(col(urlCol)))
+      .withColumn("host", UrlCuration.hostCol(col(urlCol)))
+      .withColumn("kept_lines", C4Filter.keptLinesCol(col(textCol), minWords))
+      .where(!C4Filter.braceCol(col(textCol)) &&
+        size(col("kept_lines")) >= minKeptLines)
+      .select(col(idCol), col(tsCol), col("canon_url"), col("host"),
+        size(col("kept_lines")).as("n_kept"),
+        array_join(col("kept_lines"), "\n").as("kept_text"))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("canon_url")
+  }
+
   /** Driver-collected distinct benchmark w-grams for
     * [[decontaminateStream]], size-gated: an eval benchmark is thousands
     * to ~10⁵ docs — the same legitimately-bounded shape as the broadcast

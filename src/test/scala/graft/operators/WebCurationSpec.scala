@@ -109,6 +109,30 @@ class WebCurationSpec extends SparkSpec {
     assert(md5Row.getAs[Int]("n_chars_r") === rendered.length)
   }
 
+  // ---- length-bucketed batch plan ------------------------------------------
+
+  test("length buckets are the smallest pow2 >= token count, floored at 16") {
+    val df = Seq(
+      (0L, Seq.fill(3)("w").mkString(" ")),    // 3 tokens  -> 16
+      (1L, Seq.fill(16)("w").mkString(" ")),   // 16        -> 16 (exact pow2)
+      (2L, Seq.fill(17)("w").mkString(" ")),   // 17        -> 32
+      (3L, Seq.fill(100)("w").mkString(" "))   // 100       -> 128
+    ).toDF("doc_id", "text")
+    val out = Packing.lengthBuckets(df, "doc_id", "text", tokenBudget = 64)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(16L, 32L, 128L))
+    val b16 = out(0)
+    assert(b16.getAs[Long]("n_docs") === 2L)
+    assert(b16.getAs[Long]("tokens") === 19L)
+    assert(b16.getAs[Long]("pad_tokens") === (16 - 3) + (16 - 16))
+    assert(b16.getAs[Long]("batch_size") === 4L)   // 64 / 16
+    assert(b16.getAs[Long]("n_batches") === 1L)
+    // bucket past the budget still batches one-at-a-time
+    val b128 = out(2)
+    assert(b128.getAs[Long]("batch_size") === 1L)
+    assert(b128.getAs[Long]("n_batches") === 1L)
+  }
+
   // ---- quality sweep -------------------------------------------------------
 
   test("quality sweep is monotone non-increasing and anchored at 0") {

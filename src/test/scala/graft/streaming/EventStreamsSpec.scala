@@ -212,6 +212,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("webIngestStream filters lines and admits one doc per canonical url") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = Seq.fill(4)("alpha beta gamma delta epsilon zeta.").mkString("\n")
+    val mem = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "url", "ts")
+    val q = EventStreams.webIngestStream(docs, "ts")
+      .select($"doc_id", $"canon_url", $"n_kept")
+      .writeStream.format("memory").queryName("web").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, good, "https://Site1.Example.COM/a/b?id=1&utm_source=x#f", ts(0)),
+        (2L, good + "\nfunction() {", "https://other.example.com/c?id=2", ts(1)),
+        (3L, "short line.", "https://third.example.com/d?id=3", ts(2)))
+      q.processAllAvailable()
+      // a re-crawl under a different spelling of doc 1's canonical url
+      mem.addData(
+        (4L, good, "http://www.site1.example.com:80/a/b?id=1", ts(3)))
+      q.processAllAvailable()
+      val rows = spark.table("web").as[(Long, String, Int)].collect()
+      assert(rows.map(_._1).toSet == Set(1L),
+        "brace doc, thin doc, and canonical-dup must all drop")
+      assert(rows.head._2 == "https://site1.example.com/a/b?id=1")
+      assert(rows.head._3 == 4)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the gap via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
