@@ -102,15 +102,27 @@ object UrlCuration {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Per-domain quota: keep at most `cap` documents per canonical host,
-    * best-first by (sizeCol DESC, id ASC). RefinedWeb-style host balance;
-    * the window sort is bounded by the host's row count and the output by
-    * cap, so the shuffle carries only (host, size, id). */
+    * best-first by (sizeCol DESC, id ASC). RefinedWeb-style host balance.
+    *
+    * Hot hosts are the NORM here (domains are few and skewed), and a
+    * row_number window cannot AQE-skew-split (a host's global rank needs
+    * all its rows together), so this runs the salted two-phase prune:
+    * phase 1 ranks within (host, id mod `salts`) — `salts` balanced
+    * partitions per hot host — and keeps `cap` per salt; any row in the
+    * host's global top-cap is in its salt bucket's top-cap, so phase 2's
+    * window ranks <= salts*cap rows per host and emits the bit-identical
+    * result the single-window plan would. Shuffles carry only
+    * (host, size, id). */
   def domainCap(docs: DataFrame, idCol: String, urlCol: String,
-                sizeCol: String, cap: Int = 3): DataFrame = {
-    val w = Window.partitionBy(col("host"))
-      .orderBy(col(sizeCol).desc, col(idCol))
+                sizeCol: String, cap: Int = 3, salts: Int = 32): DataFrame = {
+    val ord: Seq[Column] = Seq(col(sizeCol).desc, col(idCol))
+    val w1 = Window.partitionBy(col("host"), pmod(col(idCol), lit(salts)))
+      .orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("host")).orderBy(ord: _*)
     docs.select(col(idCol), col(sizeCol), hostCol(col(urlCol)).as("host"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("srk", row_number().over(w1))
+      .where(col("srk") <= cap)
+      .withColumn("rk", row_number().over(w2))
       .where(col("rk") <= cap)
       .select(col(idCol), col("host"), col("rk"))
   }
