@@ -101,6 +101,21 @@ object UrlCuration {
       .groupBy(col("canon_url"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Cross-split leakage report: canonical URLs whose duplicate crawls
+    * landed in MORE THAN ONE train/val/test split — the URL-level twin of
+    * benchmark decontamination (a page split-assigned by doc_id leaks
+    * whenever two spellings of it drew different ids). One groupBy on the
+    * canonical string; collect_set is bounded by the split count (3), so
+    * the agg combines map-side like any counter. */
+  def splitLeakage(docs: DataFrame, idCol: String, urlCol: String,
+                   splitCol: String): DataFrame =
+    docs.select(canonicalCol(col(urlCol)).as("canon_url"), col(splitCol))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        size(collect_set(col(splitCol))).as("n_splits"),
+        array_join(array_sort(collect_set(col(splitCol))), ",").as("splits"))
+      .where(col("n_splits") > 1)
+
   /** Per-domain quota: keep at most `cap` documents per canonical host,
     * best-first by (sizeCol DESC, id ASC). RefinedWeb-style host balance.
     *

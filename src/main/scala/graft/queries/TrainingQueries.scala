@@ -490,7 +490,16 @@ object TrainingQueries {
     // padding waste + batch geometry per bucket, one scan + tiny agg
     "q_length_buckets" -> ((s, d) =>
       Packing.lengthBuckets(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // URL-level train/val/test leakage: canonical URLs whose spellings
+    // drew different hash-split assignments
+    "q_split_leakage" -> ((s, d) =>
+      UrlCuration.splitLeakage(
+        UrlCuration.withSyntheticUrls(
+          Sampling.split(Tables.documents(s, d), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)), "doc_id"),
+        "doc_id", "url", "split").orderBy("canon_url"))
   )
 
   /** Label domain of the NB fixture (documents.lang, alphabetical — the
@@ -1327,7 +1336,20 @@ object TrainingQueries {
        "round(pad_tokens / (tokens + pad_tokens), 6) AS waste_frac, " +
        "greatest(CAST(floor(4096 / bucket) AS BIGINT), 1) AS batch_size, " +
        "CAST(ceil(n_docs / greatest(CAST(floor(4096 / bucket) AS BIGINT), 1)) " +
-       "AS BIGINT) AS n_batches FROM g ORDER BY bucket")
+       "AS BIGINT) AS n_batches FROM g ORDER BY bucket"),
+
+    // same canonical-url groups as q_url_dedup, against the q_split_assign
+    // hash thresholds; splits render as the sorted-distinct csv
+    "q_split_leakage" -> (UrlCtesSql +
+      s", sp AS (SELECT doc_id, CASE WHEN ${keySql("doc_id")} < 'cccc' " +
+      "THEN 'train' WHEN " + keySql("doc_id") + " < 'e666' THEN 'val' " +
+      "ELSE 'test' END AS split FROM documents), " +
+      "lk AS (SELECT q.canon_url, count(*) AS n_docs, " +
+      "CAST(len(list_distinct(list(sp.split))) AS INT) AS n_splits, " +
+      "array_to_string(list_sort(list_distinct(list(sp.split))), ',') AS splits " +
+      "FROM q JOIN sp USING (doc_id) GROUP BY q.canon_url) " +
+      "SELECT canon_url, n_docs, n_splits, splits FROM lk " +
+      "WHERE n_splits > 1 ORDER BY canon_url")
   )
 
   /** Shared C4 synthesis + rule CTEs: decorate (replaying

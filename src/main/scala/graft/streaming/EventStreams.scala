@@ -218,6 +218,33 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("canon_url")
   }
 
+  case class UrlDoc(doc_id: Long, host: String, ts: Timestamp)
+
+  /** Streaming per-host admission quota — the ingest-time face of the
+    * batch domainCap: admit at most `cap` documents per canonical host
+    * over the stream's lifetime, in ARRIVAL order ((ts, doc_id) within a
+    * micro-batch — a stream cannot rank by quality it hasn't seen yet;
+    * the batch op re-ranks best-first offline). State per host is ONE
+    * long (the admitted count) — bounded by the host cardinality, not
+    * the row count. */
+  def hostQuotaStream(docs: Dataset[UrlDoc], cap: Int): Dataset[UrlDoc] = {
+    import docs.sparkSession.implicits._
+    def update(host: String, rows: Iterator[UrlDoc],
+               state: GroupState[Long]): Iterator[UrlDoc] = {
+      val admitted = state.getOption.getOrElse(0L)
+      val room = math.max(0L, cap.toLong - admitted).toInt
+      val take = rows.toSeq
+        .sortBy(d => (d.ts.getTime * 1000L + (d.ts.getNanos / 1000L) % 1000L,
+          d.doc_id))
+        .take(room)
+      if (take.nonEmpty) state.update(admitted + take.size)
+      take.iterator
+    }
+    docs.groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Driver-collected distinct benchmark w-grams for
     * [[decontaminateStream]], size-gated: an eval benchmark is thousands
     * to ~10⁵ docs — the same legitimately-bounded shape as the broadcast

@@ -71,6 +71,24 @@ class WebCurationSpec extends SparkSpec {
     assert(c === "https://h.example.com/a?a=1&b=2&z=9")
   }
 
+  test("salted domain cap equals the single-window reference plan") {
+    // adversarial shape: one very hot host, ties in size broken by id
+    val df = (0L to 499L).map { i =>
+      val host = if (i % 10 < 8) "hot" else s"cold${i % 3}"
+      (i, s"https://$host.example.com/d$i", (i % 7).toInt)
+    }.toDF("doc_id", "url", "sz")
+    val salted = UrlCuration.domainCap(df, "doc_id", "url", "sz", cap = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("sz").desc, col("doc_id"))
+    val reference = df
+      .select(col("doc_id"), col("sz"), UrlCuration.hostCol(col("url")).as("host"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      .select(col("doc_id"), col("host"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(salted === reference)
+  }
+
   test("domain cap keeps at most cap docs per host, best-first") {
     val df = (0L to 19L).map(i =>
       (i, s"https://h${i % 2}.example.com/d$i", 100 - i.toInt)).toDF("doc_id", "url", "sz")
@@ -79,6 +97,20 @@ class WebCurationSpec extends SparkSpec {
     // best-first: host h0 gets ids 0,2,4 (largest sz)
     val h0 = out.filter(_.getString(1) == "h0.example.com").map(_.getLong(0)).sorted
     assert(h0.toSeq === Seq(0L, 2L, 4L))
+  }
+
+  test("split leakage reports only canonical groups spanning splits") {
+    val df = Seq(
+      (0L, "https://a.example.com/x", "train"),
+      (1L, "https://A.example.com/x", "test"),    // same canon, other split
+      (2L, "https://b.example.com/y", "train"),
+      (3L, "https://b.example.com/y", "train")    // dup but same split
+    ).toDF("doc_id", "url", "split")
+    val out = UrlCuration.splitLeakage(df, "doc_id", "url", "split").collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "https://a.example.com/x")
+    assert(out.head.getAs[Long]("n_docs") === 2L)
+    assert(out.head.getAs[String]("splits") === "test,train")
   }
 
   // ---- SFT render + masks -------------------------------------------------

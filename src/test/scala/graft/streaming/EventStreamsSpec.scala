@@ -239,6 +239,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hostQuotaStream admits at most cap per host across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.UrlDoc]
+    val q = EventStreams.hostQuotaStream(mem.toDS(), cap = 2)
+      .writeStream.format("memory").queryName("hq").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        EventStreams.UrlDoc(3L, "a", ts(2)),
+        EventStreams.UrlDoc(1L, "a", ts(0)),   // earliest arrival wins
+        EventStreams.UrlDoc(2L, "a", ts(1)),
+        EventStreams.UrlDoc(4L, "b", ts(0)))
+      q.processAllAvailable()
+      // host a is already full; host b has one slot left
+      mem.addData(
+        EventStreams.UrlDoc(5L, "a", ts(3)),
+        EventStreams.UrlDoc(6L, "b", ts(1)),
+        EventStreams.UrlDoc(7L, "b", ts(2)))
+      q.processAllAvailable()
+      val ids = spark.table("hq").as[EventStreams.UrlDoc].collect()
+        .map(_.doc_id).toSet
+      assert(ids == Set(1L, 2L, 4L, 6L))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the gap via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
