@@ -359,6 +359,64 @@ class EventStreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("hostQuotaStream enforces the quota across a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = ckptDir("hq")
+    val buf = scala.collection.mutable.ArrayBuffer[EventStreams.UrlDoc]()
+    val mem = MemoryStream[EventStreams.UrlDoc]
+    def start() = EventStreams.hostQuotaStream(mem.toDS(), cap = 2)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[EventStreams.UrlDoc], _: Long) =>
+        buf.synchronized { buf ++= b.collect() }: Unit)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    mem.addData(EventStreams.UrlDoc(1L, "a", ts(0)),
+      EventStreams.UrlDoc(2L, "a", ts(1)))
+    q1.processAllAvailable()
+    q1.stop() // host a's admitted count lives only in the state store
+    val q2 = start()
+    try {
+      // rejecting doc 3 is only possible if the count was RESTORED;
+      // host b proves the restarted query still admits fresh hosts
+      mem.addData(EventStreams.UrlDoc(3L, "a", ts(2)),
+        EventStreams.UrlDoc(4L, "b", ts(3)))
+      q2.processAllAvailable()
+      val ids = buf.synchronized(buf.map(_.doc_id).toSet)
+      assert(ids == Set(1L, 2L, 4L),
+        s"quota must survive the restart, got $ids")
+    } finally q2.stop()
+  }
+
+  test("webIngestStream drops a post-restart respelling of an admitted url") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = ckptDir("web")
+    val good = Seq.fill(4)("alpha beta gamma delta epsilon zeta.").mkString("\n")
+    val buf = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[(Long, String, String, Timestamp)]
+    def start() = EventStreams.webIngestStream(
+        mem.toDF().toDF("doc_id", "text", "url", "ts"), "ts")
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        buf.synchronized { buf ++= b.collect().map(_.getLong(0)) }: Unit)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    mem.addData((1L, good, "https://Site9.Example.COM/a?id=7&utm_source=x", ts(0)))
+    q1.processAllAvailable()
+    q1.stop() // the admitted canonical url lives only in the dedup store
+    val q2 = start()
+    try {
+      mem.addData((2L, good, "http://www.site9.example.com:80/a?id=7", ts(1)))
+      q2.processAllAvailable()
+      val ids = buf.synchronized(buf.toSet)
+      assert(ids == Set(1L),
+        s"respelled re-crawl must hit the RESTORED canonical-url state, got $ids")
+    } finally q2.stop()
+  }
+
   test("funnelStream recovers stored B-candidates across a restart " +
     "(late earlier A admits a pre-restart B)") {
     import spark.implicits._
