@@ -511,6 +511,44 @@ object Dedup {
           x => x.getField("para"))).as("text_deduped"))
   }
 
+  /** Boilerplate-paragraph removal — the df-threshold complement to
+    * [[dedupParagraphs]]: a paragraph appearing in MORE THAN `maxDf`
+    * DISTINCT documents is boilerplate (nav bars, license blocks, cookie
+    * banners) and is cut from EVERY document, including its first
+    * occurrence (dedupParagraphs keeps the first; boilerplate has no
+    * rightful owner). The CCNet/RefinedWeb template-stripping posture.
+    *
+    * Scale shape: one explode; df is a TWO-LEVEL (md5(para), doc)
+    * collapse then a count — a 10⁹-copy banner arrives at the count as
+    * one row per partition, never as a hot reduce key; the flag joins
+    * back on the 16-byte hash (text never ships twice); reassembly is the
+    * dedupParagraphs positional re-agg. Docs cut to nothing still emit
+    * (n_kept = 0, empty text) — the write-back shape. */
+  def boilerplateCut(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n", maxDf: Int = 5): DataFrame = {
+    require(sep.nonEmpty && maxDf >= 1, s"bad sep/maxDf ($sep, $maxDf)")
+    val q = java.util.regex.Pattern.quote(sep)
+    val paras = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(coalesce(col(textCol), lit("")), q))
+        .as(Seq("para_idx", "para")))
+      .withColumn("__ph", md5(col("para")))
+    val dfreq = paras.select(col("__ph"), col("doc_id")).distinct()
+      .groupBy(col("__ph")).agg(count(lit(1)).as("__df"))
+    val reassembled = paras.join(dfreq, Seq("__ph"))
+      .where(col("__df") <= maxDf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para")))),
+          x => x.getField("para"))).as("text_clean"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(coalesce(col(textCol), lit("")), q)).as("n_paras"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   // ----------------------------------------------------------- clustering
 
   /** Connected components over an undirected near-dup pair graph — the

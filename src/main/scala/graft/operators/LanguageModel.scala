@@ -79,6 +79,46 @@ object LanguageModel {
     (out, () => { counts.unpersist(blocking = true); () })
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"
+    * §4.3): per LANGUAGE, documents partition into head / middle / tail
+    * at the avg_nll terciles — head is the cleanest third, the split
+    * CCNet publishes and selects training data from.
+    *
+    * Two passes over the scoring plan by construction (exactly CCNet's
+    * shape: score everything, take per-lang terciles, assign): pass 1
+    * feeds the tercile aggregate — a BOUNDED driver collect, one row per
+    * language, the codebook discipline — pass 2 assigns buckets with the
+    * collected thresholds folded in as literals (no join). Thresholds and
+    * comparisons use the ROUNDED 4dp avg_nll so bucket edges are
+    * engine-portable; ties at a threshold go to the lower bucket
+    * (avg_nll <= t33 -> head, <= t67 -> middle). */
+  def pplBuckets(docs: DataFrame, idCol: String, textCol: String,
+                 langCol: String, minCount: Long = 2,
+                 oovAlpha: Double = 0.5, maxLangs: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val scores = perplexity(docs, idCol, textCol, minCount, oovAlpha)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        Seq("doc_id"))
+    val thrRows = scores.groupBy("lang")
+      .agg(expr("exact_percentile(avg_nll, 0.3333333333333333)").as("t33"),
+        expr("exact_percentile(avg_nll, 0.6666666666666666)").as("t67"))
+      .limit(maxLangs + 1).collect()
+    require(thrRows.length <= maxLangs,
+      s"more than $maxLangs languages — not a bounded threshold table")
+    val thr = thrRows.map(r =>
+      r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val bucket = thr.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, (t33, t67))) =>
+        when(col("lang") === l,
+          when(col("avg_nll") <= t33, "head")
+            .when(col("avg_nll") <= t67, "middle")
+            .otherwise("tail")).otherwise(acc)
+    }
+    scores.select(col("doc_id"), col("lang"), col("avg_nll"),
+      bucket.as("bucket"))
+  }
+
   /** Bigram LM with stupid backoff (Brants et al. 2007, "Large Language
     * Models in Machine Translation" §4: score(w|prev) = c2(prev,w)/c1(prev)
     * when the bigram is attested, else λ·p_uni(w) with λ = 0.4 — a score,

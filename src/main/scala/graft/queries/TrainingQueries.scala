@@ -499,7 +499,19 @@ object TrainingQueries {
         UrlCuration.withSyntheticUrls(
           Sampling.split(Tables.documents(s, d), "doc_id",
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)), "doc_id"),
-        "doc_id", "url", "split").orderBy("canon_url"))
+        "doc_id", "url", "split").orderBy("canon_url")),
+
+    // CCNet head/middle/tail perplexity terciles per language
+    // (Wenzek et al. 2020 §4.3) over the unigram-LM avg_nll
+    "q_ppl_buckets" -> ((s, d) =>
+      LanguageModel.pplBuckets(Tables.documents(s, d), "doc_id", "text",
+        "lang").orderBy("doc_id")),
+
+    // boilerplate-paragraph strip: df > 5 paragraphs cut EVERYWHERE
+    // (incl. first occurrence) — the planted shared block vanishes
+    "q_boilerplate_cut" -> ((s, d) =>
+      Dedup.boilerplateCut(withParagraphs(Tables.documents(s, d)),
+        "doc_id", "text").orderBy("doc_id"))
   )
 
   /** Label domain of the NB fixture (documents.lang, alphabetical — the
@@ -1337,6 +1349,43 @@ object TrainingQueries {
        "greatest(CAST(floor(4096 / bucket) AS BIGINT), 1) AS batch_size, " +
        "CAST(ceil(n_docs / greatest(CAST(floor(4096 / bucket) AS BIGINT), 1)) " +
        "AS BIGINT) AS n_batches FROM g ORDER BY bucket"),
+
+    // same unigram-LM scoring chain as q_lm_perplexity, then per-lang
+    // quantile_cont terciles (== exact_percentile bit-for-bit, the
+    // q_stats_quantiles precedent) over the ROUNDED 4dp score
+    "q_ppl_buckets" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok " +
+       "FROM documents), " +
+       "cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), " +
+       "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt), " +
+       "v AS (SELECT tok, c FROM cnt WHERE c >= 2), " +
+       "sc AS (SELECT doc_id, -ln(coalesce(CAST(v.c AS DOUBLE), 0.5) / tot.n) AS nll " +
+       "FROM toks LEFT JOIN v USING (tok) CROSS JOIN tot), " +
+       "s2 AS (SELECT sc.doc_id, d.lang, " +
+       "round(CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_nll " +
+       "FROM sc JOIN documents d USING (doc_id) GROUP BY sc.doc_id, d.lang), " +
+       "thr AS (SELECT lang, quantile_cont(avg_nll, 0.3333333333333333) AS t33, " +
+       "quantile_cont(avg_nll, 0.6666666666666666) AS t67 FROM s2 GROUP BY lang) " +
+       "SELECT s2.doc_id, s2.lang, s2.avg_nll, " +
+       "CASE WHEN avg_nll <= t33 THEN 'head' WHEN avg_nll <= t67 THEN 'middle' " +
+       "ELSE 'tail' END AS bucket FROM s2 JOIN thr USING (lang) ORDER BY doc_id"),
+
+    // df counts DISTINCT docs (two-level collapse); the planted shared
+    // block (df ~ n/7) cuts everywhere, originals (df = 1) survive
+    "q_boilerplate_cut" ->
+      ("WITH d AS (SELECT doc_id, coalesce(text, '') || chr(10) || " +
+       "'shared block ' || CAST(doc_id % 7 AS VARCHAR) AS t FROM documents), " +
+       "p AS (SELECT doc_id, generate_subscripts(ps, 1) - 1 AS pos, " +
+       "unnest(ps) AS para FROM (SELECT doc_id, string_split(t, chr(10)) AS ps " +
+       "FROM d)), " +
+       "f AS (SELECT para, count(DISTINCT doc_id) AS df FROM p GROUP BY para), " +
+       "k AS (SELECT p.* FROM p JOIN f USING (para) WHERE df <= 5), " +
+       "g AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, " +
+       "string_agg(para, chr(10) ORDER BY pos) AS text_clean " +
+       "FROM k GROUP BY doc_id) " +
+       "SELECT d.doc_id, CAST(len(string_split(d.t, chr(10))) AS INT) AS n_paras, " +
+       "coalesce(g.n_kept, 0) AS n_kept, coalesce(g.text_clean, '') AS text_clean " +
+       "FROM d LEFT JOIN g USING (doc_id) ORDER BY doc_id"),
 
     // same canonical-url groups as q_url_dedup, against the q_split_assign
     // hash thresholds; splits render as the sorted-distinct csv

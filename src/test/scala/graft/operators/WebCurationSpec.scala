@@ -165,6 +165,52 @@ class WebCurationSpec extends SparkSpec {
     assert(b128.getAs[Long]("n_batches") === 1L)
   }
 
+  // ---- boilerplate cut ------------------------------------------------------
+
+  test("boilerplate paragraphs cut everywhere, rare ones survive") {
+    val banner = "accept our cookie policy"
+    val df = (0L to 9L).map { i =>
+      val body = s"unique body $i"
+      // doc 9 is ALL boilerplate
+      (i, if (i == 9L) banner else s"$body\n$banner")
+    }.toDF("doc_id", "text")
+    val out = Dedup.boilerplateCut(df, "doc_id", "text", maxDf = 5)
+      .orderBy("doc_id").collect()
+    assert(out.length === 10, "write-back shape: every doc emits")
+    out.foreach { r =>
+      val (id, kept, clean) = (r.getLong(0), r.getInt(2), r.getString(3))
+      if (id == 9L) { assert(kept === 0); assert(clean === "") }
+      else { assert(kept === 1); assert(clean === s"unique body $id") }
+    }
+  }
+
+  // ---- perplexity buckets ---------------------------------------------------
+
+  test("ppl buckets tercile each language and respect the thresholds") {
+    val docs = graft.tables.Tables.documents(spark, sf("sf0.001"))
+    val out = graft.operators.LanguageModel
+      .pplBuckets(docs, "doc_id", "text", "lang").collect()
+    assert(out.length === docs.count())
+    val byLang = out.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rows) =>
+      val counts = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+      val n = rows.length
+      // terciles up to 4dp score ties (ties go to the LOWER bucket, so a
+      // run of equal scores at a threshold inflates that bucket): every
+      // bucket is non-empty and no bucket exceeds a third plus the
+      // largest tie run
+      val maxTie = rows.groupBy(_.getDouble(2)).values.map(_.length).max
+      Seq("head", "middle", "tail").foreach { b =>
+        val c = counts.getOrElse(b, 0)
+        assert(c >= 1 && c <= n / 3 + maxTie + 1, s"$lang/$b: $counts")
+      }
+      // ordering invariant: every head score <= every tail score
+      val h = rows.filter(_.getString(3) == "head").map(_.getDouble(2))
+      val t = rows.filter(_.getString(3) == "tail").map(_.getDouble(2))
+      if (h.nonEmpty && t.nonEmpty) assert(h.max <= t.min)
+    }
+  }
+
   // ---- quality sweep -------------------------------------------------------
 
   test("quality sweep is monotone non-increasing and anchored at 0") {
