@@ -136,4 +136,42 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"q3_topk degraded to a sort-merge join\n$p")
   }
+
+  test("r12 web-curation additions keep their scale shapes") {
+    // C4 filter is a pure scan projection: the ONLY exchange allowed is
+    // the trailing oracle-harness orderBy (a range Exchange above the
+    // projection), never one below a join/agg — and the scan reads only
+    // (doc_id, text)
+    val c4 = plan("q_c4_line_filter")
+    assert("""\(\d+\) Exchange""".r.findAllIn(c4).size <= 1,
+      s"q_c4_line_filter grew a data-sized shuffle beyond the orderBy\n$c4")
+    assert(readCols(c4).forall(_.size <= 2),
+      s"q_c4_line_filter reads unpruned schema: ${readCols(c4)}")
+
+    // url dedup must partial-aggregate map-side: partial+final
+    // HashAggregate pair around its one agg exchange
+    val ud = plan("q_url_dedup")
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(ud).size >= 2,
+      s"q_url_dedup lost its map-side partial aggregation\n$ud")
+
+    // the salted domain cap keeps BOTH window passes (salt prune +
+    // final) — collapsing to one window re-creates the hot-host
+    // straggler this op exists to avoid
+    val dc = plan("q_domain_cap")
+    assert("""\(\d+\) Window""".r.findAllIn(dc).size >= 2,
+      s"q_domain_cap lost its salt-prune window pass\n$dc")
+
+    // sft masks: the two window functions share ONE partitioning — a
+    // second data exchange means the frames diverged
+    val sm = plan("q_sft_masks")
+    assert("""\(\d+\) Exchange""".r.findAllIn(sm).size <= 2, // window + orderBy
+      s"q_sft_masks windows no longer share their exchange\n$sm")
+
+    // boilerplate cut joins flags back on the hash — never a
+    // nested-loop/cartesian on paragraph text
+    val bc = plan("q_boilerplate_cut")
+    assert(!bc.contains("CartesianProduct") &&
+      !bc.contains("BroadcastNestedLoopJoin"),
+      s"q_boilerplate_cut degraded to an all-pairs join\n$bc")
+  }
 }
