@@ -633,6 +633,14 @@ object PipelineQueries {
     "q_stream_tokenize" -> ((s, d) =>
       graft.streaming.StreamParity.tokenizeParity(s, d)),
 
+    // streaming web ingest (canonicalize + C4 filter + exactly-once
+    // canonical-url admission) parity UNDER RESTART: the second half of
+    // the slice re-spells canons the first half admitted, so the
+    // emitted (canon_url, host) set equals the batch DISTINCT only if
+    // the dedup store recovers from the checkpoint
+    "q_stream_webingest" -> ((s, d) =>
+      graft.streaming.StreamParity.webIngestParity(s, d)),
+
     // the full curation composition (gates -> exact dedup -> minhash
     // near-dup dedup), summarized per language; oracle-checked — the
     // near-dup stage runs at tau 0.8 where banding recall is verified
@@ -2186,6 +2194,16 @@ object PipelineQueries {
     // that slice (training and segmentation both run over it)
     "q_stream_tokenize" -> bpeEncodeOracleSql(4,
       "(SELECT * FROM documents ORDER BY doc_id LIMIT 2000)"),
+
+    // stream == batch over the slice: DISTINCT canonical urls of the
+    // C4-passing docs (winner identity is shuffle-order dependent, the
+    // canon SET is not — see StreamParity.webIngestParity)
+    "q_stream_webingest" ->
+      ("WITH base AS (SELECT * FROM documents ORDER BY doc_id LIMIT 2000), " +
+       TrainingQueries.c4CtesBody("base") + ", " +
+       TrainingQueries.urlCtesBody("base") +
+       " SELECT DISTINCT q.canon_url, q.host FROM q JOIN g USING (doc_id) " +
+       "WHERE NOT g.braced AND g.n_kept >= 3 ORDER BY canon_url"),
 
     "q_asof_join" ->
       ("WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t " +

@@ -1403,10 +1403,13 @@ object TrainingQueries {
 
   /** Shared C4 synthesis + rule CTEs: decorate (replaying
     * C4Filter.withSyntheticLines), apply the keep rule per line, group to
-    * per-doc counts/kept text. Ends at relation `g`. */
-  private def C4CtesSql: String =
-    ("WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk " +
-     "FROM documents), " +
+    * per-doc counts/kept text. Ends at relation `g`. `rel` is the corpus
+    * relation (q_stream_webingest composes this over a LIMIT slice). */
+  private def C4CtesSql: String = "WITH " + c4CtesBody("documents")
+
+  private[queries] def c4CtesBody(rel: String): String =
+    (s"t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk " +
+     s"FROM $rel), " +
      "c AS (SELECT doc_id, [array_to_string(tk[i:i+7], ' ') " +
      "for i in range(1, greatest(len(tk), 1) + 1, 8)] AS cs FROM t), " +
      "l AS (SELECT doc_id, generate_subscripts(cs, 1) - 1 AS idx, " +
@@ -1434,7 +1437,9 @@ object TrainingQueries {
   /** Shared URL synthesis + canonicalization CTEs (replaying
     * UrlCuration.withSyntheticUrls / canonicalCol). Ends at relation `q`
     * with (doc_id, url, canon_url, host). */
-  private def UrlCtesSql: String = {
+  private def UrlCtesSql: String = "WITH " + urlCtesBody("documents")
+
+  private[queries] def urlCtesBody(rel: String): String = {
     def mk(v: Int): String = {
       val h = "CAST(doc_id % 13 AS VARCHAR)"
       val p = "CAST(doc_id % 5 AS VARCHAR)"
@@ -1448,10 +1453,12 @@ object TrainingQueries {
         case _ => s"'https://site' || $h || '.example.com/p' || $p || '/doc?id=' || $q"
       }
     }
-    ("WITH u AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INT) " +
+    // CTE names u/uc/q are disjoint from c4CtesBody's t/c/l/dl/k/g so the
+    // two bodies compose under one WITH (q_stream_webingest)
+    (s"u AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INT) " +
      (0 to 4).map(v => s"WHEN $v THEN ${mk(v)} ").mkString +
-     s"ELSE ${mk(5)} END AS url FROM documents), " +
-     "c AS (SELECT doc_id, url, " +
+     s"ELSE ${mk(5)} END AS url FROM $rel), " +
+     "uc AS (SELECT doc_id, url, " +
      "regexp_replace(regexp_replace(lower(regexp_extract(url, " +
      "'^[a-zA-Z]+://([^/?#]+)', 1)), ':(80|443)$', ''), '^www\\.', '') AS host, " +
      "regexp_replace(regexp_replace(regexp_extract(url, " +
@@ -1464,7 +1471,7 @@ object TrainingQueries {
      "string_split(query, '&'), kv -> NOT (" +
      "starts_with(string_split(kv, '=')[1], 'utm_') " +
      "OR string_split(kv, '=')[1] IN ('fbclid', 'gclid', 'ref')))), '&') " +
-     "AS qs FROM c))")
+     "AS qs FROM uc))")
   }
 
   /** Shared SFT turn CTEs: (ts, event_id)-ordered turns with 0-based

@@ -264,4 +264,41 @@ object StreamParity {
         }).flatten
     collected.toDF("doc_id", "n_tokens", "toks_s").orderBy("doc_id")
   }
+
+  /** Web-ingest parity UNDER RESTART: the doc slice (decorated with the
+    * C4 synthetic lines + messy URLs, ts = epoch + doc_id seconds) splits
+    * across a checkpointed stop/restart through
+    * [[EventStreams.webIngestStream]]. The slice's CRT url classes mean
+    * the second half re-spells canonical urls the first half already
+    * admitted, so exactly-once emission per canon REQUIRES the restored
+    * dedup store. Which group member wins is shuffle-order dependent, so
+    * the row emits the canon-level invariant — the admitted
+    * (canon_url, host) SET — which batch-equals DISTINCT canon over the
+    * filter-passing docs; the watermark delay exceeds the slice's ts
+    * span so no state evicts mid-certificate. Constant fixture at every
+    * sf (class-doc discipline). */
+  def webIngestParity(spark: SparkSession, sfDir: String,
+                      sliceDocs: Int = 2000): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{C4Filter, UrlCuration}
+    val slice = Tables.documents(spark, sfDir).orderBy("doc_id")
+      .limit(sliceDocs)
+    val decorated = UrlCuration.withSyntheticUrls(
+      C4Filter.withSyntheticLines(slice, "doc_id", "text"), "doc_id")
+      .withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      .select(col("doc_id"), col("text"), col("url"), col("ts"))
+    val rows = decorated.as[(Long, String, String, Timestamp)].collect().toSeq
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val collected = runRestartedPhases[
+        (Long, String, String, Timestamp), (String, String)](
+        spark, Seq(Seq(h1), Seq(h2)), OutputMode.Append,
+        ds => {
+          val df = ds.toDF("doc_id", "text", "url", "ts")
+          EventStreams.webIngestStream(df, "ts",
+              watermarkDelay = "24 hours")
+            .select(col("canon_url"), col("host")).as[(String, String)]
+        }).flatten
+    collected.toDF("canon_url", "host").orderBy("canon_url")
+  }
 }
