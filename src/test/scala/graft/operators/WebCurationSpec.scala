@@ -89,6 +89,16 @@ class WebCurationSpec extends SparkSpec {
     assert(salted === reference)
   }
 
+  test("canonicalization is idempotent over the synthetic spelling space") {
+    val docs = (0L to 500L).toDF("doc_id")
+    val once = UrlCuration.withSyntheticUrls(docs, "doc_id")
+      .select(UrlCuration.canonicalCol(col("url")).as("c1"))
+    val twice = once.select(col("c1"),
+      UrlCuration.canonicalCol(col("c1")).as("c2"))
+    assert(twice.where(col("c1") =!= col("c2")).count() === 0L,
+      "canon(canon(u)) must equal canon(u)")
+  }
+
   test("domain cap keeps at most cap docs per host, best-first") {
     val df = (0L to 19L).map(i =>
       (i, s"https://h${i % 2}.example.com/d$i", 100 - i.toInt)).toDF("doc_id", "url", "sz")
