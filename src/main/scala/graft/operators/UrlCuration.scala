@@ -101,6 +101,43 @@ object UrlCuration {
       .groupBy(col("canon_url"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** End-to-end crawl-curation funnel, per source: the composed
+    * blocklist -> canonical-URL dedup -> C4 line filter pipeline with a
+    * stage-by-stage survivor count — the acceptance readout a crawl
+    * ingestion run publishes (docs in, blocked, unique-after-dedup,
+    * C4-kept, kept tokens). Stage semantics:
+    *   blocked  = canonical host in `blockedHosts`
+    *   winner   = smallest doc_id of the canon group among NOT-blocked
+    *   pass     = winner that survives the C4 rules
+    * One shuffle on the canonical url (the window min) + one partial-agg
+    * groupBy on source; every per-doc flag is scan-side. */
+  def crawlFunnel(docs: DataFrame, idCol: String, urlCol: String,
+                  textCol: String, srcCol: String,
+                  blockedHosts: Seq[String], minWords: Int = 5,
+                  minKeptLines: Int = 3): DataFrame = {
+    val host = hostCol(col(urlCol))
+    val blocked = blockedHosts.foldLeft(lit(false))((a, h) => a || host === h)
+    val winId = min(when(!col("blocked"), col(idCol)))
+      .over(Window.partitionBy(col("canon_url")))
+    val kept = C4Filter.keptLinesCol(col(textCol), minWords)
+    val keptTokens = aggregate(col("kept_lines"), lit(0),
+      (acc, l) => acc + size(split(l, " ")))
+    docs
+      .withColumn("canon_url", canonicalCol(col(urlCol)))
+      .withColumn("blocked", blocked)
+      .withColumn("winner", !col("blocked") && col(idCol) === winId)
+      .withColumn("kept_lines", kept)
+      .withColumn("pass", col("winner") &&
+        !C4Filter.braceCol(col(textCol)) &&
+        size(col("kept_lines")) >= minKeptLines)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("docs_in"),
+        sum(col("blocked").cast("int")).as("n_blocked"),
+        sum(col("winner").cast("int")).as("n_unique"),
+        sum(col("pass").cast("int")).as("n_kept"),
+        sum(when(col("pass"), keptTokens).otherwise(0)).as("tokens_kept"))
+  }
+
   /** Cross-split leakage report: canonical URLs whose duplicate crawls
     * landed in MORE THAN ONE train/val/test split — the URL-level twin of
     * benchmark decontamination (a page split-assigned by doc_id leaks

@@ -511,8 +511,22 @@ object TrainingQueries {
     // (incl. first occurrence) — the planted shared block vanishes
     "q_boilerplate_cut" -> ((s, d) =>
       Dedup.boilerplateCut(withParagraphs(Tables.documents(s, d)),
-        "doc_id", "text").orderBy("doc_id"))
+        "doc_id", "text").orderBy("doc_id")),
+
+    // end-to-end crawl funnel: blocklist -> canonical dedup -> C4, with
+    // per-source stage survivor counts (the ingestion acceptance report)
+    "q_crawl_funnel" -> ((s, d) =>
+      UrlCuration.crawlFunnel(
+        UrlCuration.withSyntheticUrls(
+          C4Filter.withSyntheticLines(Tables.documents(s, d), "doc_id",
+            "text"), "doc_id"),
+        "doc_id", "url", "text", "source", blockedHosts = CrawlBlocklist)
+        .orderBy("source"))
   )
+
+  /** Blocklist fixture for q_crawl_funnel (3 of the 13 synthetic hosts). */
+  private val CrawlBlocklist: Seq[String] =
+    Seq(0, 5, 10).map(i => s"site$i.example.com")
 
   /** Label domain of the NB fixture (documents.lang, alphabetical — the
     * argmax tie order on both engines). */
@@ -1386,6 +1400,33 @@ object TrainingQueries {
        "SELECT d.doc_id, CAST(len(string_split(d.t, chr(10))) AS INT) AS n_paras, " +
        "coalesce(g.n_kept, 0) AS n_kept, coalesce(g.text_clean, '') AS text_clean " +
        "FROM d LEFT JOIN g USING (doc_id) ORDER BY doc_id"),
+
+    // composed C4 + URL chains under one WITH (disjoint CTE names), the
+    // same blocked/winner/pass flags, per-line kept-token sums from `k`
+    "q_crawl_funnel" ->
+      ("WITH " + c4CtesBody("documents") + ", " + urlCtesBody("documents") +
+       ", fl AS (SELECT q.doc_id, q.canon_url, q.host IN " +
+       "('site0.example.com', 'site5.example.com', 'site10.example.com') " +
+       "AS blocked FROM q), " +
+       "w AS (SELECT *, min(CASE WHEN NOT blocked THEN doc_id END) " +
+       "OVER (PARTITION BY canon_url) AS win_id FROM fl), " +
+       "g2 AS (SELECT doc_id, " +
+       "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept2, " +
+       "bool_or(brace) AS braced2, " +
+       "CAST(sum(CASE WHEN keep THEN len(string_split(line, ' ')) " +
+       "ELSE 0 END) AS BIGINT) AS kept_toks FROM k GROUP BY doc_id), " +
+       "fin AS (SELECT w.doc_id, w.blocked, " +
+       "(NOT w.blocked AND w.doc_id = w.win_id) AS winner, " +
+       "((NOT w.blocked AND w.doc_id = w.win_id) AND NOT g2.braced2 " +
+       "AND g2.n_kept2 >= 3) AS pass, g2.kept_toks " +
+       "FROM w JOIN g2 USING (doc_id)) " +
+       "SELECT s.source, count(*) AS docs_in, " +
+       "CAST(sum(CASE WHEN fin.blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked, " +
+       "CAST(sum(CASE WHEN fin.winner THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, " +
+       "CAST(sum(CASE WHEN fin.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+       "CAST(sum(CASE WHEN fin.pass THEN fin.kept_toks ELSE 0 END) AS BIGINT) " +
+       "AS tokens_kept FROM fin JOIN documents s USING (doc_id) " +
+       "GROUP BY s.source ORDER BY s.source"),
 
     // same canonical-url groups as q_url_dedup, against the q_split_assign
     // hash thresholds; splits render as the sorted-distinct csv

@@ -175,6 +175,29 @@ class WebCurationSpec extends SparkSpec {
     assert(b128.getAs[Long]("n_batches") === 1L)
   }
 
+  // ---- crawl funnel ---------------------------------------------------------
+
+  test("crawl funnel stages are monotone and blocked hosts never win") {
+    val docs = graft.tables.Tables.documents(spark, sf("sf0.001"))
+    val blocked = Seq(0, 5, 10).map(i => s"site$i.example.com")
+    val base = UrlCuration.withSyntheticUrls(
+      C4Filter.withSyntheticLines(docs, "doc_id", "text"), "doc_id")
+    val out = UrlCuration.crawlFunnel(base, "doc_id", "url", "text",
+      "source", blocked).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (in, nb, nu, nk) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nb + nu <= in, s"blocked+unique can't exceed docs_in: $r")
+      assert(nk <= nu, s"C4-kept can't exceed unique winners: $r")
+    }
+    // totals: every canon group with a not-blocked member yields ONE winner
+    val expectedUnique = base
+      .withColumn("host", UrlCuration.hostCol(col("url")))
+      .where(!col("host").isin(blocked: _*))
+      .select(UrlCuration.canonicalCol(col("url"))).distinct().count()
+    assert(out.map(_.getLong(3)).sum === expectedUnique)
+  }
+
   // ---- boilerplate cut ------------------------------------------------------
 
   test("boilerplate paragraphs cut everywhere, rare ones survive") {
