@@ -80,16 +80,24 @@ object Packing {
     * Output: (doc_id, bucket, n_tokens, bin_id). */
   def packBestFit(docs: DataFrame, idCol: String, textCol: String,
                   budget: Int, buckets: Int): DataFrame = {
-    require(budget > 0 && buckets > 0,
-      s"budget/buckets must be positive, got ($budget, $buckets)")
-    val spark = docs.sparkSession
-    import spark.implicits._
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val id = col(idCol)
     val nTok = regexp_count(coalesce(col(textCol), lit("")), lit("\\S+"))
-    val base = docs
+    packBestFitWeighted(docs
       .select(id.as("doc_id"), (id % buckets).as("bucket"),
-        nTok.cast("long").as("n_tokens"))
-      .filter(col("n_tokens") > 0)
+        nTok.cast("long").as("n_tokens")), budget)
+  }
+
+  /** [[packBestFit]]'s FFD core over CALLER-SUPPLIED integer weights —
+    * input relation (doc_id, bucket, n_tokens). The SFT entry point:
+    * pack whole CONVERSATIONS (weight = rendered length) into context
+    * bins, never splitting a conversation across bins. */
+  def packBestFitWeighted(weighted: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = weighted.sparkSession
+    import spark.implicits._
+    val base = weighted.select(col("doc_id"), col("bucket"),
+      col("n_tokens")).filter(col("n_tokens") > 0)
     val oversize = base.filter(col("n_tokens") > budget)
       .withColumn("bin_id", (-row_number().over(
         Window.partitionBy("bucket").orderBy(desc("n_tokens"), col("doc_id"))))

@@ -163,6 +163,48 @@ object TextAnalysis {
             org.apache.spark.sql.expressions.Window.partitionBy()), 6))
   }
 
+  /** Per-source vocabulary / Zipf report — the lexical-health readout a
+    * corpus release publishes next to the mixture weights: distinct
+    * vocabulary size, total token mass, hapax fraction (count-1 types —
+    * high hapax = noisy OCR/boilerplate-in-tokens), and the token-mass
+    * share of the top `topK` types (Zipf head coverage — high share =
+    * templated text). One explode into a (source, token) partial-agg
+    * (the Zipf head collapses map-side), then a |sources|-bounded
+    * second agg: the wide shuffle carries (source, token, count) rows
+    * only. Fractions rounded 6dp on both engines. */
+  def vocabReport(docs: DataFrame, srcCol: String, textCol: String,
+                  topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(srcCol).as("source"),
+      explode(split(coalesce(col(textCol), lit("")), " ")).as("tok"))
+    val counts = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    // per-source counters without ranking (no window touches the full
+    // vocabulary)
+    val base = counts.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("c")).as("total_tokens"),
+        round(sum(when(col("c") === 1, 1).otherwise(0)) / count(lit(1)), 6)
+          .as("hapax_frac"))
+    // top-K mass via the salted prune (domainCap discipline): a source's
+    // vocabulary is the hot group BY DESIGN, and row_number can't
+    // AQE-split — rank within (source, hash salt) first, keep topK per
+    // salt (the global top-K is always inside its salt's top-K), then
+    // the final window ranks <= salts*topK rows per source
+    val ord: Seq[Column] = Seq(col("c").desc, col("tok"))
+    val w1 = Window.partitionBy(col("source"), pmod(xxhash64(col("tok")), lit(32)))
+      .orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("source")).orderBy(ord: _*)
+    val top = counts
+      .withColumn("srk", row_number().over(w1)).where(col("srk") <= topK)
+      .withColumn("rk", row_number().over(w2)).where(col("rk") <= topK)
+      .groupBy(col("source")).agg(sum(col("c")).as("top_mass"))
+    base.join(top, Seq("source"))
+      .select(col("source"), col("vocab_size"), col("total_tokens"),
+        col("hapax_frac"),
+        round(col("top_mass") / col("total_tokens"), 6).as("top100_mass"))
+  }
+
   /** Within-document repetition signals — the Gopher-style quality rules
     * (Rae et al. 2021, "Scaling Language Models", table A1 filters docs by
     * duplicate-line and duplicate-n-gram fractions). Token-level analogs

@@ -521,7 +521,27 @@ object TrainingQueries {
           C4Filter.withSyntheticLines(Tables.documents(s, d), "doc_id",
             "text"), "doc_id"),
         "doc_id", "url", "text", "source", blockedHosts = CrawlBlocklist)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // per-source vocabulary / Zipf report: vocab size, hapax fraction,
+    // top-100 token-mass share (salted top-K prune, no full-vocab window)
+    "q_vocab_report" -> ((s, d) =>
+      TextAnalysis.vocabReport(Tables.documents(s, d), "source", "text")
+        .orderBy("source")),
+
+    // SFT batching: pack whole CONVERSATIONS (weight = rendered length)
+    // into 1536-char context bins via the FFD machinery — a conversation
+    // never splits across bins; oversize ones get dedicated negative ids
+    "q_sft_pack" -> ((s, d) => {
+      val r = SftRender.render(Tables.events(s, d))
+      Packing.packBestFitWeighted(
+        r.select(col("user_id").as("doc_id"),
+          pmod(col("user_id"), lit(4)).as("bucket"),
+          col("n_chars_r").cast("long").as("n_tokens")), budget = 1536)
+        .select(col("doc_id").as("user_id"), col("bucket"),
+          col("n_tokens").as("n_chars_r"), col("bin_id"))
+        .orderBy("bucket", "user_id")
+    })
   )
 
   /** Blocklist fixture for q_crawl_funnel (3 of the 13 synthetic hosts). */
@@ -1400,6 +1420,54 @@ object TrainingQueries {
        "SELECT d.doc_id, CAST(len(string_split(d.t, chr(10))) AS INT) AS n_paras, " +
        "coalesce(g.n_kept, 0) AS n_kept, coalesce(g.text_clean, '') AS text_clean " +
        "FROM d LEFT JOIN g USING (doc_id) ORDER BY doc_id"),
+
+    // the PackFfd walk over conversation weights (w = the q_sft_masks
+    // seg_len arithmetic summed per user — no string rebuild needed);
+    // same first-fit list-carry replay, budget 1536, buckets = user % 4
+    "q_sft_pack" -> {
+      val pos = "list_position(list_transform(wk.bins, x -> x >= s.w), true)"
+      (SftCtesSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+       ", sg AS (SELECT user_id, CASE WHEN turn_idx % 2 = 0 THEN 9 ELSE 14 END " +
+       "+ length(content) + 1 AS seg_len FROM r), " +
+       "wts AS (SELECT user_id, CAST(user_id % 4 AS BIGINT) AS bucket, " +
+       "CAST(sum(seg_len) AS BIGINT) AS w FROM sg GROUP BY user_id), " +
+       "small AS (SELECT user_id, bucket, w, row_number() OVER " +
+       "(PARTITION BY bucket ORDER BY w DESC, user_id) AS rk FROM wts " +
+       "WHERE w <= 1536), " +
+       "walk AS (SELECT bucket, 0 AS rk, CAST(NULL AS BIGINT) AS user_id, " +
+       "CAST(NULL AS BIGINT) AS w, CAST(0 AS BIGINT) AS bin_id, " +
+       "CAST([] AS BIGINT[]) AS bins FROM (SELECT DISTINCT bucket FROM small) " +
+       "UNION ALL SELECT s.bucket, s.rk, s.user_id, s.w, " +
+       s"CAST(CASE WHEN $pos = 0 THEN len(wk.bins) + 1 ELSE $pos END AS BIGINT) AS bin_id, " +
+       s"CASE WHEN $pos = 0 THEN list_append(wk.bins, 1536 - s.w) " +
+       s"ELSE list_slice(wk.bins, 1, $pos - 1) || [wk.bins[$pos] - s.w] " +
+       s"|| list_slice(wk.bins, $pos + 1, len(wk.bins)) END AS bins " +
+       "FROM walk wk JOIN small s ON s.bucket = wk.bucket AND s.rk = wk.rk + 1), " +
+       "assign AS (SELECT user_id, bucket, w, bin_id FROM walk WHERE rk > 0 " +
+       "UNION ALL SELECT user_id, bucket, w, " +
+       "CAST(-row_number() OVER (PARTITION BY bucket ORDER BY w DESC, user_id) " +
+       "AS BIGINT) AS bin_id FROM wts WHERE w > 1536) " +
+       "SELECT user_id, bucket, w AS n_chars_r, bin_id FROM assign " +
+       "ORDER BY bucket, user_id")
+    },
+
+    // top-100 boundary ties break on (c DESC, tok) in both engines; the
+    // salted Spark prune provably keeps the same global top-K
+    "q_vocab_report" ->
+      ("WITH toks AS (SELECT source, unnest(string_split(coalesce(text, ''), ' ')) " +
+       "AS tok FROM documents), " +
+       "cnt AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok), " +
+       "b AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab_size, " +
+       "CAST(sum(c) AS BIGINT) AS total_tokens, " +
+       "round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / count(*), 6) AS hapax_frac " +
+       "FROM cnt GROUP BY source), " +
+       "r AS (SELECT source, c, row_number() OVER (PARTITION BY source " +
+       "ORDER BY c DESC, tok) AS rk FROM cnt), " +
+       "t AS (SELECT source, CAST(sum(c) AS BIGINT) AS top_mass FROM r " +
+       "WHERE rk <= 100 GROUP BY source) " +
+       "SELECT b.source, b.vocab_size, b.total_tokens, b.hapax_frac, " +
+       "round(t.top_mass / b.total_tokens, 6) AS top100_mass " +
+       "FROM b JOIN t USING (source) ORDER BY source"),
 
     // composed C4 + URL chains under one WITH (disjoint CTE names), the
     // same blocked/winner/pass flags, per-line kept-token sums from `k`

@@ -175,6 +175,26 @@ class WebCurationSpec extends SparkSpec {
     assert(b128.getAs[Long]("n_batches") === 1L)
   }
 
+  // ---- vocab report ---------------------------------------------------------
+
+  test("vocab report counters are exact on a hand-checkable fixture") {
+    val df = Seq(
+      ("s", "a a a b b c"),           // vocab {a:3,b:2,c:1}
+      ("s", "a d"),                   // a:4, d:1
+      ("t", "x y")                    // all hapax
+    ).toDF("source", "text")
+    val out = TextAnalysis.vocabReport(df, "source", "text", topK = 2)
+      .orderBy("source").collect()
+    val s = out(0)
+    assert(s.getAs[Long]("vocab_size") === 4L)      // a b c d
+    assert(s.getAs[Long]("total_tokens") === 8L)
+    assert(s.getAs[Double]("hapax_frac") === 0.5)   // c, d of 4 types
+    assert(s.getAs[Double]("top100_mass") === 0.75) // top2 = a(4)+b(2) of 8
+    val t = out(1)
+    assert(t.getAs[Double]("hapax_frac") === 1.0)
+    assert(t.getAs[Double]("top100_mass") === 1.0)
+  }
+
   // ---- crawl funnel ---------------------------------------------------------
 
   test("crawl funnel stages are monotone and blocked hosts never win") {
@@ -242,6 +262,26 @@ class WebCurationSpec extends SparkSpec {
       val t = rows.filter(_.getString(3) == "tail").map(_.getDouble(2))
       if (h.nonEmpty && t.nonEmpty) assert(h.max <= t.min)
     }
+  }
+
+  // ---- SFT conversation packing ----------------------------------------------
+
+  test("sft pack never overfills a bin and never splits a conversation") {
+    val ev = graft.tables.Tables.events(spark, sf("sf0.001"))
+    val r = graft.operators.SftRender.render(ev)
+    val out = Packing.packBestFitWeighted(
+      r.select(col("user_id").as("doc_id"),
+        pmod(col("user_id"), lit(4)).as("bucket"),
+        col("n_chars_r").cast("long").as("n_tokens")), budget = 1536)
+      .collect()
+    assert(out.length === r.count(), "every conversation lands exactly once")
+    val byBin = out.filter(_.getLong(3) > 0)
+      .groupBy(rw => (rw.getLong(1), rw.getLong(3)))
+    byBin.foreach { case (bin, rows) =>
+      assert(rows.map(_.getLong(2)).sum <= 1536L, s"bin $bin overfull")
+    }
+    assert(out.exists(_.getLong(3) < 0),
+      "fixture must exercise the oversize branch (budget < max conv)")
   }
 
   // ---- quality sweep -------------------------------------------------------
