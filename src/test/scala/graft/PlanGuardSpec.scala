@@ -173,5 +173,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(!bc.contains("CartesianProduct") &&
       !bc.contains("BroadcastNestedLoopJoin"),
       s"q_boilerplate_cut degraded to an all-pairs join\n$bc")
+
+    // vocab report: the top-K mass must keep its salted prune (two
+    // window passes) — one window means the full per-source vocabulary
+    // sorts in a single partition
+    val vr = plan("q_vocab_report")
+    assert("""\(\d+\) Window""".r.findAllIn(vr).size >= 2,
+      s"q_vocab_report lost its salted top-K prune\n$vr")
+
+    // sft pack: conversations assemble once (a sort-aggregate on
+    // user_id), then the FFD walk — never a cartesian
+    val sp = plan("q_sft_pack")
+    assert(!sp.contains("CartesianProduct") &&
+      !sp.contains("BroadcastNestedLoopJoin"),
+      s"q_sft_pack grew an all-pairs join\n$sp")
+
+    // crawl funnel: the winner selection is ONE window over canon_url;
+    // the events-sized data must not shuffle more than (canon window +
+    // source agg + orderBy)
+    val cf = plan("q_crawl_funnel")
+    assert("""\(\d+\) Exchange""".r.findAllIn(cf).size <= 4,
+      s"q_crawl_funnel gained unexpected shuffles\n$cf")
   }
 }
