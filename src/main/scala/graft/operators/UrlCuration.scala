@@ -138,6 +138,24 @@ object UrlCuration {
         sum(when(col("pass"), keptTokens).otherwise(0)).as("tokens_kept"))
   }
 
+  /** Incremental canonical-URL admission — the URL member of the
+    * bipartite incremental-dedup family (MinHash and SRP-embedding
+    * twins live in Dedup): a NEW crawl batch admits only documents
+    * whose canonical URL (a) is absent from the existing corpus (LEFT
+    * ANTI on the canonical string — the corpus never re-shuffles its
+    * text, only its canon strings) and (b) is the batch's own
+    * first-crawled spelling (min id per canon within the batch). */
+  def dedupUrlIncremental(batch: DataFrame, corpus: DataFrame,
+                          idCol: String, urlCol: String): DataFrame = {
+    val canon = canonicalCol(col(urlCol))
+    val known = corpus.select(canon.as("canon_url")).distinct()
+    batch.select(col(idCol), canon.as("canon_url"))
+      .join(known, Seq("canon_url"), "left_anti")
+      .groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("admit_id"),
+        count(lit(1)).as("n_spellings"))
+  }
+
   /** Cross-split leakage report: canonical URLs whose duplicate crawls
     * landed in MORE THAN ONE train/val/test split — the URL-level twin of
     * benchmark decontamination (a page split-assigned by doc_id leaks

@@ -529,6 +529,17 @@ object TrainingQueries {
       TextAnalysis.vocabReport(Tables.documents(s, d), "source", "text")
         .orderBy("source")),
 
+    // incremental canonical-URL admission: the doc_id % 5 == 4 slice is
+    // the NEW batch, the rest the corpus; re-crawled canons drop, the
+    // batch's first spelling of a genuinely-new canon wins
+    "q_url_incremental" -> ((s, d) => {
+      val all = UrlCuration.withSyntheticUrls(Tables.documents(s, d), "doc_id")
+      UrlCuration.dedupUrlIncremental(
+        all.where(pmod(col("doc_id"), lit(5)) === 4),
+        all.where(pmod(col("doc_id"), lit(5)) =!= 4),
+        "doc_id", "url").orderBy("canon_url")
+    }),
+
     // SFT batching: pack whole CONVERSATIONS (weight = rendered length)
     // into 1536-char context bins via the FFD machinery — a conversation
     // never splits across bins; oversize ones get dedicated negative ids
@@ -1420,6 +1431,13 @@ object TrainingQueries {
        "SELECT d.doc_id, CAST(len(string_split(d.t, chr(10))) AS INT) AS n_paras, " +
        "coalesce(g.n_kept, 0) AS n_kept, coalesce(g.text_clean, '') AS text_clean " +
        "FROM d LEFT JOIN g USING (doc_id) ORDER BY doc_id"),
+
+    // same canonical groups; batch = doc_id % 5 = 4, anti vs the rest
+    "q_url_incremental" -> (UrlCtesSql +
+      " SELECT canon_url, min(doc_id) AS admit_id, count(*) AS n_spellings " +
+      "FROM q WHERE doc_id % 5 = 4 AND canon_url NOT IN " +
+      "(SELECT canon_url FROM q WHERE doc_id % 5 <> 4) " +
+      "GROUP BY canon_url ORDER BY canon_url"),
 
     // the PackFfd walk over conversation weights (w = the q_sft_masks
     // seg_len arithmetic summed per user — no string rebuild needed);

@@ -109,6 +109,21 @@ class WebCurationSpec extends SparkSpec {
     assert(h0.toSeq === Seq(0L, 2L, 4L))
   }
 
+  test("incremental url admission drops known canons, admits first spelling") {
+    val corpus = Seq((1L, "https://a.example.com/x")).toDF("doc_id", "url")
+    val batch = Seq(
+      (10L, "https://A.example.com/x?utm_source=z"), // respelled known -> drop
+      (12L, "http://www.b.example.com:80/y"),        // new canon, two spellings
+      (11L, "https://b.example.com/y"),
+      (13L, "https://c.example.com/z")).toDF("doc_id", "url")
+    val out = UrlCuration.dedupUrlIncremental(batch, corpus, "doc_id", "url")
+      .orderBy("canon_url").collect()
+    assert(out.map(_.getString(0)).toSeq ===
+      Seq("https://b.example.com/y", "https://c.example.com/z"))
+    assert(out(0).getAs[Long]("admit_id") === 11L)
+    assert(out(0).getAs[Long]("n_spellings") === 2L)
+  }
+
   test("split leakage reports only canonical groups spanning splits") {
     val df = Seq(
       (0L, "https://a.example.com/x", "train"),
