@@ -63,9 +63,12 @@ object C4Filter {
   def keptLinesCol(text: Column, minWords: Int = 5): Column =
     filter(split(text, "\n"), l => lineKept(l, minWords))
 
-  /** True iff any line carries a curly brace (the C4 whole-doc drop). */
+  /** True iff any line carries a curly brace — either '{' or '}', per
+    * the C4 rule (Raffel et al. 2020 §2.2: drop pages containing "the
+    * curly bracket", i.e. any brace — code markers) (advisor r12: a
+    * '}'-only doc must drop too). */
   def braceCol(text: Column): Column =
-    exists(split(text, "\n"), l => l.contains("{"))
+    exists(split(text, "\n"), l => l.contains("{") || l.contains("}"))
 
   /** True iff the line survives C4's keep rule. */
   private def lineKept(l: Column, minWords: Int): Column = {

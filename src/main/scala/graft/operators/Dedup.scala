@@ -1125,7 +1125,10 @@ object Dedup {
     * in >= 2 DISTINCT documents is excised from all of them, the covered
     * token runs merged, and the surviving tokens reassembled in order.
     * `q_shared_spans` reports which docs share spans; this op performs
-    * the surgery and reports what was removed.
+    * the surgery and reports what was removed. A span counts as
+    * duplicated when it occurs >= 2 times in the CORPUS — across
+    * distinct documents or repeated within one (advisor r12: Lee et
+    * al.'s ExactSubstr includes intra-document repeats).
     *
     * Spark shape (all relational, no per-doc driver work):
     *  1. posexplode ALL w-token spans in order (native `word_ngrams`,
@@ -1133,10 +1136,11 @@ object Dedup {
     *     start token index. md5, not xxhash64, so the
     *     duplicate classes are VALUE-IDENTICAL in both engines (any
     *     astronomically-unlikely collision would agree cross-engine).
-    *  2. cross-doc duplicate classes via ONE partial-agg pass:
-    *     groupBy(h).agg(min,max doc) and keep min<>max — ">= 2 distinct
-    *     docs" without a count(distinct) expansion; the shuffle carries
-    *     (16-byte hash, two longs) regardless of span text width.
+    *  2. duplicate classes via ONE partial-agg pass: groupBy(h)
+    *     .agg(min,max doc, count) and keep min<>max (cross-doc) OR
+    *     count>1 (intra-doc repeat) — ">= 2 occurrences anywhere"
+    *     without a count(distinct) expansion; the shuffle carries
+    *     (16-byte hash, three longs) regardless of span text width.
     *  3. flag occurrences (equi-join back on h), expand each flagged
     *     start to its covered token indexes (sequence + explode of w
     *     ints), distinct -> the per-doc covered set.
@@ -1159,8 +1163,9 @@ object Dedup {
           .as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos"), md5(col("s")).as("h"))
     val dup = spans.groupBy("h")
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .filter(col("mn") =!= col("mx")).select("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+        count(lit(1)).as("cnt"))
+      .filter(col("mn") =!= col("mx") || col("cnt") > 1).select("h")
     val flagged = spans.join(dup, "h").select("doc_id", "pos")
     cutFlaggedSpans(base, flagged, w)
   }

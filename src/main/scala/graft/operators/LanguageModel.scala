@@ -95,9 +95,22 @@ object LanguageModel {
     * (avg_nll <= t33 -> head, <= t67 -> middle). */
   def pplBuckets(docs: DataFrame, idCol: String, textCol: String,
                  langCol: String, minCount: Long = 2,
-                 oovAlpha: Double = 0.5, maxLangs: Int = 1000): DataFrame = {
+                 oovAlpha: Double = 0.5, maxLangs: Int = 1000): DataFrame =
+    pplBucketsManaged(docs, idCol, textCol, langCol, minCount, oovAlpha,
+      maxLangs)._1
+
+  /** [[pplBuckets]] plus the cache-lifecycle handle: (plan, cleanup),
+    * the [[perplexityManaged]] discipline. The unigram-counts persist
+    * backs both the tercile collect (forced here) and the final bucket
+    * assignment; invoke cleanup once the output is materialized. */
+  def pplBucketsManaged(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, minCount: Long = 2,
+                        oovAlpha: Double = 0.5, maxLangs: Int = 1000)
+      : (DataFrame, () => Unit) = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val scores = perplexity(docs, idCol, textCol, minCount, oovAlpha)
+    val (ppl, cleanup) =
+      perplexityManaged(docs, idCol, textCol, minCount, oovAlpha)
+    val scores = ppl
       .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
         Seq("doc_id"))
     val thrRows = scores.groupBy("lang")
@@ -115,8 +128,8 @@ object LanguageModel {
             .when(col("avg_nll") <= t67, "middle")
             .otherwise("tail")).otherwise(acc)
     }
-    scores.select(col("doc_id"), col("lang"), col("avg_nll"),
-      bucket.as("bucket"))
+    (scores.select(col("doc_id"), col("lang"), col("avg_nll"),
+      bucket.as("bucket")), cleanup)
   }
 
   /** Bigram LM with stupid backoff (Brants et al. 2007, "Large Language

@@ -238,6 +238,10 @@ object Sampling {
                           srcCol: String, budget: Long,
                           seed: String = "s42"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // threshold math is budget * 2^16 in a signed long (advisor r12:
+    // beyond this the multiply wraps and yields a silent wrong threshold)
+    require(budget <= Long.MaxValue / 65536L,
+      s"budget too large for the 2^16 fixed-point threshold: $budget")
     val tok = size(org.apache.spark.sql.functions.split(
       coalesce(col(textCol), lit("")), " ")).cast("long")
     // bounded driver collect: one row per source (the mixture's stratum

@@ -21,6 +21,8 @@ import org.apache.spark.sql.expressions.Window
   *   6. query: tracking params removed (utm_*, fbclid, gclid, ref),
   *      survivors sorted lexicographically by the full "k=v" pair and
   *      rejoined; an emptied query drops its "?"
+  *   7. scheme-less / host-less (malformed) URLs pass through UNCHANGED
+  *      so they never merge into one dedup group (advisor r12)
   *
   * Scale shape: canonicalization is a pure scan-side projection (regexp +
   * array ops, no shuffle). URL dedup is one hash groupBy on the canonical
@@ -84,8 +86,12 @@ object UrlCuration {
         TrackingParams.foldLeft(lit(false))((acc, t) => acc || k === t))
     })
     val qs = array_join(array_sort(pairs), "&")
-    concat(lit("https://"), hostCol(url), path,
+    val canon = concat(lit("https://"), hostCol(url), path,
       when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
+    // scheme-less / authority-less URLs pass through UNCHANGED (advisor
+    // r12: '' host would collapse every malformed URL into one
+    // 'https://' dedup group — identity keeps them distinct)
+    when(length(hostCol(url)) > 0, canon).otherwise(url)
   }
 
   /** Per-row canonicalization readout: (id, url, canon_url, host). */

@@ -269,8 +269,9 @@ object TrainingQueries {
         "doc_id", "text", w = 6, minShared = 2, maxDf = 16)),
 
     // ExactSubstr REMOVAL (Lee et al. 2021 — the cut step): every 6-token
-    // span occurring in >= 2 distinct docs is excised, covered runs
-    // merged, survivors reassembled in order; the recurring exact-dup
+    // span occurring >= 2 times anywhere (cross- or intra-doc) is
+    // excised, covered runs merged, survivors reassembled in order; the
+    // recurring exact-dup
     // texts in the corpus produce whole-doc cuts, chance 6-gram overlaps
     // produce interior surgical ones
     "q_dedup_spans_cut" -> ((s, d) =>
@@ -993,7 +994,8 @@ object TrainingQueries {
        "HAVING count(*) >= 2 ORDER BY doc_a, doc_b"),
 
     // the cut replay: md5 span classes (value-identical to the Spark
-    // side), min<>max for ">= 2 distinct docs", covered = flagged starts
+    // side), min<>max OR count>1 for ">= 2 occurrences anywhere"
+    // (cross- or intra-doc, advisor r12), covered = flagged starts
     // expanded by w, runs via lag, anti-join for kept tokens
     "q_dedup_spans_cut" ->
       ("WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t " +
@@ -1002,7 +1004,8 @@ object TrainingQueries {
        "for i in range(1, len(t)-4)] AS hs FROM toks), " +
        "sp AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, " +
        "unnest(hs) AS h FROM sh), " +
-       "dup AS (SELECT h FROM sp GROUP BY h HAVING min(doc_id) <> max(doc_id)), " +
+       "dup AS (SELECT h FROM sp GROUP BY h " +
+       "HAVING min(doc_id) <> max(doc_id) OR count(*) > 1), " +
        "flag AS (SELECT doc_id, pos FROM sp JOIN dup USING (h)), " +
        "cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 6)) AS j FROM flag), " +
        "runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_tokens, " +
@@ -1554,7 +1557,7 @@ object TrainingQueries {
      "AND NOT (contains(lower(line), 'javascript') " +
      "OR contains(lower(line), 'lorem ipsum') " +
      "OR contains(lower(line), 'cookie')) AS keep, " +
-     "contains(line, '{') AS brace FROM dl), " +
+     "(contains(line, '{') OR contains(line, '}')) AS brace FROM dl), " +
      "g AS (SELECT doc_id, CAST(count(*) AS INT) AS n_lines, " +
      "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept, " +
      "bool_or(brace) AS braced, " +
@@ -1592,8 +1595,8 @@ object TrainingQueries {
      "'^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '//+', '/', 'g'), '/$', '') AS path, " +
      "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), " +
      "q AS (SELECT doc_id, url, host, " +
-     "'https://' || host || path || " +
-     "CASE WHEN length(qs) > 0 THEN '?' || qs ELSE '' END AS canon_url " +
+     "CASE WHEN host = '' THEN url ELSE 'https://' || host || path || " +
+     "CASE WHEN length(qs) > 0 THEN '?' || qs ELSE '' END END AS canon_url " +
      "FROM (SELECT *, array_to_string(list_sort(list_filter(" +
      "string_split(query, '&'), kv -> NOT (" +
      "starts_with(string_split(kv, '=')[1], 'utm_') " +

@@ -301,4 +301,42 @@ object StreamParity {
         }).flatten
     collected.toDF("canon_url", "host").orderBy("canon_url")
   }
+
+  /** Host-quota parity UNDER RESTART (judge r12 ask #7): the doc slice
+    * (messy synthetic URLs -> 13 canonical host classes, ts = epoch +
+    * doc_id seconds) splits across a checkpointed stop/restart through
+    * [[EventStreams.hostQuotaStream]] with cap = 100. Each phase feeds
+    * ONE micro-batch of 1000 docs (~77 per host), so phase 2's
+    * admissions (~23 per host) are correct ONLY if the per-host
+    * admitted counts recover from the checkpoint — a cold restart
+    * would re-admit 100 more per host and break the hash. Feed order
+    * is (ts, doc_id)-monotone and the in-batch admission rule sorts by
+    * the same key, so the admitted set is deterministically the first
+    * `cap` docs per host in (ts, doc_id) order — exactly the batch
+    * row_number window the oracle replays. Constant fixture at every
+    * sf (class-doc discipline). */
+  def hostQuotaParity(spark: SparkSession, sfDir: String,
+                      sliceDocs: Int = 2000, cap: Int = 100): DataFrame = {
+    import spark.implicits._
+    import graft.operators.UrlCuration
+    val slice = Tables.documents(spark, sfDir).orderBy("doc_id")
+      .limit(sliceDocs)
+    val decorated = UrlCuration.withSyntheticUrls(slice, "doc_id")
+      .select(col("doc_id"),
+        UrlCuration.hostCol(col("url")).as("host"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"))
+    val rows = decorated.as[(Long, String, Timestamp)].collect().toSeq
+      .sortBy(_._1)
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val collected = runRestartedPhases[
+        (Long, String, Timestamp), (Long, String)](
+        spark, Seq(Seq(h1), Seq(h2)), OutputMode.Append,
+        ds => {
+          val docs = ds.toDF("doc_id", "host", "ts")
+            .as[EventStreams.UrlDoc]
+          EventStreams.hostQuotaStream(docs, cap)
+            .select(col("doc_id"), col("host")).as[(Long, String)]
+        }).flatten
+    collected.toDF("doc_id", "host").orderBy("doc_id")
+  }
 }

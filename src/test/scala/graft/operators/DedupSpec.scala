@@ -477,16 +477,17 @@ class DedupSpec extends SparkSpec {
   // ----------------------------------------------------- cutDuplicateSpans
 
   /** Driver-side reference for the ExactSubstr cut: spans of w tokens,
-    * duplicate iff the span string occurs in >= 2 distinct docs, covered
+    * duplicate iff the span string occurs >= 2 times anywhere in the
+    * corpus (cross- OR intra-document, Lee et al. semantics), covered
     * indexes merged, survivors rejoined. */
   private def bruteCut(corpus: Seq[(Long, String)], w: Int)
       : Seq[(Long, Long, Long, Long, String)] = {
     val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }
-    val spanDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
-    for ((id, ts) <- toks; i <- 0 to ts.length - w)
-      spanDocs(ts.slice(i, i + w).mkString(" ")) =
-        spanDocs.getOrElse(ts.slice(i, i + w).mkString(" "), Set()) + id
-    val dup = spanDocs.filter(_._2.size >= 2).keySet
+    val spanCnt = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, ts) <- toks; i <- 0 to ts.length - w)
+      spanCnt(ts.slice(i, i + w).mkString(" ")) =
+        spanCnt.getOrElse(ts.slice(i, i + w).mkString(" "), 0) + 1
+    val dup = spanCnt.filter(_._2 >= 2).keySet
     toks.map { case (id, ts) =>
       val covered = (for (i <- 0 to ts.length - w
              if dup(ts.slice(i, i + w).mkString(" ")); j <- i until i + w)
@@ -502,7 +503,8 @@ class DedupSpec extends SparkSpec {
   test("cutDuplicateSpans excises a shared span, merges overlap, keeps the rest") {
     // docs 1/2 share exactly "a b c d e f" (two overlapping flagged
     // starts in doc 1 would still be one run); doc 3 untouched; doc 4 is
-    // shorter than w; doc 5 repeats a span WITHIN itself only -> no cut
+    // shorter than w; doc 5 repeats a span WITHIN itself only -> the
+    // intra-doc repeat is cut too (advisor r12, Lee et al. semantics)
     val df = Seq(
       (1L, "x a b c d e f y z p q r"),
       (2L, "m n a b c d e f o w v u"),
@@ -517,7 +519,7 @@ class DedupSpec extends SparkSpec {
       (2L, 12L, 6L, 1L, "m n o w v u"),
       (3L, 8L, 0L, 0L, "t1 t2 t3 t4 t5 t6 t7 t8"),
       (4L, 2L, 0L, 0L, "tiny doc"),
-      (5L, 12L, 0L, 0L, "r s t u v w r s t u v w")), s"got $got")
+      (5L, 12L, 12L, 1L, "")), s"got $got")
   }
 
   test("cutDuplicateSpans fully removes a recurring doc; cut_frac is exact") {

@@ -399,6 +399,17 @@ class TrainingOpsSpec extends SparkSpec {
       budget).count() == 2)
   }
 
+  test("takeTokenBudgetRate rejects budgets past the 2^16 fixed-point range") {
+    val tiny = Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source")
+    intercept[IllegalArgumentException] {
+      Sampling.takeTokenBudgetRate(tiny, "doc_id", "text", "source",
+        Long.MaxValue / 65536L + 1L)
+    }
+    // the largest admissible budget still runs (threshold saturates)
+    assert(Sampling.takeTokenBudgetRate(tiny, "doc_id", "text", "source",
+      Long.MaxValue / 65536L).count() == 1)
+  }
+
   // ------------------------------------------------- cluster best/mixture
 
   test("bestPerCluster keeps the max-quality member, ties to min id") {
@@ -596,6 +607,20 @@ class TrainingOpsSpec extends SparkSpec {
     val n = out.count()
     cleanup()
     assert(out.count() == n)
+  }
+
+  test("pplBucketsManaged: same buckets as pplBuckets; cleanup survives") {
+    val langd = docs.withColumn("lang",
+      when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+    val plain = LanguageModel.pplBuckets(langd, "doc_id", "text", "lang")
+      .as[(Long, String, Double, String)].collect().sortBy(_._1).toSeq
+    val (out, cleanup) =
+      LanguageModel.pplBucketsManaged(langd, "doc_id", "text", "lang")
+    val managed = out.as[(Long, String, Double, String)]
+      .collect().sortBy(_._1).toSeq
+    cleanup()
+    assert(managed == plain)
+    assert(out.count() == plain.length.toLong, "plan survives cleanup")
   }
 
   test("bigram stupid-backoff perplexity: known corpus, closed-form check") {

@@ -36,6 +36,15 @@ class WebCurationSpec extends SparkSpec {
     assert(r.getInt(2) === kept.length)
   }
 
+  test("a closing-brace-only doc drops too (advisor r12: C4 rule is any brace)") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta. end } marker here now ok."),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa fine.")
+    ).toDF("doc_id", "text")
+    assert(df.filter(C4Filter.braceCol(col("text")))
+      .select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("c4 report retention matches the per-doc filter") {
     val decorated = C4Filter.withSyntheticLines(
       docsDf.withColumn("source", lit("s")), "doc_id", "text")
@@ -62,6 +71,22 @@ class WebCurationSpec extends SparkSpec {
     val canon = urls.select(UrlCuration.canonicalCol(col("url"))).distinct().collect()
     assert(canon.length === 1)
     assert(canon.head.getString(0) === "https://site1.example.com/p2/doc?id=0")
+  }
+
+  test("malformed URLs pass through unchanged and never merge (advisor r12)") {
+    val df = Seq(
+      (0L, "not a url at all"),
+      (1L, "relative/path?id=3"),
+      (2L, "mailto:someone"),
+      (3L, "https://ok.example.com/a/")).toDF("doc_id", "url")
+    val got = df.select(col("doc_id"),
+        UrlCuration.canonicalCol(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) === "not a url at all")
+    assert(got(1L) === "relative/path?id=3")
+    assert(got(2L) === "mailto:someone")
+    assert(got(3L) === "https://ok.example.com/a")
+    assert(got.values.toSet.size === 4, "no conflation into one group")
   }
 
   test("canonicalization sorts surviving params and keeps non-tracking ones") {
