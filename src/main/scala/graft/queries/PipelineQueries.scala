@@ -642,9 +642,9 @@ object PipelineQueries {
       graft.streaming.StreamParity.webIngestParity(s, d)),
 
     // streaming per-host admission quota parity UNDER RESTART: phase 2
-    // admits the last ~23 docs of each host's 100-cap only if the
-    // per-host admitted counts recover from the checkpoint; admitted
-    // set == the batch first-cap-per-host window (judge r12 ask #7)
+    // admits only each host's remaining 30-cap slots, which requires
+    // the per-host admitted counts to recover from the checkpoint;
+    // admitted set == the batch first-cap-per-host window (r12 ask #7)
     "q_stream_hostquota" -> ((s, d) =>
       graft.streaming.StreamParity.hostQuotaParity(s, d)),
 
@@ -2212,7 +2212,7 @@ object PipelineQueries {
        " SELECT DISTINCT q.canon_url, q.host FROM q JOIN g USING (doc_id) " +
        "WHERE NOT g.braced AND g.n_kept >= 3 ORDER BY canon_url"),
 
-    // stream == batch over the slice: first cap=100 docs per canonical
+    // stream == batch over the slice: first cap=30 docs per canonical
     // host in (ts, doc_id) order — ts = epoch + doc_id so the window
     // orders by doc_id (see StreamParity.hostQuotaParity)
     "q_stream_hostquota" ->
@@ -2220,7 +2220,7 @@ object PipelineQueries {
        TrainingQueries.urlCtesBody("base") +
        " SELECT doc_id, host FROM (SELECT doc_id, host, " +
        "row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk FROM uc) " +
-       "WHERE rk <= 100 ORDER BY doc_id"),
+       "WHERE rk <= 30 ORDER BY doc_id"),
 
     "q_asof_join" ->
       ("WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t " +

@@ -305,18 +305,20 @@ object StreamParity {
   /** Host-quota parity UNDER RESTART (judge r12 ask #7): the doc slice
     * (messy synthetic URLs -> 13 canonical host classes, ts = epoch +
     * doc_id seconds) splits across a checkpointed stop/restart through
-    * [[EventStreams.hostQuotaStream]] with cap = 100. Each phase feeds
-    * ONE micro-batch of 1000 docs (~77 per host), so phase 2's
-    * admissions (~23 per host) are correct ONLY if the per-host
-    * admitted counts recover from the checkpoint — a cold restart
-    * would re-admit 100 more per host and break the hash. Feed order
+    * [[EventStreams.hostQuotaStream]] with cap = 30. The cap binds at
+    * every sf slice (sf0.01's table is 500 docs -> ~38 per host, a
+    * 2000-doc slice -> ~154), so phase 2's admissions are correct ONLY
+    * if the per-host admitted counts recover from the checkpoint — a
+    * cold restart re-opens 30 fresh slots per host and breaks the
+    * hash whether phase 1 filled the cap (phase 2 must admit zero) or
+    * part-filled it (phase 2 must admit only the remainder). Feed order
     * is (ts, doc_id)-monotone and the in-batch admission rule sorts by
     * the same key, so the admitted set is deterministically the first
     * `cap` docs per host in (ts, doc_id) order — exactly the batch
     * row_number window the oracle replays. Constant fixture at every
     * sf (class-doc discipline). */
   def hostQuotaParity(spark: SparkSession, sfDir: String,
-                      sliceDocs: Int = 2000, cap: Int = 100): DataFrame = {
+                      sliceDocs: Int = 2000, cap: Int = 30): DataFrame = {
     import spark.implicits._
     import graft.operators.UrlCuration
     val slice = Tables.documents(spark, sfDir).orderBy("doc_id")
