@@ -549,6 +549,34 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** WITHIN-document repeated-line strip (RefinedWeb line-level
+    * repetition, Penedo et al. 2023 — nav menus / cookie banners
+    * crawled into one document as the same line over and over): every
+    * line keeps only its FIRST occurrence inside its own document,
+    * order preserved. The within-doc sibling of [[boilerplateCut]]
+    * (which kills CROSS-doc template paragraphs by document frequency);
+    * a line repeated across docs but once per doc is untouched here.
+    *
+    * Scale shape: a PURE scan-side projection — split, an indexed
+    * `filter` lambda keeping line i iff `array_position` (first index)
+    * equals i, rejoin. Zero shuffle, zero join, no window, no explode:
+    * per-row cost is O(lines²) string compares bounded by the document
+    * itself, so the op scales exactly like the parquet scan (the
+    * q_c4_line_filter lambda discipline). */
+  def dedupLinesWithinDoc(docs: DataFrame, idCol: String, textCol: String,
+                          sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val q = java.util.regex.Pattern.quote(sep)
+    val ls = split(coalesce(col(textCol), lit("")), q)
+    val kept = filter(ls, (x, i) => array_position(ls, x) === i + 1)
+    docs.select(col(idCol).as("doc_id"),
+      size(ls).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      round((size(ls) - size(kept)).cast("double") /
+        greatest(size(ls), lit(1)), 6).as("dup_frac"),
+      array_join(kept, sep).as("text_deduped"))
+  }
+
   // ----------------------------------------------------------- clustering
 
   /** Connected components over an undirected near-dup pair graph — the

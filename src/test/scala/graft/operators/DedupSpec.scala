@@ -550,6 +550,40 @@ class DedupSpec extends SparkSpec {
     assert(got == bruteCut(spliced, 6).sortBy(_._1), s"got $got")
   }
 
+  // ----------------------------------------------- dedupLinesWithinDoc
+
+  test("dedupLinesWithinDoc keeps first occurrences in order, per doc only") {
+    val df = Seq(
+      (1L, "nav menu|alpha|nav menu|beta|nav menu"), // intra-doc repeats
+      (2L, "nav menu|gamma"),                        // cross-doc only: kept
+      (3L, "x|x|x|x")                                // all one line
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesWithinDoc(df, "doc_id", "text", sep = "|")
+      .as[(Long, Long, Long, Double, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 5L, 3L, 0.4, "nav menu|alpha|beta"),
+      (2L, 2L, 2L, 0.0, "nav menu|gamma"),
+      (3L, 4L, 1L, 0.75, "x")))
+  }
+
+  test("dedupLinesWithinDoc equals a driver reference on the C4 decoration") {
+    val docs = graft.tables.Tables.documents(spark, sf()).limit(100)
+    val decorated = C4Filter.withSyntheticLines(docs, "doc_id", "text")
+    val got = Dedup.dedupLinesWithinDoc(decorated, "doc_id", "text")
+      .as[(Long, Long, Long, Double, String)].collect().sortBy(_._1).toSeq
+    val expect = decorated.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq.map { case (id, t) =>
+        val ls = t.split("\n", -1).toSeq
+        val kept = ls.zipWithIndex.filter { case (x, i) => ls.indexOf(x) == i }
+          .map(_._1)
+        (id, ls.size.toLong, kept.size.toLong,
+          math.rint((ls.size - kept.size).toDouble / ls.size * 1e6) / 1e6,
+          kept.mkString("\n"))
+      }
+    assert(got == expect)
+    assert(got.exists(r => r._3 < r._2), "decoration must plant repeats")
+  }
+
   // ----------------------------------------------------- dedupParagraphs
 
   test("dedupParagraphs keeps first occurrence, reassembles, custom sep") {
