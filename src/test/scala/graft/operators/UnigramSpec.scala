@@ -106,4 +106,44 @@ class UnigramSpec extends SparkSpec {
       r.getAs[Long]("n_pieces") < r.getAs[String]("word").length.toLong),
       "the trained vocab must beat pure character segmentation somewhere")
   }
+
+  // ------------------------------------------------------- byte-fallback
+
+  test("viterbiFallback: unknown chars byte-spell, known spans segment, " +
+       "score carries the exact 2^-30 factors, surrogates stay whole") {
+    val v = Map("ab" -> 0.5, "a" -> 0.25, "b" -> 0.25)
+    val pF = Unigram.ByteFallbackProb
+    val (p1, s1) = Unigram.viterbiFallback("abéab", v, 4)
+    assert(p1 == List("ab", "<0xC3>", "<0xA9>", "ab"))
+    assert(s1 == 0.5 * pF * 0.5)
+    // all-unknown word: total, one fallback factor per char
+    val (p2, s2) = Unigram.viterbiFallback("日本", v, 4)
+    assert(p2 == List("<0xE6>", "<0x97>", "<0xA5>",
+      "<0xE6>", "<0x9C>", "<0xAC>"))
+    assert(s2 == pF * pF)
+    // astral plane: ONE code point, four bytes of the valid scalar
+    val smile = new String(Character.toChars(0x1F600))
+    val (p3, _) = Unigram.viterbiFallback(smile, v, 4)
+    assert(p3 == List("<0xF0>", "<0x9F>", "<0x98>", "<0x80>"))
+  }
+
+  test("encodeCorpusFrozen is total on unseen scripts; fallback counted") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val enc = Unigram.encodeCorpusFrozen(docs,
+      Wordpiece.withUnseenScripts(docs, "doc_id", "text")).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = r.getAs[String]("toks_s").split(" ")
+      assert(toks.length.toLong == r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_fallback") ==
+        toks.count(_.startsWith("<0x")).toLong)
+      if (id % 5 != 0)
+        assert(r.getAs[Long]("n_fallback") > 0, s"doc $id: no fallback")
+      else
+        assert(r.getAs[Long]("n_fallback") == 0L, s"doc $id: spurious fallback")
+    }
+  }
 }

@@ -102,4 +102,57 @@ class WordpieceSpec extends SparkSpec {
       r.getAs[Long]("n_pieces") < r.getAs[String]("word").length.toLong),
       "the learned merges must beat pure character segmentation somewhere")
   }
+
+  // ------------------------------------------------------- byte-fallback
+
+  test("greedy byte-fallback: unknown chars emit UTF-8 bytes, known spans " +
+       "keep segmenting, surrogate pairs stay whole") {
+    val v = Set("d", "##o", "##n", "##e", "##s")
+    assert(Wordpiece.greedy("données", v, 8, byteFallback = true) ==
+      List("d", "##o", "##n", "##n", "<0xC3>", "<0xA9>", "##e", "##s"))
+    assert(Wordpiece.greedy("日", v, 8, byteFallback = true) ==
+      List("<0xE6>", "<0x97>", "<0xA5>"))
+    // non-BMP (surrogate pair): one code point -> FOUR bytes, total
+    val smile = new String(Character.toChars(0x1F600))
+    assert(Wordpiece.greedy(smile, v, 8, byteFallback = true) ==
+      List("<0xF0>", "<0x9F>", "<0x98>", "<0x80>"))
+  }
+
+  test("encodeCorpusFrozen is total on unseen scripts; fallback counted") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val enc = Wordpiece.encodeCorpusFrozen(docs,
+      Wordpiece.withUnseenScripts(docs, "doc_id", "text")).collect()
+    val decorated = Wordpiece.withUnseenScripts(docs, "doc_id", "text")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = r.getAs[String]("toks_s").split(" ")
+      assert(toks.length.toLong == r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_fallback") ==
+        toks.count(_.startsWith("<0x")).toLong)
+      // decorated (m != 0) docs MUST take the fallback path; raw (m == 0)
+      // docs must not (their chars are the training alphabet)
+      if (id % 5 != 0)
+        assert(r.getAs[Long]("n_fallback") > 0, s"doc $id: no fallback")
+      else
+        assert(r.getAs[Long]("n_fallback") == 0L, s"doc $id: spurious fallback")
+      // totality + reversibility: decoding the piece stream (strip ##,
+      // un-hex the byte pieces) reproduces the doc's word characters
+      val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      toks.foreach { t =>
+        if (t.startsWith("<0x"))
+          bytes += Integer.parseInt(t.substring(3, 5), 16).toByte
+        else bytes ++= t.stripPrefix("##")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+      val words = decorated(id).toLowerCase
+        .split("[^\\p{L}]+").filter(_.nonEmpty)
+      assert(new String(bytes.toArray,
+          java.nio.charset.StandardCharsets.UTF_8) == words.mkString(""),
+        s"doc $id: decoded pieces must reproduce the word characters")
+    }
+  }
 }
