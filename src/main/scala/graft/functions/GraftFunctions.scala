@@ -75,6 +75,8 @@ object GraftExtensions {
         (es: Seq[Expression]) => VecMatCosines(es.head, VecMatCosines.fromLiteral(es(1)))),
       (FunctionIdentifier("media_header"), info(classOf[MediaHeader], "media_header"),
         (es: Seq[Expression]) => MediaHeader(es.head)),
+      (FunctionIdentifier("html_text"), info(classOf[HtmlText], "html_text"),
+        (es: Seq[Expression]) => HtmlText(es.head)),
       (FunctionIdentifier("audio_header"), info(classOf[AudioHeader], "audio_header"),
         (es: Seq[Expression]) => AudioHeader(es.head)),
       (FunctionIdentifier("mp4_header"), info(classOf[Mp4Header], "mp4_header"),
@@ -186,6 +188,7 @@ object GraftFunctions {
     call_function("bloom_contains", words, key,
       org.apache.spark.sql.functions.lit(k))
   def media_header(payload: Column): Column = call_function("media_header", payload)
+  def html_text(html: Column): Column = call_function("html_text", html)
   def audio_header(payload: Column): Column = call_function("audio_header", payload)
   def mp4_header(payload: Column): Column = call_function("mp4_header", payload)
   def marker_counts(toks: Column, vocabs: Seq[Seq[String]]): Column =

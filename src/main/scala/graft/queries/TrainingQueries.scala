@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{C4Filter, DataCard, Decontaminate, Dedup, Denoise, Export, LanguageModel, Multimodal, Packing, Redaction, Sampling, SftRender, TextAnalysis, UrlCuration}
+import graft.operators.{C4Filter, DataCard, Decontaminate, Dedup, Denoise, Export, HtmlExtract, LanguageModel, Multimodal, Packing, Redaction, Sampling, SftRender, TextAnalysis, UrlCuration}
 import graft.tables.Tables
 
 /** SURVEY.md §2.2 additions (r6) — deterministic sampling, sequence
@@ -540,6 +540,32 @@ object TrainingQueries {
         UrlCuration.withSyntheticUrls(
           C4Filter.withSyntheticLines(Tables.documents(s, d), "doc_id",
             "text"), "doc_id"),
+        "doc_id", "url", "text", "source", blockedHosts = CrawlBlocklist)
+        .orderBy("source")),
+
+    // HTML -> text main-content extraction (judge r12 ask #1): native
+    // codegen Expression parses the synthesized page (script/style/
+    // comment noise, quoted attrs, inline tags, entities, messy
+    // whitespace) back to blocks; oracle is CLOSED-FORM in (id, text) —
+    // no SQL-side HTML parsing (the q_multimodal_decode pattern)
+    "q_html_extract" -> ((s, d) =>
+      HtmlExtract.extract(
+        HtmlExtract.withSyntheticHtml(Tables.documents(s, d), "doc_id",
+          "text"), "doc_id", "html").orderBy("doc_id")),
+
+    // the crawl funnel STARTING FROM HTML: stage 0 extracts main text
+    // from line-wrapped synthetic pages, then the identical funnel —
+    // extraction restores the pre-HTML text exactly, so this row
+    // hash-matches the ORIGINAL funnel oracle verbatim (the round trip
+    // is what the green hash certifies)
+    "q_crawl_funnel_html" -> ((s, d) =>
+      UrlCuration.crawlFunnel(
+        UrlCuration.withSyntheticUrls(
+          HtmlExtract.extractTextCol(
+            HtmlExtract.wrapHtmlLines(
+              C4Filter.withSyntheticLines(Tables.documents(s, d), "doc_id",
+                "text"), "doc_id", "text"),
+            "html", "text"), "doc_id"),
         "doc_id", "url", "text", "source", blockedHosts = CrawlBlocklist)
         .orderBy("source")),
 
@@ -1564,30 +1590,27 @@ object TrainingQueries {
 
     // composed C4 + URL chains under one WITH (disjoint CTE names), the
     // same blocked/winner/pass flags, per-line kept-token sums from `k`
-    "q_crawl_funnel" ->
-      ("WITH " + c4CtesBody("documents") + ", " + urlCtesBody("documents") +
-       ", fl AS (SELECT q.doc_id, q.canon_url, q.host IN " +
-       "('site0.example.com', 'site5.example.com', 'site10.example.com') " +
-       "AS blocked FROM q), " +
-       "w AS (SELECT *, min(CASE WHEN NOT blocked THEN doc_id END) " +
-       "OVER (PARTITION BY canon_url) AS win_id FROM fl), " +
-       "g2 AS (SELECT doc_id, " +
-       "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept2, " +
-       "bool_or(brace) AS braced2, " +
-       "CAST(sum(CASE WHEN keep THEN len(string_split(line, ' ')) " +
-       "ELSE 0 END) AS BIGINT) AS kept_toks FROM k GROUP BY doc_id), " +
-       "fin AS (SELECT w.doc_id, w.blocked, " +
-       "(NOT w.blocked AND w.doc_id = w.win_id) AS winner, " +
-       "((NOT w.blocked AND w.doc_id = w.win_id) AND NOT g2.braced2 " +
-       "AND g2.n_kept2 >= 3) AS pass, g2.kept_toks " +
-       "FROM w JOIN g2 USING (doc_id)) " +
-       "SELECT s.source, count(*) AS docs_in, " +
-       "CAST(sum(CASE WHEN fin.blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked, " +
-       "CAST(sum(CASE WHEN fin.winner THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, " +
-       "CAST(sum(CASE WHEN fin.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
-       "CAST(sum(CASE WHEN fin.pass THEN fin.kept_toks ELSE 0 END) AS BIGINT) " +
-       "AS tokens_kept FROM fin JOIN documents s USING (doc_id) " +
-       "GROUP BY s.source ORDER BY s.source"),
+    "q_crawl_funnel" -> crawlFunnelOracleSql,
+
+    // the HTML-headed funnel hash-matches the ORIGINAL funnel oracle
+    // VERBATIM: wrapHtmlLines -> html_text is an exact round trip of
+    // the decorated text (title is head metadata, script/style/comment
+    // noise drops), so the same SQL is the certificate
+    "q_crawl_funnel_html" -> crawlFunnelOracleSql,
+
+    // closed-form extraction expectation (q_multimodal_decode pattern):
+    // 8-word chunks (the c4 chunking) + the trailing entity block; no
+    // SQL-side HTML parsing — the page is assembled by one engine and
+    // parsed back by independent char logic
+    "q_html_extract" ->
+      ("WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') " +
+       "AS tk FROM documents), " +
+       "c AS (SELECT doc_id, list_filter([array_to_string(tk[i:i+7], ' ') " +
+       "for i in range(1, greatest(len(tk), 1) + 1, 8)], x -> x != '') " +
+       "AS cs FROM t) " +
+       "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, " +
+       "array_to_string(list_append(cs, 'Tom & Jerry !'), chr(10)) AS text, " +
+       "CAST(len(cs) + 1 AS INT) AS n_blocks FROM c ORDER BY doc_id"),
 
     // same canonical-url groups as q_url_dedup, against the q_split_assign
     // hash thresholds; splits render as the sorted-distinct csv
@@ -1607,6 +1630,35 @@ object TrainingQueries {
     * C4Filter.withSyntheticLines), apply the keep rule per line, group to
     * per-doc counts/kept text. Ends at relation `g`. `rel` is the corpus
     * relation (q_stream_webingest composes this over a LIMIT slice). */
+  /** Composed C4 + URL chains under one WITH (disjoint CTE names), the
+    * same blocked/winner/pass flags, per-line kept-token sums from `k`;
+    * shared VERBATIM by q_crawl_funnel and q_crawl_funnel_html (the
+    * html_text round trip restores the decorated text exactly). */
+  private def crawlFunnelOracleSql: String =
+    ("WITH " + c4CtesBody("documents") + ", " + urlCtesBody("documents") +
+     ", fl AS (SELECT q.doc_id, q.canon_url, q.host IN " +
+     "('site0.example.com', 'site5.example.com', 'site10.example.com') " +
+     "AS blocked FROM q), " +
+     "w AS (SELECT *, min(CASE WHEN NOT blocked THEN doc_id END) " +
+     "OVER (PARTITION BY canon_url) AS win_id FROM fl), " +
+     "g2 AS (SELECT doc_id, " +
+     "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept2, " +
+     "bool_or(brace) AS braced2, " +
+     "CAST(sum(CASE WHEN keep THEN len(string_split(line, ' ')) " +
+     "ELSE 0 END) AS BIGINT) AS kept_toks FROM k GROUP BY doc_id), " +
+     "fin AS (SELECT w.doc_id, w.blocked, " +
+     "(NOT w.blocked AND w.doc_id = w.win_id) AS winner, " +
+     "((NOT w.blocked AND w.doc_id = w.win_id) AND NOT g2.braced2 " +
+     "AND g2.n_kept2 >= 3) AS pass, g2.kept_toks " +
+     "FROM w JOIN g2 USING (doc_id)) " +
+     "SELECT s.source, count(*) AS docs_in, " +
+     "CAST(sum(CASE WHEN fin.blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked, " +
+     "CAST(sum(CASE WHEN fin.winner THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, " +
+     "CAST(sum(CASE WHEN fin.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+     "CAST(sum(CASE WHEN fin.pass THEN fin.kept_toks ELSE 0 END) AS BIGINT) " +
+     "AS tokens_kept FROM fin JOIN documents s USING (doc_id) " +
+     "GROUP BY s.source ORDER BY s.source")
+
   private def C4CtesSql: String = "WITH " + c4CtesBody("documents")
 
   private[queries] def c4CtesBody(rel: String): String =

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction: the native html_text Expression (tag
+  * tokenizer, raw-text drop, entities, whitespace rules) and the two
+  * fixtures (closed-form chunks, round-trip lines). */
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(html: String): (String, String, Int) = {
+    val r = HtmlExtract.extract(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html").head()
+    (r.getString(1), r.getString(2), r.getInt(3))
+  }
+
+  test("blocks split on block tags, inline tags flow, whitespace collapses") {
+    val (t, x, n) = one(
+      "<html><body><p>\n  hello   <b>bold</b> world  </p>" +
+        "<div>second</div><span>flows</span><p>third</p></body></html>")
+    assert(t == "")
+    // text between </div> and <p> forms its own block
+    assert(x == "hello bold world\nsecond\nflows\nthird")
+    assert(n == 4)
+  }
+
+  test("script/style content drops wholesale — braces and '<' never leak") {
+    val (_, x, n) = one(
+      "<p>a</p><script>if (x < 2) { p('<p>no</p>'); }</script>" +
+        "<style>p { color: red; }</style><p>b</p>")
+    assert(x == "a\nb" && n == 2)
+  }
+
+  test("comments, doctype and PI drop; title is captured, not body text") {
+    val (t, x, n) = one(
+      "<!DOCTYPE html><?xml version=\"1.0\"?><html><head>" +
+        "<title>  The   Title </title></head>" +
+        "<body><!-- <p>ghost</p> --><p>real</p></body></html>")
+    assert(t == "The Title")
+    assert(x == "real" && n == 1)
+  }
+
+  test("quoted attributes may contain '>'; entities decode; stray '<' is text") {
+    val (_, x, _) = one(
+      "<div class=\"c\" data-x=\"a>b\">q &amp; r &lt; s &#33; &unknown; 1<2</div>")
+    assert(x == "q & r < s ! &unknown; 1<2")
+  }
+
+  test("unterminated constructs are total: run to end of input") {
+    assert(one("<p>a<script>never closed")._2 == "a")
+    assert(one("<p>a<!-- open comment")._2 == "a")
+    assert(one("text <")._2 == "text <")
+  }
+
+  test("withSyntheticHtml extraction matches the closed form") {
+    val docs = Tables.documents(spark, sf()).limit(120)
+    val got = HtmlExtract.extract(
+        HtmlExtract.withSyntheticHtml(docs, "doc_id", "text"),
+        "doc_id", "html")
+      .as[(Long, String, String, Int)].collect().sortBy(_._1).toSeq
+    val expect = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq.map { case (id, text) =>
+        val tk = text.split(" ", -1)
+        val chunks = tk.indices.by(8).map(i =>
+          tk.slice(i, i + 8).mkString(" ")).filter(_.nonEmpty)
+        (id, s"Doc $id", (chunks :+ "Tom & Jerry !").mkString("\n"),
+          chunks.size + 1)
+      }
+    assert(got == expect)
+  }
+
+  test("wrapHtmlLines -> html_text is an exact round trip of decorated text") {
+    val docs = C4Filter.withSyntheticLines(
+      Tables.documents(spark, sf()).limit(120), "doc_id", "text")
+    val rt = HtmlExtract.extractTextCol(
+      HtmlExtract.wrapHtmlLines(docs, "doc_id", "text"), "html", "rt")
+    assert(rt.where(col("rt") =!= col("text")).count() == 0L,
+      "extraction must restore the pre-HTML text exactly")
+  }
+
+  test("html_text stays inside whole-stage codegen on the scan") {
+    val docs = HtmlExtract.withSyntheticHtml(
+      Tables.documents(spark, sf()), "doc_id", "text")
+    val exec = HtmlExtract.extract(docs, "doc_id", "html")
+      .queryExecution.executedPlan
+    val wsc = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+    assert(wsc.nonEmpty, exec.toString.take(800))
+    assert(wsc.exists(_.toString.contains("html_text")),
+      "the html_text projection must sit inside a codegen stage")
+  }
+}
