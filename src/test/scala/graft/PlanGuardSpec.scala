@@ -195,4 +195,62 @@ class PlanGuardSpec extends SparkSpec {
     assert("""\(\d+\) Exchange""".r.findAllIn(cf).size <= 4,
       s"q_crawl_funnel gained unexpected shuffles\n$cf")
   }
+
+  test("r13: persisted band-signature index joins with ZERO corpus-side " +
+       "Exchange (judge r12 ask #2)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // disable broadcast: at sf0.001 the batch side would broadcast and
+      // the bucketed layout would sit unused — the 100 TB claim is the
+      // SMJ path reading both index tables co-partitioned
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = graft.tables.Tables.documents(spark, sf())
+      val tag = graft.operators.Dedup.ensureMinhashIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        "planguard_" + sf(), spark)
+      val out = graft.operators.Dedup.minhashIncrementalPersisted(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", tag,
+        tau = 0.5)
+      val exec = out.queryExecution.executedPlan
+      // corpus rows must never cross a ShuffleExchange BEFORE meeting
+      // the batch in a join: walking down from any Exchange, an index
+      // scan reached without passing a join node means the corpus
+      // itself re-partitioned (post-join exchanges — the candidate
+      // distinct, the harness orderBy — carry batch-bound rows)
+      def preJoinIndexScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains("mh_idx_"))
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case other => other.children.exists(preJoinIndexScan)
+        }
+      val offending = exec.collect {
+        case e: ShuffleExchangeExec if preJoinIndexScan(e.child) => e
+      }
+      assert(offending.isEmpty,
+        s"corpus-side Exchange above a persisted index scan:\n$offending")
+      // and the index is actually read bucketed (co-partitioned scan)
+      val idxScans = exec.collectLeaves().collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("mh_idx_")) => f
+      }
+      assert(idxScans.nonEmpty && idxScans.forall(_.bucketedScan),
+        s"index scans must be bucketed: $idxScans")
+      // and the index path returns EXACTLY the shuffle-side result
+      val want = graft.operators.Dedup.minhashIncremental(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", tau = 0.5)
+        .collect().map(_.toSeq).toSeq
+      assert(out.collect().map(_.toSeq).toSeq == want)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }
