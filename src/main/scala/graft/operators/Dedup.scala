@@ -249,6 +249,10 @@ object Dedup {
                         buckets: Int = 32): Unit = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val (bt, st) = indexTables(tag)
+    // a previous JVM may have left the managed location behind while
+    // this session's in-memory catalog has no table entry — drop both
+    // forms or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    Seq(bt, st).foreach(dropStaleTable(corpus.sparkSession, _))
     val sh = corpus.select(col(idCol).as("corpus_id"),
       GraftFunctions.word_shingles(col(textCol), 3).as("sh"))
     val w = Window.partitionBy(col("band"), col("h"))
@@ -263,6 +267,15 @@ object Dedup {
       .bucketBy(buckets, "band", "h").sortBy("band", "h").saveAsTable(bt)
     sh.write.format("parquet").mode("overwrite")
       .bucketBy(buckets, "corpus_id").sortBy("corpus_id").saveAsTable(st)
+  }
+
+  private def dropStaleTable(spark: org.apache.spark.sql.SparkSession,
+                             table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) { fs.delete(path, true); () }
   }
 
   /** Build the index only when `tag` has no tables yet (one build per
