@@ -110,8 +110,15 @@ object Unigram {
       var l = 1
       while (l <= math.min(maxLen, i)) {
         if (best(i - l) > 0.0) {
-          val p0 = probs.getOrElse(word.substring(i - l, i), 0.0)
-          val p = if (l == 1 && p0 == 0.0) pF else p0 // fallback step
+          // the fallback DECISION keys on vocabulary MEMBERSHIP — the
+          // same predicate the backwalk uses to classify a step as a
+          // byte-spelled fallback — so the two paths cannot disagree
+          // even for a hypothetical zero-probability vocab entry
+          // (advisor r13: p0 == 0.0 here vs !contains below would
+          // score such an entry as a fallback yet emit the raw piece)
+          val piece = word.substring(i - l, i)
+          val p0 = probs.get(piece)
+          val p = p0.getOrElse(if (l == 1) pF else 0.0) // fallback step
           if (p > 0.0) {
             val s = best(i - l) * p
             if (s > best(i) || (s == best(i) && l > bl(i))) {
