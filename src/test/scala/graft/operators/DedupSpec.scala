@@ -834,6 +834,38 @@ class DedupSpec extends SparkSpec {
     Seq(bt, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("embedIncrementalPersisted reads the RECORDED geometry and equals " +
+       "the recompute twin at that geometry; ensure detects staleness") {
+    def vec(seed: Int) = {
+      val rr = new scala.util.Random(seed)
+      Seq.fill(12)(rr.nextGaussian())
+    }
+    val corpus = (1L to 40L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val batch = (1L to 40L by 5).map(i =>
+      (i + 1000L, vec(i.toInt).map(_ * 2.0))).toDF("vec_id", "embedding")
+    val tag = "embgeo_" + System.nanoTime()
+    // write at a NON-default geometry; the read path takes bits/tables
+    // from the table properties, so it must match the twin at (8, 4)
+    Dedup.writeEmbedIndex(corpus, "vec_id", "embedding", tag,
+      bits = 8, tables = 4)
+    val got = Dedup.embedIncrementalPersisted(batch, "vec_id", "embedding",
+      tag, tau = 0.999).collect().map(_.toSeq).toSeq
+    val want = Dedup.embedIncremental(batch, corpus, "vec_id", "embedding",
+      tau = 0.999, bits = 8, tables = 4).collect().map(_.toSeq).toSeq
+    assert(got == want && got.size == 8, s"got $got")
+    // staleness: the corpus changes under the tag -> default ensure
+    // rebuilds, and the planted copies of dropped vectors vanish
+    val changed = corpus.filter(col("vec_id") > 20L)
+    Dedup.ensureEmbedIndex(changed, "vec_id", "embedding", tag, spark,
+      bits = 8, tables = 4)
+    val after = Dedup.embedIncrementalPersisted(batch, "vec_id", "embedding",
+      tag, tau = 0.999).select("corpus_id").as[Long].collect().toSet
+    assert(after.forall(_ > 20L), s"stale embed index survived: $after")
+    val (sigT, vecT) = Dedup.embedIndexTables(tag)
+    Seq(sigT, vecT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    ()
+  }
+
   test("clusterSizeReport histogram accounts for every clustered doc") {
     val labels = Seq( // two pairs, one triple, one singleton cluster
       (1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L),
