@@ -256,7 +256,7 @@ object Dedup {
     s"${r.getLong(0)}:$h"
   }
 
-  private val FingerprintProp = "graft.corpus.fingerprint"
+  private[operators] val FingerprintProp = "graft.corpus.fingerprint"
 
   /** The fingerprint stored on `table`, or None when absent. */
   private[operators] def tableFingerprint(spark: org.apache.spark.sql.SparkSession,
@@ -265,7 +265,7 @@ object Dedup {
     rows.find(_.getString(0) == FingerprintProp).map(_.getString(1))
   }
 
-  private def setTableFingerprint(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def setTableFingerprint(spark: org.apache.spark.sql.SparkSession,
                                   table: String, fp: String): Unit = {
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
       s"('$FingerprintProp' = '$fp')")
@@ -352,7 +352,7 @@ object Dedup {
       .drop("__rk")
   }
 
-  private def dropStaleTable(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def dropStaleTable(spark: org.apache.spark.sql.SparkSession,
                              table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -1369,7 +1369,7 @@ object Dedup {
   private val EmbedBitsProp = "graft.embed.bits"
   private val EmbedTablesProp = "graft.embed.tables"
 
-  private def tableProp(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def tableProp(spark: org.apache.spark.sql.SparkSession,
                         table: String, key: String): Option[String] =
     spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .find(_.getString(0) == key).map(_.getString(1))

