@@ -81,6 +81,9 @@ object GraftExtensions {
         (es: Seq[Expression]) => AudioHeader(es.head)),
       (FunctionIdentifier("mp4_header"), info(classOf[Mp4Header], "mp4_header"),
         (es: Seq[Expression]) => Mp4Header(es.head)),
+      (FunctionIdentifier("image_dhash"), info(classOf[ImageDhash], "image_dhash"),
+        (es: Seq[Expression]) => ImageDhash(es.head,
+          es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
       // vocabularies arrive as a foldable nested-array literal, decoded
       // once at resolution (same pattern as vec_mat_cosines)
       (FunctionIdentifier("marker_counts"), info(classOf[MarkerCounts], "marker_counts"),
@@ -191,6 +194,10 @@ object GraftFunctions {
   def html_text(html: Column): Column = call_function("html_text", html)
   def audio_header(payload: Column): Column = call_function("audio_header", payload)
   def mp4_header(payload: Column): Column = call_function("mp4_header", payload)
+  def image_dhash(payload: Column, gcols: Int, grows: Int): Column =
+    call_function("image_dhash", payload,
+      org.apache.spark.sql.functions.lit(gcols),
+      org.apache.spark.sql.functions.lit(grows))
   def marker_counts(toks: Column, vocabs: Seq[Seq[String]]): Column =
     call_function("marker_counts", toks,
       org.apache.spark.sql.functions.typedLit(vocabs))
