@@ -657,6 +657,77 @@ class TrainingOpsSpec extends SparkSpec {
       uni.find(_._1 == id).exists(_._3 != nllB) })
   }
 
+  test("KN trigram: closed-form check on a tiny corpus; backoff chain " +
+       "reaches every level") {
+    // corpus: "a b c a b c" + "a b d" — trigram (a,b,c) repeats, (a,b,d)
+    // is attested once, "x y" exercises the bigram/unigram-only levels
+    val df = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.trigramKnPerplexity(df, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 6L), (2L, 3L), (3L, 2L)))
+    // driver replay of the exact formula for doc 2's third token (d):
+    // context (a,b): c3(a,b,d)=1, c(ab·)=3, N1+(ab·)=2
+    // level 2: v=b, N1+(·bd)=1, N1+(·b·)=2 (types (a,b)->c, (a,b)->d...
+    //   contvw over t3: (b,c)->N1+=1 [only u=a], (b,d)->1, (c,a)->1,
+    //   (b,a)? t3 trigrams: (a,b,c) x2, (b,c,a), (c,a,b), (a,b,d) ->
+    //   v=b: (b,c) and (b,d) -> n1vdot=2, T(b)=2
+    // level 1: b2 types: (a,b),(b,c),(c,a),(b,d),(x,y) -> N1+(··)=5;
+    //   N1+(·d)=1
+    val d = 0.75
+    val pUniD = 1.0 / 5
+    val pBiD = math.max(1 - d, 0) / 2 + d * 2 / 2 * pUniD
+    val pTriD = math.max(1 - d, 0) / 3 + d * 2 / 3 * pBiD
+    // doc 2 = [a (uni), b (bi), d (tri)]
+    // pUni(a): N1+(·a)=1 -> 1/5; pBi(b|a): N1+(·ab)=1? t3 (c,a,b) -> yes
+    //   v=a: contvw (a,b)->1 -> n1vdot=1, T(a)=1; pBi = (1-.75)/1 + .75*1/1*pUni(b)
+    //   N1+(·b)=1 -> pUni(b)=1/5
+    val pUniA = 1.0 / 5
+    val pBiB = math.max(1 - d, 0) / 1 + d * 1 / 1 * (1.0 / 5)
+    val exp2 = -(math.log(pUniA) + math.log(pBiB) + math.log(pTriD)) / 3
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(math.abs(out(1)._3 - r4(exp2)) < 2e-4, s"${out(1)._3} vs $exp2")
+    // doc 3: x (uni, N1+(·x)=0 -> OOV 0.5/5), y (bi; v=x not a trigram
+    // middle -> pUni(y)=1/5)
+    val exp3 = -(math.log(0.5 / 5) + math.log(1.0 / 5)) / 2
+    assert(math.abs(out(2)._3 - r4(exp3)) < 2e-4, s"${out(2)._3} vs $exp3")
+  }
+
+  test("KN trigram: every backoff level normalizes to exactly 1 over the " +
+       "vocabulary; partitioning-invariant") {
+    // normalization: for any attested context, sum_w p(w|context) over
+    // the full vocab = 1 (the discount mass re-enters via lambda)
+    val rnd = new scala.util.Random(5)
+    val words = Vector("a", "b", "c", "d", "e")
+    val df = (1L to 30L).map(i =>
+      (i, (1 to 40).map(_ => words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    // score a probe doc per candidate w under a FIXED context (u,v) by
+    // scoring synthetic 3-token docs "u v w" and extracting p_tri
+    val probes = ((for (w <- words) yield
+        (1000L + words.indexOf(w), s"a b $w")) :+ (2000L -> "a b"))
+      .toDF("doc_id", "text")
+    // ONE model over df + all probes: avg_nll of "a b w" =
+    // (nll(pUni(a)) + nll(pBi(b|a)) + nll(pTri(w|a,b)))/3 and the "a b"
+    // probe isolates the shared two-term prefix, so
+    // sum_w exp(-(3*avg_w - 2*avg_ab)) = sum_w pTri(w|a,b) = 1
+    // (4dp-rounded inputs -> 1e-2 tolerance)
+    val all = LanguageModel.trigramKnPerplexity(
+      df.unionByName(probes), "doc_id", "text")
+      .filter(col("doc_id") >= 1000L)
+      .as[(Long, Long, Double, Double)].collect()
+    val shared = all.find(_._1 == 2000L).get._3 * 2
+    val sum = all.filter(_._1 < 2000L)
+      .map(t => math.exp(-(t._3 * 3 - shared))).sum
+    assert(math.abs(sum - 1.0) < 1e-2,
+      s"p(w|a,b) must sum to 1 over the vocab, got $sum")
+    val a = LanguageModel.trigramKnPerplexity(df, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val b = LanguageModel.trigramKnPerplexity(df.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b, "decimal-summed nll must be bit-stable under partitioning")
+  }
+
   // ------------------------------------------------------ repetition stats
 
   test("repetition_stats matches a brute-force reference on edge cases") {
