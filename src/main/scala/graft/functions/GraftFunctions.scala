@@ -84,6 +84,8 @@ object GraftExtensions {
       (FunctionIdentifier("image_dhash"), info(classOf[ImageDhash], "image_dhash"),
         (es: Seq[Expression]) => ImageDhash(es.head,
           es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+      (FunctionIdentifier("bmp_synth"), info(classOf[BmpSynth], "bmp_synth"),
+        (es: Seq[Expression]) => BmpSynth(es.head, es(1), es(2))),
       // vocabularies arrive as a foldable nested-array literal, decoded
       // once at resolution (same pattern as vec_mat_cosines)
       (FunctionIdentifier("marker_counts"), info(classOf[MarkerCounts], "marker_counts"),
@@ -198,6 +200,8 @@ object GraftFunctions {
     call_function("image_dhash", payload,
       org.apache.spark.sql.functions.lit(gcols),
       org.apache.spark.sql.functions.lit(grows))
+  def bmp_synth(src: Column, shift: Column, bump: Column): Column =
+    call_function("bmp_synth", src, shift, bump)
   def marker_counts(toks: Column, vocabs: Seq[Seq[String]]): Column =
     call_function("marker_counts", toks,
       org.apache.spark.sql.functions.typedLit(vocabs))

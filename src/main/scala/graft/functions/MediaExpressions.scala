@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -474,5 +474,83 @@ object ImageDhashImpl {
       gy += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+}
+
+/** Native assembly of [[ImageDhash]]'s synthetic-BMP fixture (the
+  * Multimodal.syntheticBmps contract, moved into codegen): building a
+  * 3.3 KB container from per-pixel hex strings costs ~70 string ops
+  * per PIXEL (measured 20 s for the sf0.1 corpus — x1000 decades pay
+  * hours for a FIXTURE); this byte loop costs ~3 stores per pixel.
+  * Byte-for-byte the same payload: 68x16 bottom-up 24-bit BMP, MINSTD
+  * six-step pixel mixer, clamp-free shift/bump perturbations (see
+  * Multimodal.syntheticBmps for the full contract and the oracle
+  * replay). */
+case class BmpSynth(first: Expression, second: Expression,
+                    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bmp_synth expects (BIGINT src, BIGINT shift, BIGINT bump), got " +
+      children.map(_.dataType.sql).mkString(", "))
+  override def nullSafeEval(src: Any, shift: Any, bump: Any): Any =
+    BmpSynthImpl.build(src.asInstanceOf[Long], shift.asInstanceOf[Long],
+      bump.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.functions.BmpSynthImpl.build($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): BmpSynth =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "bmp_synth"
+}
+
+object BmpSynthImpl {
+  val W = 68
+  val H = 16
+  val LcgM = 2147483647L
+  val LcgA = 48271L
+  val BumpX0 = 20; val BumpX1 = 24
+  val BumpY0 = 6; val BumpY1 = 8
+
+  def build(src: Long, shift: Long, bump: Long): Array[Byte] = {
+    val size = 54 + W * H * 3
+    val out = new Array[Byte](size)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, size); le32(10, 54)
+    le32(14, 40); le32(18, W); le32(22, H)
+    out(26) = 1 // planes LE16
+    out(28) = 24 // bpp LE16
+    le32(34, W * H * 3); le32(38, 2835); le32(42, 2835)
+    val qs = new Array[Long](6)
+    var q = ((src % LcgM + 12345L) * LcgA) % LcgM
+    var k = 0
+    while (k < 6) { qs(k) = q; q = q * LcgA % LcgM; k += 1 }
+    var p = 54
+    var r = 0
+    while (r < H) {
+      val y = H - 1 - r // bottom-up file rows -> top-down coords
+      var x = 0
+      while (x < W) {
+        val pert = shift + (if (x >= BumpX0 && x < BumpX1 &&
+          y >= BumpY0 && y < BumpY1) bump else 0L)
+        out(p) = (((qs(0) + y * qs(1)) % LcgM + x * 13) % 180 + pert).toByte
+        out(p + 1) = (((qs(2) + y * qs(3)) % LcgM + x * 17) % 180 + pert).toByte
+        out(p + 2) = (((qs(4) + y * qs(5)) % LcgM + x * 19) % 180 + pert).toByte
+        p += 3
+        x += 1
+      }
+      r += 1
+    }
+    out
   }
 }

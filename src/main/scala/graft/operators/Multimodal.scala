@@ -414,14 +414,16 @@ object Multimodal {
     * (mod 4), so the BMP row padding is zero and the pixel array is
     * dense. The "bump" perturbation targets exactly pooling cell
     * (gx 5, gy 3): x ∈ [20, 24), y ∈ [6, 8) in top-down coordinates. */
-  val BmpW = 68
-  val BmpH = 16
-  val BmpBumpX0 = 20; val BmpBumpX1 = 24
-  val BmpBumpY0 = 6; val BmpBumpY1 = 8
+  val BmpW: Int = graft.functions.BmpSynthImpl.W
+  val BmpH: Int = graft.functions.BmpSynthImpl.H
+  val BmpBumpX0: Int = graft.functions.BmpSynthImpl.BumpX0
+  val BmpBumpX1: Int = graft.functions.BmpSynthImpl.BumpX1
+  val BmpBumpY0: Int = graft.functions.BmpSynthImpl.BumpY0
+  val BmpBumpY1: Int = graft.functions.BmpSynthImpl.BumpY1
 
   /** MINSTD modulus/multiplier of the [[syntheticBmps]] pixel mixer. */
-  val BmpLcgM = 2147483647L
-  val BmpLcgA = 48271L
+  val BmpLcgM: Long = graft.functions.BmpSynthImpl.LcgM
+  val BmpLcgA: Long = graft.functions.BmpSynthImpl.LcgA
 
   /** Deterministic 24-bit uncompressed BMP payloads with CLOSED-FORM
     * pixel grids (judge r13 ask #4) — the media_header synth discipline
@@ -451,40 +453,13 @@ object Multimodal {
     * hash's view. */
   def syntheticBmps(imgs: DataFrame, idCol: String, srcCol: String,
                     shiftCol: String, bumpCol: String): DataFrame = {
-    val (w, h) = (BmpW, BmpH)
-    def hex2(v: org.apache.spark.sql.Column) = lpad(hex(v), 2, "0")
-    val header = concat(
-      lit("424D"), le32hex(lit(54 + w * h * 3)), lit("00000000"),
-      le32hex(lit(54)),
-      le32hex(lit(40)), le32hex(lit(w)), le32hex(lit(h)),
-      le16hex(lit(1)), le16hex(lit(24)), le32hex(lit(0)),
-      le32hex(lit(w * h * 3)), le32hex(lit(2835)), le32hex(lit(2835)),
-      le32hex(lit(0)), le32hex(lit(0)))
-    val m = lit(BmpLcgM)
-    def step(q: org.apache.spark.sql.Column) = pmod(q * lit(BmpLcgA), m)
-    val q1 = step(pmod(col(srcCol), m) + lit(12345L))
-    val withQ = imgs
-      .withColumn("__q1", q1)
-      .withColumn("__q2", step(col("__q1")))
-      .withColumn("__q3", step(col("__q2")))
-      .withColumn("__q4", step(col("__q3")))
-      .withColumn("__q5", step(col("__q4")))
-      .withColumn("__q6", step(col("__q5")))
-    val shift = col(shiftCol)
-    val bump = col(bumpCol)
-    val pix = array_join(transform(sequence(lit(0), lit(w * h - 1)), i => {
-      val x = pmod(i, lit(w))
-      val yFile = ((i - x) / lit(w)).cast("long")
-      val y = lit(h - 1) - yFile // bottom-up file rows -> top-down coords
-      val inBump = x >= lit(BmpBumpX0) && x < lit(BmpBumpX1) &&
-        y >= lit(BmpBumpY0) && y < lit(BmpBumpY1)
-      val pert = shift + when(inBump, bump).otherwise(lit(0))
-      def ch(qa: String, qb: String, sc: Int) =
-        pmod(pmod(col(qa) + y * col(qb), m) + x * sc, lit(180)) + pert
-      concat(hex2(ch("__q1", "__q2", 13)),
-        hex2(ch("__q3", "__q4", 17)),
-        hex2(ch("__q5", "__q6", 19)))
-    }), "")
-    withQ.select(col(idCol), unhex(concat(header, pix)).as("payload"))
+    // container assembly is the native codegen `bmp_synth` Expression
+    // (functions/MediaExpressions.scala BmpSynthImpl — a ~3-store/pixel
+    // byte loop; the original per-pixel hex-string concat cost 20 s at
+    // sf0.1, hours at decade scale, for a FIXTURE). Same bytes.
+    graft.functions.GraftFunctions.ensureRegistered(imgs.sparkSession)
+    imgs.select(col(idCol),
+      graft.functions.GraftFunctions.bmp_synth(col(srcCol).cast("long"),
+        col(shiftCol).cast("long"), col(bumpCol).cast("long")).as("payload"))
   }
 }
