@@ -429,9 +429,15 @@ object ImageDhashImpl {
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
     if (w < gcols || h < grows) return null
-    val rowBytes = ((w * 3 + 3) / 4) * 4
+    // row stride in LONG: a crafted width > ~715M overflows w*3 in Int,
+    // flipping rowBytes negative so the length guard would pass and the
+    // pixel loops would throw — violating the NULL-never-throw contract
+    // for dirty-crawl payloads. Once the guard holds, the whole image
+    // fits in b.length <= Int.MaxValue, so Int offsets below are safe.
+    val rowBytesL = ((w.toLong * 3 + 3) / 4) * 4
     if (dataOff < 54 ||
-        dataOff.toLong + rowBytes.toLong * h > b.length) return null
+        dataOff.toLong + rowBytesL * h > b.length) return null
+    val rowBytes = rowBytesL.toInt
     val cells = new Array[Long](grows * gcols)
     var gy = 0
     while (gy < grows) {
@@ -517,6 +523,15 @@ object BmpSynthImpl {
   val BumpY0 = 6; val BumpY1 = 8
 
   def build(src: Long, shift: Long, bump: Long): Array[Byte] = {
+    // headroom contract, enforced: channel bytes are < 180 before
+    // perturbation, so shift + bump <= 56 keeps 180 + pert <= 236 < 256
+    // — no toByte wrap, which is what makes the dHash shift-invariance
+    // property (and bit-parity with the oracle's unwrapped arithmetic)
+    // hold. Out-of-contract fixtures fail loudly instead of silently
+    // diverging between engines.
+    require(src >= 0 && shift >= 0 && bump >= 0 && shift + bump <= 56,
+      s"bmp_synth contract: src >= 0, shift/bump >= 0, shift + bump <= 56" +
+      s" (got src=$src, shift=$shift, bump=$bump)")
     val size = 54 + W * H * 3
     val out = new Array[Byte](size)
     def le32(off: Int, v: Int): Unit = {

