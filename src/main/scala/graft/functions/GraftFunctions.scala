@@ -91,6 +91,10 @@ object GraftExtensions {
           es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
       (FunctionIdentifier("wav_synth"), info(classOf[WavSynth], "wav_synth"),
         (es: Seq[Expression]) => WavSynth(es.head, es(1), es(2))),
+      (FunctionIdentifier("video_dhash"), info(classOf[VideoDhash], "video_dhash"),
+        (es: Seq[Expression]) => VideoDhash(es.head,
+          es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
+          es(3).eval().asInstanceOf[Int])),
       // vocabularies arrive as a foldable nested-array literal, decoded
       // once at resolution (same pattern as vec_mat_cosines)
       (FunctionIdentifier("marker_counts"), info(classOf[MarkerCounts], "marker_counts"),
@@ -213,6 +217,11 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(phases))
   def wav_synth(src: Column, gain: Column, bump: Column): Column =
     call_function("wav_synth", src, gain, bump)
+  def video_dhash(payload: Column, frames: Int, gcols: Int, grows: Int): Column =
+    call_function("video_dhash", payload,
+      org.apache.spark.sql.functions.lit(frames),
+      org.apache.spark.sql.functions.lit(gcols),
+      org.apache.spark.sql.functions.lit(grows))
   def marker_counts(toks: Column, vocabs: Seq[Seq[String]]): Column =
     call_function("marker_counts", toks,
       org.apache.spark.sql.functions.typedLit(vocabs))
