@@ -471,12 +471,17 @@ object Similarity {
           expr(s"array_position(__sims$s, array_max(__sims$s))").cast("int"))
         .drop(s"__sims$s")
     }.select(col("vid") +: col("cell") +: (0 until m).map(s => col(s"__c$s")): _*)
+    // repartition on the layout keys before writing: each cell/bucket
+    // then lands as ~1 file per write instead of one per task (the
+    // small-file discipline compactAnnIndex enforces, applied at birth)
     coded.select(col("vid"), col("cell"),
         posexplode(array((0 until m).map(s => col(s"__c$s")): _*))
           .as(Seq("sub", "code")))
+      .repartition(col("cell"))
       .write.format("parquet").mode("overwrite")
       .partitionBy("cell").saveAsTable(codesT)
-    e.write.format("parquet").mode("overwrite")
+    e.repartition(buckets, col("vid"))
+      .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, "vid").sortBy("vid").saveAsTable(vecsT)
     coarse.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
@@ -546,9 +551,11 @@ object Similarity {
     coded.select(col("vid"), col("cell"),
         posexplode(array((0 until m).map(s => col(s"__c$s")): _*))
           .as(Seq("sub", "code")))
+      .repartition(col("cell"))
       .write.format("parquet").mode("append")
       .partitionBy("cell").saveAsTable(codesT)
-    e.write.format("parquet").mode("append")
+    e.repartition(buckets, col("vid"))
+      .write.format("parquet").mode("append")
       .bucketBy(buckets, "vid").sortBy("vid").saveAsTable(vecsT)
     Dedup.mergeTableFingerprints(spark, Seq(codesT, vecsT, coarseT, pqT),
       Dedup.corpusFingerprint(snap, idCol, vecCol))
