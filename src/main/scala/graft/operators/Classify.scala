@@ -306,13 +306,22 @@ object Classify {
     (scored, () => { x.unpersist(blocking = true); () })
   }
 
-  /** Per-document predictions of [[linearLogisticManaged]], ordered. */
+  /** Per-document predictions of [[linearLogisticManaged]], ordered.
+    * The result is MATERIALIZED (localCheckpoint) so the persisted
+    * feature matrix can be released before returning — at the 1000×
+    * decade that cache is tens of GB of disk-backed blocks, and
+    * leaking it through a suite run exhausted the box's disk
+    * (measured: 7 later queries died on No-space-left). */
   def linearLogistic(docs: DataFrame, idCol: String, labelCol: String,
                      textCol: String, targetLabel: String,
                      iters: Int = 16, lr: Double = 0.05,
-                     momentum: Double = 0.9): DataFrame =
-    linearLogisticManaged(docs, idCol, labelCol, textCol, targetLabel,
-      iters, lr, momentum)._1.orderBy("doc_id")
+                     momentum: Double = 0.9): DataFrame = {
+    val (scored, cleanup) = linearLogisticManaged(docs, idCol, labelCol,
+      textCol, targetLabel, iters, lr, momentum)
+    val out = scored.orderBy("doc_id").localCheckpoint()
+    cleanup()
+    out
+  }
 
   /** Binary confusion matrix of [[linearLogisticManaged]]: (y, pred, n)
     * — 4-bounded, directly comparable against the NB confusion on the
@@ -322,10 +331,13 @@ object Classify {
                               targetLabel: String, iters: Int = 16,
                               lr: Double = 0.05,
                               momentum: Double = 0.9): DataFrame = {
-    val (scored, _) = linearLogisticManaged(docs, idCol, labelCol, textCol,
-      targetLabel, iters, lr, momentum)
-    scored.groupBy(col("y"), col("pred"))
+    val (scored, cleanup) = linearLogisticManaged(docs, idCol, labelCol,
+      textCol, targetLabel, iters, lr, momentum)
+    val out = scored.groupBy(col("y"), col("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy("y", "pred")
+      .localCheckpoint() // 4-bounded; frees the feature-matrix cache
+    cleanup()
+    out
   }
 }
