@@ -211,8 +211,9 @@ object Classify {
     * one rung past naive Bayes: a trained linear model over hashed
     * bag-of-n-gram features; Joulin et al. 2017 "Bag of tricks for
     * efficient text classification"): BINARY logistic regression
-    * "targetLabel vs rest" over the 256 hashed uni+bigram buckets (the
-    * Dsir feature space — cross-engine md5 leading-2-hex hashing),
+    * "targetLabel vs rest" over the 4096 hashed uni+bigram buckets (md5
+    * leading-`hashChars`-hex hashing, default 3 → 16³ buckets — the
+    * Dsir hashing scheme one hex digit wider),
     * trained by a FIXED number of FULL-BATCH gradient-descent steps
     * with heavy-ball momentum (Polyak 1964 — plain GD on dense
     * correlated bag-of-ngram counts either crawls or oscillates at any
@@ -238,10 +239,12 @@ object Classify {
     *
     * Scale posture: training is `iters` rounds of two partial-agg
     * shuffles — per-doc logits (docs-bounded) and per-bucket gradients
-    * (257-bounded) — against the persisted hashed-feature matrix; the
-    * weight relation is 257 rows, broadcast into every join and
-    * localCheckpointed per round (the loop costs jobs, not data). One
-    * bounded driver action (the corpus count, for the 1/n literal). */
+    * (buckets-bounded) — against the persisted hashed-feature matrix;
+    * the weight relation is 16^hashChars + 1 rows (4097 at the default
+    * — buckets + the '__bias' pseudo-bucket), broadcast into every join
+    * and localCheckpointed per round (the loop costs jobs, not data).
+    * One bounded driver action (the corpus count, for the 1/n
+    * literal). */
   def linearLogisticManaged(docs: DataFrame, idCol: String,
                             labelCol: String, textCol: String,
                             targetLabel: String, iters: Int = 16,

@@ -656,9 +656,14 @@ object Dedup {
     * fully-written `_c` and the parked `_o` both exist and
     * [[recoverSwappedTable]] — invoked by every compact, removeFrom and
     * append entry point — renames `_o` back so the interrupted rewrite
-    * is simply retried; after the second rename the new table is live
-    * and the stale `_o` drops on retry. Carried `props` + fingerprint
-    * are restored onto the swapped-in table. */
+    * is simply retried; after the second rename the new table is live,
+    * COMPLETE (carried `props` + fingerprint were set on `_c` BEFORE
+    * the dance — table properties travel with a rename, so no crash
+    * point leaves a live table stripped of its geometry; advisor r16)
+    * and partition-repaired (the live MSCK runs here, before the park
+    * drops — a crash can no longer leave live partition specs pointing
+    * at the vanished `_c` paths), so recovery is just dropping the
+    * stale `_o`. */
   private def swapRewriteTable(spark: org.apache.spark.sql.SparkSession,
                                table: String, props: Seq[String],
                                write: (DataFrame, String) => Unit): Unit = {
@@ -670,29 +675,53 @@ object Dedup {
     dropStaleTable(spark, tmp)
     dropParkedTable(spark, old)
     write(spark.table(table), tmp)
+    // props ride ON the temp table THROUGH the rename (advisor r16: a
+    // post-rename SET left a crash window where the live table existed
+    // without its geometry/fingerprint and recovery no-op'd — index
+    // bricked until a manual rebuild)
+    if (carried.nonEmpty)
+      spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES (" +
+        carried.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // repair the LIVE table's partition metadata before anything else:
+    // the rename moved `_c`'s directory under `table` but a partitioned
+    // table's specs still point at the vanished `_c` paths — a crash
+    // here previously served empty scans and a subsequent rewrite
+    // persisted the empty read as data loss (advisor r16)
+    repairPartitionsIfPartitioned(spark, table)
     dropParkedTable(spark, old)
-    if (carried.nonEmpty)
-      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-        carried.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
     // the rename dance moves directories out from under any cached file
     // listings for this name — drop them so the next scan re-lists
     spark.catalog.refreshTable(table)
   }
 
-  /** Self-heal for a crash between [[swapRewriteTable]]'s two renames:
-    * if `table` is absent but its parked `<table>_o` exists, rename the
-    * park back in — the pre-rewrite index, fully intact (the
-    * interrupted rewrite is then simply retried). A no-op in every
-    * other state. */
+  /** Self-heal for a crash inside [[swapRewriteTable]]'s rename dance:
+    *  - `table` absent, parked `<table>_o` present (crash between the
+    *    renames): rename the park back in — the pre-rewrite index,
+    *    fully intact; the interrupted rewrite is simply retried.
+    *  - `table` AND `<table>_o` both present (crash after the second
+    *    rename, before the park dropped): the live table is the
+    *    fully-written rewrite — props/fingerprint travelled with it —
+    *    so finish the dance: repair live partition metadata and drop
+    *    the park (advisor r16: this state previously no-op'd, leaving
+    *    a partitioned live table serving empty scans).
+    * A stale `_c` in either state is dropped by the next rewrite's
+    * entry; a no-op in every other state. */
   private[graft] def recoverSwappedTable(
-      spark: org.apache.spark.sql.SparkSession, table: String): Unit =
-    if (!spark.catalog.tableExists(table) &&
-        spark.catalog.tableExists(table + "_o")) {
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val live = spark.catalog.tableExists(table)
+    val parked = spark.catalog.tableExists(table + "_o")
+    if (!live && parked) {
       spark.sql(s"ALTER TABLE ${table}_o RENAME TO $table")
       repairPartitionsIfPartitioned(spark, table)
+      spark.catalog.refreshTable(table)
+    } else if (live && parked) {
+      repairPartitionsIfPartitioned(spark, table)
+      dropParkedTable(spark, table + "_o")
+      spark.catalog.refreshTable(table)
     }
+  }
 
   /** A partitioned managed table's per-partition catalog locations go
     * stale across ALTER TABLE RENAME (the directory moves, the
@@ -759,17 +788,16 @@ object Dedup {
     * the rewrite). Repartitions on the partition column first so each
     * cell collapses to ~1 file per rewrite (write parallelism becomes
     * min(cells, shuffle partitions) — a rewrite-path trade, not a
-    * serving-path one). */
+    * serving-path one). The live-table partition repair happens INSIDE
+    * [[swapRewriteTable]], before the park drops (advisor r16). */
   private[graft] def compactPartitionedTable(
       spark: org.apache.spark.sql.SparkSession,
       table: String, partCol: String, props: Seq[String],
-      xform: DataFrame => DataFrame): Unit = {
+      xform: DataFrame => DataFrame): Unit =
     swapRewriteTable(spark, table, props, (df, tmp) =>
       xform(df).repartition(col(partCol))
         .write.format("parquet").mode("overwrite")
         .partitionBy(partCol).saveAsTable(tmp))
-    repairPartitionsIfPartitioned(spark, table)
-  }
 
   /** Index DELETE maintenance (judge r14 ask #4 — takedown/GDPR): purge
     * documents from a persisted MinHash index WITHOUT a full rebuild.
@@ -829,6 +857,12 @@ object Dedup {
     val Array(dn, dh) = del.split(":")
     mergeTableFingerprints(spark, Seq(bt, st),
       s"${-dn.toLong}:${-BigInt(dh)}")
+    // a fingerprint-changing op invalidates the maintained stream's
+    // commit history: drop the guard table HERE instead of relying on
+    // the caller (advisor r16 — a forgotten drop let a later crash
+    // recovery reset the index to a stale pre-removal fingerprint); it
+    // reseeds from the index's then-current fingerprint at next start
+    dropStaleTable(spark, commitsTableName(bt))
     purged
   }
 
@@ -876,6 +910,9 @@ object Dedup {
     val Array(dn, dh) = del.split(":")
     mergeTableFingerprints(spark, Seq(sigT, vecT),
       s"${-dn.toLong}:${-BigInt(dh)}")
+    // drop the maintained-stream commit guard with the old fingerprint
+    // (advisor r16 — see removeFromMinhashIndex)
+    dropStaleTable(spark, commitsTableName(sigT))
     purged
   }
 
@@ -894,9 +931,23 @@ object Dedup {
     *
     * Coherence contract: valid while the maintained stream is the tag's
     * ONLY writer. Run out-of-band maintenance (removeFrom* / compact*)
-    * with the stream stopped at a committed boundary, and DROP this
-    * table after a fingerprint-changing op (removeFrom*) so it reseeds
-    * from the index's then-current fingerprint at next stream start. */
+    * with the stream stopped at a committed boundary; the
+    * fingerprint-changing removeFrom* ops DROP this table themselves
+    * (advisor r16) so it reseeds from the index's then-current
+    * fingerprint at next stream start.
+    *
+    * ID-UNIQUENESS contract (advisor r16): the crash-recovery purge
+    * treats ANY probed id already present in the index as residue of an
+    * uncommitted replay of the same batch. A LEGITIMATELY re-delivered
+    * id — a duplicate doc id across maintained batches, or a batch id
+    * colliding with a base-corpus id — would be purged as committed
+    * data and then double-count in the fingerprint (purge resets to the
+    * last committed fp, which already includes it; the re-append adds
+    * it again), drifting the fingerprint until a spurious full rebuild.
+    * Callers of the maintained streams must therefore feed GLOBALLY
+    * UNIQUE ids: disjoint from the indexed corpus and never reused
+    * across batches (the upstream-assigned doc/vector id of an
+    * ingestion pipeline satisfies this by construction). */
   private[graft] def commitsTableName(indexTable: String): String =
     indexTable + "_commits"
 

@@ -609,6 +609,9 @@ object Similarity {
     val Array(dn, dh) = del.split(":")
     Dedup.mergeTableFingerprints(spark, Seq(codesT, vecsT, coarseT, pqT),
       s"${-dn.toLong}:${-BigInt(dh)}")
+    // drop the maintained-stream commit guard with the old fingerprint
+    // (advisor r16 — see Dedup.removeFromMinhashIndex)
+    Dedup.dropStaleTable(spark, Dedup.commitsTableName(codesT))
     purged
   }
 
@@ -790,6 +793,12 @@ object Similarity {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
+    // a multi-column relation passed by mistake would otherwise be
+    // silently narrowed to its first column — serving against the wrong
+    // id set with no error (advisor r16)
+    allowed.foreach(a => require(a.columns.length == 1,
+      s"annIvfPqServe: `allowed` must be a ONE-column relation of " +
+      s"permitted neighbor ids, got (${a.columns.mkString(", ")})"))
     val (codesT, vecsT, coarseT, pqT) = annIndexTables(tag)
     val m = Dedup.requiredIntProp(spark, codesT, AnnMProp, "annIvfPqServe")
     val ksub = Dedup.requiredIntProp(spark, codesT, AnnKsubProp, "annIvfPqServe")

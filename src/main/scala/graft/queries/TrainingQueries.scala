@@ -646,7 +646,7 @@ object TrainingQueries {
           lit(" mk"), col("lang"))))
 
   /** DuckDB replay of [[graft.operators.Classify.linearLogisticManaged]]
-    * at (target 'en', lr 0.5): the hashed uni+bigram feature matrix
+    * at (target 'en', lr 0.05): the hashed uni+bigram feature matrix
     * (the dsirCtesSql md5 bucketing + a '__bias' pseudo-bucket), then
     * `iters` gradient rounds UNROLLED as CTEs in MICRO-units — exact
     * integer logits (LONG micro-weights × counts summed as HUGEINT),

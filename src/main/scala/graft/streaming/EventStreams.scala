@@ -814,7 +814,11 @@ object EventStreams {
     * inside the callback, or collect only in bounded test fixtures).
     * Returns the started query; callers own the checkpoint lifecycle
     * and must treat the stream as the tag's only writer (see the
-    * commits-table coherence contract). */
+    * commits-table coherence contract). Stream ids must be GLOBALLY
+    * UNIQUE — disjoint from the indexed corpus and never reused across
+    * batches (the [[graft.operators.Dedup.commitsTableName]]
+    * id-uniqueness contract: a re-delivered id would be purged as
+    * crash residue and drift the fingerprint). */
   def minhashDedupStreamMaintained(docs: DataFrame, idCol: String,
       textCol: String, tag: String, tau: Double, checkpointDir: String,
       onMatches: (Long, DataFrame) => Unit)
@@ -875,7 +879,8 @@ object EventStreams {
     * appends the admitted vectors back via Dedup.appendEmbedIndex —
     * later micro-batches collide with earlier admissions. Same durable
     * committed-batch-id guard, same crash-recovery purge, same
-    * single-writer coherence contract. */
+    * single-writer coherence contract, same globally-unique-id
+    * contract (see [[minhashDedupStreamMaintained]]). */
   def embedDedupStreamMaintained(stream: DataFrame, idCol: String,
       vecCol: String, tag: String, tau: Double, checkpointDir: String,
       onMatches: (Long, DataFrame) => Unit)
