@@ -765,6 +765,7 @@ object Similarity {
     val spark = newVecs.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val (codesT, vecsT, coarseT, pqT) = annIndexTables(tag)
+    Dedup.withMaintenanceLease(spark, codesT, "appendAnnIndex") {
     Seq(codesT, vecsT).foreach(Dedup.recoverSwappedTable(spark, _))
     require(Seq(codesT, vecsT, coarseT, pqT).forall(spark.catalog.tableExists),
       s"appendAnnIndex: no index for tag '$tag' — write it first")
@@ -804,6 +805,7 @@ object Similarity {
     Dedup.mergeTableFingerprints(spark, Seq(codesT, vecsT, coarseT, pqT),
       Dedup.corpusFingerprint(snap, idCol, vecCol))
     snap
+    }
   }
 
   /** The code table's recorded geometry property keys, carried across
@@ -832,6 +834,7 @@ object Similarity {
     val spark = removed.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val (codesT, vecsT, coarseT, pqT) = annIndexTables(tag)
+    Dedup.withMaintenanceLease(spark, codesT, "removeFromAnnIndex") {
     Seq(codesT, vecsT).foreach(Dedup.recoverSwappedTable(spark, _))
     require(Seq(codesT, vecsT, coarseT, pqT).forall(spark.catalog.tableExists),
       s"removeFromAnnIndex: no index for tag '$tag' — write it first")
@@ -857,6 +860,7 @@ object Similarity {
     // (advisor r16 — see Dedup.removeFromMinhashIndex)
     Dedup.dropStaleTable(spark, Dedup.commitsTableName(codesT))
     purged
+    }
   }
 
   /** [[Dedup.compactMinhashIndex]] for the persisted IVF-PQ serving
@@ -873,16 +877,18 @@ object Similarity {
                       tag: String): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val (codesT, vecsT, _, _) = annIndexTables(tag)
-    Seq(codesT, vecsT).foreach(Dedup.recoverSwappedTable(spark, _))
-    require(spark.catalog.tableExists(codesT) &&
-        spark.catalog.tableExists(vecsT),
-      s"compactAnnIndex: no index for tag '$tag' — write it first")
-    val buckets = Dedup.requiredIntProp(spark, codesT, Dedup.BucketsProp,
-      "compactAnnIndex")
-    Dedup.compactPartitionedTable(spark, codesT, "cell", annCodeProps,
-      identity)
-    Dedup.compactBucketedTable(spark, vecsT, buckets, Seq("vid"), Nil,
-      identity)
+    Dedup.withMaintenanceLease(spark, codesT, "compactAnnIndex") {
+      Seq(codesT, vecsT).foreach(Dedup.recoverSwappedTable(spark, _))
+      require(spark.catalog.tableExists(codesT) &&
+          spark.catalog.tableExists(vecsT),
+        s"compactAnnIndex: no index for tag '$tag' — write it first")
+      val buckets = Dedup.requiredIntProp(spark, codesT, Dedup.BucketsProp,
+        "compactAnnIndex")
+      Dedup.compactPartitionedTable(spark, codesT, "cell", annCodeProps,
+        identity)
+      Dedup.compactBucketedTable(spark, vecsT, buckets, Seq("vid"), Nil,
+        identity)
+    }
   }
 
   /** Codebook DRIFT report (judge r16 ask #5 — the measurement the
