@@ -39,7 +39,8 @@ object PipelineQueries {
   /** Scale factors for the planted ANN corpus (10 copies per query
     * vector). 2.1 instead of 2.0 so no factor is a power of two — scaled
     * dot products then exercise real fp rounding on both engines. */
-  private val AnnScales = Seq(1.1, 1.2, 1.3, 1.4, 1.5, 1.6, 1.7, 1.8, 1.9, 2.1)
+  private[graft] val AnnScales =
+    Seq(1.1, 1.2, 1.3, 1.4, 1.5, 1.6, 1.7, 1.8, 1.9, 2.1)
 
   /** Embeddings ∪ 10 scaled copies of each query vector (ids
     * 100000 + 100·q + j) — the corpus q_ann_lsh / q_ann_ivf run on
@@ -98,6 +99,39 @@ object PipelineQueries {
     "q AS (SELECT vec_id + 900000 AS query_id, " +
     "[x * 0.9 FOR x IN CAST(embedding AS DOUBLE[])] AS qv " +
     "FROM embeddings WHERE vec_id < 5) " +
+    "SELECT query_id, rank, neighbor_id, cos FROM (" +
+    "SELECT query_id, neighbor_id, cos, row_number() OVER " +
+    "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM (" +
+    "SELECT q.query_id, u.vec_id AS neighbor_id, " +
+    "list_dot_product(q.qv, u.v) / (sqrt(list_dot_product(q.qv, q.qv)) * " +
+    "sqrt(list_dot_product(u.v, u.v))) AS cos FROM q CROSS JOIN u)) " +
+    "WHERE rank <= 14 ORDER BY query_id, rank"
+  }
+
+  /** DuckDB replay of the streaming ANN maintained fixture — the
+    * q_ann_ivfpq_maintained brute-force corpus ∪ inserts oracle
+    * RESTRICTED to the constant 400-vec slice
+    * (StreamParity.annMaintainedParity's harness discipline): top-14
+    * of the 0.9×-scaled phase-2 queries over slice ∪ planted copies ∪
+    * phase-1 inserts = exactly the cos-1 family, the last three
+    * members provable only if the streamed insert landed. */
+  private def streamAnnMaintainedOracleSql: String = {
+    val scVals = AnnScales.zipWithIndex
+      .map { case (sc, j) => s"($j, CAST($sc AS DOUBLE))" }.mkString(", ")
+    val ins = Seq(0 -> "2.2", 1 -> "2.3", 2 -> "2.4")
+      .map { case (j, sc) => s"($j, CAST($sc AS DOUBLE))" }.mkString(", ")
+    "WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+    "FROM embeddings ORDER BY vec_id LIMIT 400), " +
+    s"sc(j, s) AS (VALUES $scVals), " +
+    "e AS (SELECT vec_id, v FROM s " +
+    "UNION ALL SELECT 100000 + b.vec_id * 100 + sc.j AS vec_id, " +
+    "[x * sc.s FOR x IN b.v] AS v FROM s b, sc WHERE b.vec_id < 5), " +
+    s"si(j, s) AS (VALUES $ins), " +
+    "ins AS (SELECT 300000 + b.vec_id * 100 + si.j AS vec_id, " +
+    "[x * si.s FOR x IN b.v] AS v FROM s b, si WHERE b.vec_id < 5), " +
+    "u AS (SELECT * FROM e UNION ALL SELECT * FROM ins), " +
+    "q AS (SELECT vec_id + 900000 AS query_id, " +
+    "[x * 0.9 FOR x IN v] AS qv FROM s WHERE vec_id < 5) " +
     "SELECT query_id, rank, neighbor_id, cos FROM (" +
     "SELECT query_id, neighbor_id, cos, row_number() OVER " +
     "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM (" +
@@ -3259,9 +3293,8 @@ object PipelineQueries {
     "q_stream_dedup_maintained" -> streamDedupMaintainedOracleSql,
     "q_stream_embed_maintained" -> streamEmbedMaintainedOracleSql,
     // the streamed route serves the same index state as the batch
-    // insert+serve row — the brute-force corpus ∪ inserts oracle
-    // applies verbatim
-    "q_stream_ann_maintained" -> annMaintainedOracleSql,
+    // insert+serve row, over the constant 400-vec harness slice
+    "q_stream_ann_maintained" -> streamAnnMaintainedOracleSql,
 
     "q_asof_join" ->
       ("WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t " +
