@@ -35,6 +35,7 @@ EXCLUDE = {
 
 # attempted, but grouped last so a failure costs only this chunk
 RISKY = [
+    "q_ann_ivfpq_residual", "q_ann_drift_report",
     "q_dedup_embed_lsh", "q_stats_pca", "q_dedup_minhash", "q_ann_ivfpq",
     "q_percent_rank", "q_stats_corr", "q_contamination_report",
     "q_semdedup", "q_dedup_cluster_best", "q_text_fingerprint",
