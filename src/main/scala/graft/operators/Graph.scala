@@ -154,8 +154,12 @@ object Graph {
     val wedges = directed.as("e1").join(directed.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.rt") < col("e2.rt"))
       .select(col("e1.t").as("s"), col("e2.t").as("t"))
-    val tri = wedges.join(directed.select("s", "t"), Seq("s", "t"),
-      "left_semi").agg(count(lit(1)).as("n_triangles"))
+    // closure probe as a SHUFFLED-HASH semi-join (r17, guide §3.1): the
+    // wedge fan-out is the m^{3/2} side — sort-merge would SORT it; the
+    // hash build side is only the m oriented edges per partition, which
+    // is exactly the memory the wedge enumeration already assumes
+    val tri = wedges.join(directed.select("s", "t").hint("shuffle_hash"),
+      Seq("s", "t"), "left_semi").agg(count(lit(1)).as("n_triangles"))
     val totals = deg.agg(count(lit(1)).as("n_nodes"),
       expr("sum(d * (d - 1)) DIV 2").as("n_wedges"))
     val ne = e.agg(count(lit(1)).as("n_edges"))

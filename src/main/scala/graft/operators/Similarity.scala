@@ -14,6 +14,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** r17 optimization round (guide §1.2 per-task work, §5 caching):
+    * spread-and-cache a BOUNDED training relation when its input scan
+    * has fewer splits than the session has slots. The codebook trainers
+    * make (1 + iters) full passes over their input; when that input is
+    * a single small parquet split (the low end), every pass runs on ONE
+    * task — measured 0.4–0.6 s/pass at sf0.1 while 31 cores idle. The
+    * condition is derived from the input's own partitioning, so at real
+    * scale (scan already ≥ parallelism) this is a no-op: no extra
+    * corpus shuffle, no corpus-sized cache. Callers MUST release via
+    * the returned handle after their training collects. */
+  private def spreadForTraining(df: DataFrame): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions >= sc.defaultParallelism) (df, () => ())
+    else {
+      // hash on the id — deterministic under retries (guide §2.5) and
+      // skips round-robin's sort-before-repartition of the vector rows
+      val work = df.repartition(sc.defaultParallelism, col("vid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (work, () => { work.unpersist(blocking = false); () })
+    }
+  }
+
   /** Deterministic dot product: left-fold in array order with a double
     * accumulator (graft's native codegen'd VecDot Expression). Same op
     * sequence as DuckDB's list_dot_product, so results are bit-identical
@@ -76,16 +98,18 @@ object Similarity {
       s"kmeansCodebook expects columns (vid, v: array<double>), got " +
       e.columns.mkString("(", ", ", ")"))
     graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
+    val (work, release) = spreadForTraining(e)
+    try {
     // seeded-sample init ordered by md5("<vid>:<seed>") — a keyed hash
     // order like the previous xxhash64 form, but replayable by the
     // DuckDB oracle (md5 exists in both engines; xxhash64 does not), so
     // iters = 0 codebooks are cross-engine reproducible — the operating
     // point the drift-report oracle replays
-    val init: Array[Array[Double]] = e
+    val init: Array[Array[Double]] = work
       .orderBy(md5(concat_ws(":", col("vid"), lit(seed))), col("vid"))
       .limit(nlist).select("v").collect().map(_.getSeq[Double](0).toArray)
     (0 until iters).foldLeft(init) { (cb, _) =>
-      val sums = e
+      val sums = work
         .withColumn("sims", graft.functions.GraftFunctions.vec_mat_cosines(col("v"), cb))
         .withColumn("cell", expr("array_position(sims, array_max(sims))").cast("int"))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -102,6 +126,7 @@ object Similarity {
       }
       next
     }
+    } finally release()
   }
 
   /** IVF-style ANN: partition the corpus into `nlist` cells around coarse
@@ -192,7 +217,9 @@ object Similarity {
     * seed every subspace), exact-decimal coordinate sums. */
   private def pqCodebooks(unit: DataFrame, m: Int, dsub: Int, ksub: Int,
                           iters: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val initRows: Array[Array[Double]] = unit
+    val (work, release) = spreadForTraining(unit)
+    try {
+    val initRows: Array[Array[Double]] = work
       .orderBy(md5(concat_ws(":", col("vid"), lit(seed))), col("vid"))
       .limit(ksub).select("u").collect().map(_.getSeq[Double](0).toArray)
     require(initRows.length >= ksub,
@@ -202,7 +229,7 @@ object Similarity {
       initRows(j).slice(s * dsub, (s + 1) * dsub)
     }
     (0 until iters).foldLeft(init) { (cbs, _) =>
-      val assigned = (0 until m).foldLeft(unit) { (df, s) =>
+      val assigned = (0 until m).foldLeft(work) { (df, s) =>
         val sims = graft.functions.GraftFunctions.vec_mat_cosines(
           slice(col("u"), s * dsub + 1, dsub), cbs(s))
         df.withColumn(s"__sims$s", sims)
@@ -229,6 +256,7 @@ object Similarity {
       }
       next
     }
+    } finally release()
   }
 
   def annPq(emb: DataFrame, idCol: String, vecCol: String,
@@ -312,7 +340,9 @@ object Similarity {
     * assigns to the smallest-|c| centroid — the cosine form would NaN. */
   private[graft] def pqCodebooksResidual(res: DataFrame, m: Int, dsub: Int,
       ksub: Int, iters: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val initRows: Array[Array[Double]] = res
+    val (work, release) = spreadForTraining(res)
+    try {
+    val initRows: Array[Array[Double]] = work
       .orderBy(md5(concat_ws(":", col("vid"), lit(seed))), col("vid"))
       .limit(ksub).select("r").collect().map(_.getSeq[Double](0).toArray)
     require(initRows.length >= ksub,
@@ -322,7 +352,7 @@ object Similarity {
       initRows(j).slice(s * dsub, (s + 1) * dsub)
     }
     (0 until iters).foldLeft(init) { (cbs, _) =>
-      val assigned = (0 until m).foldLeft(res) { (df, s) =>
+      val assigned = (0 until m).foldLeft(work) { (df, s) =>
         df.withColumn(s"__d$s",
             l2DistancesCol(slice(col("r"), s * dsub + 1, dsub), cbs(s)))
           .withColumn(s"__cell$s",
@@ -348,6 +378,7 @@ object Similarity {
       }
       next
     }
+    } finally release()
   }
 
   /** Array of ||x − c_j||² − |x|² values (one per codebook row), as a
