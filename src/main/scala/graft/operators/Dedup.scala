@@ -256,6 +256,28 @@ object Dedup {
     s"${r.getLong(0)}:$h"
   }
 
+  /** r17 optimization round (guide §1.2 per-task work, §5 caching):
+    * spread-and-cache a derived relation that is about to be consumed
+    * by MORE THAN ONE write/pass, when its input scan has fewer splits
+    * than the session has slots — the signature computations
+    * (word_shingles + 128-perm minhash_bands, 32-table SRP) otherwise
+    * run SERIALLY and TWICE (once per index table; measured 0.6–0.9 s
+    * per pass at sf0.1 on a 1-split scan). The condition derives from
+    * the input's own partitioning, so at real scale (scan already ≥
+    * parallelism) this is a no-op — no extra corpus shuffle and no
+    * corpus-sized cache. Callers release via the returned handle after
+    * their last consumer. */
+  private[operators] def spreadBounded(df: DataFrame, key: Column)
+      : (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions >= sc.defaultParallelism) (df, () => ())
+    else {
+      val work = df.repartition(sc.defaultParallelism, key)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (work, () => { work.unpersist(blocking = false); () })
+    }
+  }
+
   private[operators] val FingerprintProp = "graft.corpus.fingerprint"
 
   /** The fingerprint stored on `table`, or None when absent. */
@@ -305,10 +327,13 @@ object Dedup {
     // exactly-once predicate needs both sides' full signatures, so
     // storing it makes the stream-static join's static side a pure
     // bucketed scan — zero per-micro-batch corpus recompute
-    val sh = corpus.select(col(idCol).as("corpus_id"),
-      GraftFunctions.word_shingles(col(textCol), 3).as("sh"))
+    val (sh, releaseSh) = spreadBounded(
+      corpus.select(col(idCol).as("corpus_id"),
+        GraftFunctions.word_shingles(col(textCol), 3).as("sh"))
       .withColumn("bandsig",
-        GraftFunctions.minhash_bands(col("sh"), numPerm, bands))
+        GraftFunctions.minhash_bands(col("sh"), numPerm, bands)),
+      col("corpus_id"))
+    try {
     // SALTED cap (judge r13 ask #6 — the UrlCuration.domainCap pattern):
     // a 10^9-copy boilerplate shingle class would land its whole band
     // bucket in ONE window partition, so rank first within
@@ -320,9 +345,15 @@ object Dedup {
     // survives stage 1 (property-specced against the unsalted window).
     val banded = cappedBands(sh.select(col("corpus_id"),
       posexplode(col("bandsig")).as(Seq("band", "h"))), maxBucket)
-    banded.write.format("parquet").mode("overwrite")
+    // repartition on the bucket keys so every bucket lives in exactly
+    // one write task — one right-sized file per bucket instead of
+    // (write tasks × buckets) shards (the compactBucketedTable
+    // discipline, guide §6; r17)
+    banded.repartition(buckets, col("band"), col("h"))
+      .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, "band", "h").sortBy("band", "h").saveAsTable(bt)
-    sh.write.format("parquet").mode("overwrite")
+    sh.repartition(buckets, col("corpus_id"))
+      .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, "corpus_id").sortBy("corpus_id").saveAsTable(st)
     val fp = corpusFingerprint(corpus, idCol, textCol)
     Seq(bt, st).foreach { t =>
@@ -331,6 +362,7 @@ object Dedup {
         s"('$MinhashNumPermProp' = '$numPerm', '$MinhashBandsProp' = '$bands', " +
         s"'$MaxBucketProp' = '$maxBucket', '$BucketsProp' = '$buckets')")
     }
+    } finally releaseSh()
   }
 
   private[graft] val MinhashNumPermProp = "graft.minhash.numPerm"
@@ -1868,16 +1900,26 @@ object Dedup {
       xs.join(m, "u").filter(col("x") =!= col("m"))
         .select(col("x").as("a"), col("m").as("b")).distinct()
     }
-    var edges = pairs.select(greatest(col(aCol), col(bCol)).as("a"),
-        least(col(aCol), col(bCol)).as("b"))
+    // checkpoint the RAW pair list once: `pairs` is typically an
+    // expensive candidate-join subtree (shingle banding + verify) and
+    // was previously executed TWICE — once for the edge init and once
+    // more for the node set at the end (r17, guide §5)
+    val e0 = pairs.select(col(aCol).as("pa"), col(bCol).as("pb"))
+      .localCheckpoint()
+    var edges = e0.select(greatest(col("pa"), col("pb")).as("a"),
+        least(col("pa"), col("pb")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
+      // both anti-join directions in ONE job (r17: was two count jobs
+      // per round); limit(1) short-circuits as before
       val changed =
-        next.join(edges, Seq("a", "b"), "left_anti").limit(1).count() +
-        edges.join(next, Seq("a", "b"), "left_anti").limit(1).count()
+        next.join(edges, Seq("a", "b"), "left_anti").select(lit(1).as("x"))
+          .unionAll(
+            edges.join(next, Seq("a", "b"), "left_anti").select(lit(1).as("x")))
+          .limit(1).count()
       unpersistCheckpoint(edges)
       edges = next
       converged = changed == 0
@@ -1885,17 +1927,21 @@ object Dedup {
     }
     if (!converged) {
       unpersistCheckpoint(edges)
+      unpersistCheckpoint(e0)
       throw new IllegalArgumentException(
         s"large/small-star did not converge in $maxIter rounds; raise maxIter")
     }
-    val nodes = pairs
-      .select(explode(array(col(aCol), col(bCol))).as("id")).distinct()
+    val nodes = e0
+      .select(explode(array(col("pa"), col("pb"))).as("id")).distinct()
     val finalEdges = edges
     val out = nodes.join(edges.select(col("a").as("id"), col("b").as("lab")),
         Seq("id"), "left")
       .select(col("id").as(outCol),
         coalesce(col("lab"), col("id")).as("cluster_id"))
-    (out, () => unpersistCheckpoint(finalEdges, blocking = true))
+    (out, () => {
+      unpersistCheckpoint(finalEdges, blocking = true)
+      unpersistCheckpoint(e0, blocking = true)
+    })
   }
 
   // --------------------------------------------------------- embedding dup
@@ -2206,19 +2252,25 @@ object Dedup {
     // the vecs table ALSO carries the sketch and full signature array
     // (judge r13 ask #8): the streaming twin's static side then reads
     // ONE bucketed table — zero per-micro-batch corpus recompute
-    val e = corpus.select(col(idCol).as("corpus_id"),
-      col(vecCol).cast("array<double>").as("v"))
+    val (e, releaseE) = spreadBounded(
+      corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
       .withColumn("sk", sketchCol(col("v")))
       .withColumn("sigarr", array((0 until tables).map(t =>
-        GraftFunctions.srp_signature(col("v"), bits, t.toLong)): _*))
+        GraftFunctions.srp_signature(col("v"), bits, t.toLong)): _*)),
+      col("corpus_id"))
+    try {
     val sigs = e.select(col("corpus_id"), col("sk"),
       posexplode(col("sigarr")).as(Seq("tbl", "sig")))
+    // one right-sized file per bucket (see writeMinhashIndex; r17)
     cappedTopIds(sigs, Seq("tbl", "sig"), maxBucket)
       .select("corpus_id", "sk", "tbl", "sig")
+      .repartition(buckets, col("tbl"), col("sig"))
       .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, "tbl", "sig").sortBy("tbl", "sig").saveAsTable(sigT)
     e.select("corpus_id", "v", "nrm", "sk", "sigarr")
+      .repartition(buckets, col("corpus_id"))
       .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, "corpus_id").sortBy("corpus_id").saveAsTable(vecT)
     val fp = corpusFingerprint(corpus, idCol, vecCol)
@@ -2228,6 +2280,7 @@ object Dedup {
         s"('$EmbedBitsProp' = '$bits', '$EmbedTablesProp' = '$tables', " +
         s"'$MaxBucketProp' = '$maxBucket', '$BucketsProp' = '$buckets')")
     }
+    } finally releaseE()
   }
 
   /** Build the embedding index only when `tag` has no CURRENT tables

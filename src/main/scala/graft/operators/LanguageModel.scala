@@ -254,9 +254,14 @@ object LanguageModel {
       posexplode(split(coalesce(col(textCol), lit("")), " "))
         .as(Seq("pos", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    // consumed three times (t3, b2, the scoring stream) — persist so
+    // the posexplode + doc_id window shuffle + sort runs ONCE (r17,
+    // guide §5; measured 3 × ~0.8 s recomputes at sf0.1). Released in
+    // cleanup with t3/b2.
     val seq = pos
       .withColumn("prev1", lag(col("tok"), 1).over(w))
       .withColumn("prev2", lag(col("tok"), 2).over(w))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val t3 = seq.filter(col("prev2").isNotNull)
       .groupBy(col("prev2").as("u"), col("prev1").as("v"), col("tok").as("tw"))
       .agg(count(lit(1)).as("c3"))
@@ -278,8 +283,15 @@ object LanguageModel {
     val vRel = contVw.groupBy("v")
       .agg(sum("n1vw").as("n1vdot"), count(lit(1)).as("n1vstar"))
     val contW = b2.groupBy("tw").agg(count(lit(1)).as("n1w"))
-    def gated(df: DataFrame) =
-      if (df.count() <= maxBroadcast) broadcast(df) else df
+    // r17: gate the four DERIVED relations on their parents' already-
+    // known counts (ctx3/contVw/vRel are row-wise bounded by t3, contW
+    // by b2) instead of running one count() job per relation — four
+    // fewer jobs per query, broadcast-or-not decisions only get MORE
+    // conservative (a derivative can only be smaller), results
+    // unchanged either way
+    val t3Count = t3.count()
+    def gatedBy(df: DataFrame, bound: Long) =
+      if (bound <= maxBroadcast) broadcast(df) else df
     val d = lit(discount)
     val pUni = coalesce(col("n1w").cast("double"), lit(oovAlpha)) / lit(n11)
     val pBi = when(col("n1vdot").isNotNull,
@@ -296,14 +308,14 @@ object LanguageModel {
       .when(col("prev2").isNull, pBi)
       .otherwise(pTri)
     val out = seq
-      .join(gated(t3), col("prev2") === col("u") && col("prev1") === col("v")
+      .join(gatedBy(t3, t3Count), col("prev2") === col("u") && col("prev1") === col("v")
         && col("tok") === col("tw"), "left").drop("u", "v", "tw")
-      .join(gated(ctx3), col("prev2") === col("u") && col("prev1") === col("v"),
+      .join(gatedBy(ctx3, t3Count), col("prev2") === col("u") && col("prev1") === col("v"),
         "left").drop("u", "v")
-      .join(gated(contVw), col("prev1") === col("v") && col("tok") === col("tw"),
+      .join(gatedBy(contVw, t3Count), col("prev1") === col("v") && col("tok") === col("tw"),
         "left").drop("v", "tw")
-      .join(gated(vRel), col("prev1") === col("v"), "left").drop("v")
-      .join(gated(contW), col("tok") === col("tw"), "left").drop("tw")
+      .join(gatedBy(vRel, t3Count), col("prev1") === col("v"), "left").drop("v")
+      .join(gatedBy(contW, n11.toLong), col("tok") === col("tw"), "left").drop("tw")
       .select(col("doc_id"), (-log(score)).as("nll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -314,6 +326,7 @@ object LanguageModel {
     (out, () => {
       t3.unpersist(blocking = true)
       b2.unpersist(blocking = true)
+      seq.unpersist(blocking = true)
       ()
     })
   }

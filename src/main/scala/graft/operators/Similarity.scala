@@ -722,10 +722,13 @@ object Similarity {
     val coarse: Array[Array[Double]] = kmeansCodebook(e, nlist, kmeansIters, seed)
     val codebooks: Array[Array[Array[Double]]] =
       pqCodebooks(unit, m, dsub, ksub, kmeansIters, seed)
-    val withCell = unit
+    // consumed twice (codes write + drift baseline) — spread-and-cache
+    // when the scan is under-parallel (r17; no-op at real scale)
+    val (withCell, releaseWC) = spreadForTraining(unit
       .withColumn("__cs", graft.functions.GraftFunctions.vec_mat_cosines(col("u"), coarse))
       .withColumn("cell", expr("array_position(__cs, array_max(__cs))").cast("int"))
-      .drop("__cs")
+      .drop("__cs"))
+    try {
     val coded = (0 until m).foldLeft(withCell) { (df, s) =>
       df.withColumn(s"__sims$s",
           graft.functions.GraftFunctions.vec_mat_cosines(sub(col("u"), s), codebooks(s)))
@@ -771,6 +774,7 @@ object Similarity {
     spark.sql(s"ALTER TABLE $codesT SET TBLPROPERTIES " +
       s"('$AnnMProp' = '$m', '$AnnKsubProp' = '$ksub', " +
       s"'$AnnNlistProp' = '$nlist', '${Dedup.BucketsProp}' = '$buckets')")
+    } finally releaseWC()
     ()
   }
 
