@@ -197,7 +197,9 @@ object Bpe {
     var m: Column = spaced
     for ((a, b) <- merges; _ <- 1 to ReplacePasses)
       m = replace(m, lit(s" $a $b "), lit(s" $a$b "))
-    docs.select(col(idCol),
+    // r17: the static replace chain is the heavy projection — spread an
+    // under-parallel scan (no-op at scale and on streams)
+    Dedup.spreadScan(docs, col(idCol)).select(col(idCol),
         filter(split(trim(m), " "),
           t => t =!= "|" && t =!= "").as("toks"))
       .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
@@ -272,7 +274,8 @@ object Bpe {
     var m: Column = spaced
     for ((a, b) <- merges; _ <- 1 to ReplacePasses)
       m = replace(m, lit(s" $a $b "), lit(s" $a$b "))
-    docs.select(col(idCol),
+    // r17: see encodeWithMerges
+    Dedup.spreadScan(docs, col(idCol)).select(col(idCol),
         filter(split(trim(m), " "),
           t => t =!= "20" && t =!= "").as("toks"))
       .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),

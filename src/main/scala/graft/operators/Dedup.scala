@@ -278,6 +278,21 @@ object Dedup {
     }
   }
 
+  /** [[spreadBounded]] without the cache — for a SINGLE heavy scan-side
+    * projection (tokenizer encodes, signature fan-outs) whose input
+    * scan has fewer splits than the session has slots: one small
+    * row-shuffle buys a parallel projection stage. No-op at real scale
+    * (scan already ≥ parallelism) and on streaming inputs (a stream's
+    * partitioning is the source's; `.rdd` is also illegal there). */
+  private[operators] def spreadScan(df: DataFrame, key: Column): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val sc = df.sparkSession.sparkContext
+      if (df.rdd.getNumPartitions >= sc.defaultParallelism) df
+      else df.repartition(sc.defaultParallelism, key)
+    }
+  }
+
   private[operators] val FingerprintProp = "graft.corpus.fingerprint"
 
   /** The fingerprint stored on `table`, or None when absent. */
