@@ -14,28 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** r17 optimization round (guide §1.2 per-task work, §5 caching):
-    * spread-and-cache a BOUNDED training relation when its input scan
-    * has fewer splits than the session has slots. The codebook trainers
-    * make (1 + iters) full passes over their input; when that input is
-    * a single small parquet split (the low end), every pass runs on ONE
-    * task — measured 0.4–0.6 s/pass at sf0.1 while 31 cores idle. The
-    * condition is derived from the input's own partitioning, so at real
-    * scale (scan already ≥ parallelism) this is a no-op: no extra
-    * corpus shuffle, no corpus-sized cache. Callers MUST release via
-    * the returned handle after their training collects. */
-  private def spreadForTraining(df: DataFrame): (DataFrame, () => Unit) = {
-    val sc = df.sparkSession.sparkContext
-    if (df.rdd.getNumPartitions >= sc.defaultParallelism) (df, () => ())
-    else {
-      // hash on the id — deterministic under retries (guide §2.5) and
-      // skips round-robin's sort-before-repartition of the vector rows
-      val work = df.repartition(sc.defaultParallelism, col("vid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (work, () => { work.unpersist(blocking = false); () })
-    }
-  }
-
   /** Deterministic dot product: left-fold in array order with a double
     * accumulator (graft's native codegen'd VecDot Expression). Same op
     * sequence as DuckDB's list_dot_product, so results are bit-identical
@@ -98,18 +76,16 @@ object Similarity {
       s"kmeansCodebook expects columns (vid, v: array<double>), got " +
       e.columns.mkString("(", ", ", ")"))
     graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
-    val (work, release) = spreadForTraining(e)
-    try {
     // seeded-sample init ordered by md5("<vid>:<seed>") — a keyed hash
     // order like the previous xxhash64 form, but replayable by the
     // DuckDB oracle (md5 exists in both engines; xxhash64 does not), so
     // iters = 0 codebooks are cross-engine reproducible — the operating
     // point the drift-report oracle replays
-    val init: Array[Array[Double]] = work
+    val init: Array[Array[Double]] = e
       .orderBy(md5(concat_ws(":", col("vid"), lit(seed))), col("vid"))
       .limit(nlist).select("v").collect().map(_.getSeq[Double](0).toArray)
     (0 until iters).foldLeft(init) { (cb, _) =>
-      val sums = work
+      val sums = e
         .withColumn("sims", graft.functions.GraftFunctions.vec_mat_cosines(col("v"), cb))
         .withColumn("cell", expr("array_position(sims, array_max(sims))").cast("int"))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -126,7 +102,6 @@ object Similarity {
       }
       next
     }
-    } finally release()
   }
 
   /** IVF-style ANN: partition the corpus into `nlist` cells around coarse
@@ -217,9 +192,7 @@ object Similarity {
     * seed every subspace), exact-decimal coordinate sums. */
   private def pqCodebooks(unit: DataFrame, m: Int, dsub: Int, ksub: Int,
                           iters: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val (work, release) = spreadForTraining(unit)
-    try {
-    val initRows: Array[Array[Double]] = work
+    val initRows: Array[Array[Double]] = unit
       .orderBy(md5(concat_ws(":", col("vid"), lit(seed))), col("vid"))
       .limit(ksub).select("u").collect().map(_.getSeq[Double](0).toArray)
     require(initRows.length >= ksub,
@@ -229,7 +202,7 @@ object Similarity {
       initRows(j).slice(s * dsub, (s + 1) * dsub)
     }
     (0 until iters).foldLeft(init) { (cbs, _) =>
-      val assigned = (0 until m).foldLeft(work) { (df, s) =>
+      val assigned = (0 until m).foldLeft(unit) { (df, s) =>
         val sims = graft.functions.GraftFunctions.vec_mat_cosines(
           slice(col("u"), s * dsub + 1, dsub), cbs(s))
         df.withColumn(s"__sims$s", sims)
@@ -256,7 +229,6 @@ object Similarity {
       }
       next
     }
-    } finally release()
   }
 
   def annPq(emb: DataFrame, idCol: String, vecCol: String,
@@ -340,9 +312,7 @@ object Similarity {
     * assigns to the smallest-|c| centroid — the cosine form would NaN. */
   private[graft] def pqCodebooksResidual(res: DataFrame, m: Int, dsub: Int,
       ksub: Int, iters: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val (work, release) = spreadForTraining(res)
-    try {
-    val initRows: Array[Array[Double]] = work
+    val initRows: Array[Array[Double]] = res
       .orderBy(md5(concat_ws(":", col("vid"), lit(seed))), col("vid"))
       .limit(ksub).select("r").collect().map(_.getSeq[Double](0).toArray)
     require(initRows.length >= ksub,
@@ -352,7 +322,7 @@ object Similarity {
       initRows(j).slice(s * dsub, (s + 1) * dsub)
     }
     (0 until iters).foldLeft(init) { (cbs, _) =>
-      val assigned = (0 until m).foldLeft(work) { (df, s) =>
+      val assigned = (0 until m).foldLeft(res) { (df, s) =>
         df.withColumn(s"__d$s",
             l2DistancesCol(slice(col("r"), s * dsub + 1, dsub), cbs(s)))
           .withColumn(s"__cell$s",
@@ -378,7 +348,6 @@ object Similarity {
       }
       next
     }
-    } finally release()
   }
 
   /** Array of ||x − c_j||² − |x|² values (one per codebook row), as a
@@ -722,13 +691,10 @@ object Similarity {
     val coarse: Array[Array[Double]] = kmeansCodebook(e, nlist, kmeansIters, seed)
     val codebooks: Array[Array[Array[Double]]] =
       pqCodebooks(unit, m, dsub, ksub, kmeansIters, seed)
-    // consumed twice (codes write + drift baseline) — spread-and-cache
-    // when the scan is under-parallel (r17; no-op at real scale)
-    val (withCell, releaseWC) = spreadForTraining(unit
+    val withCell = unit
       .withColumn("__cs", graft.functions.GraftFunctions.vec_mat_cosines(col("u"), coarse))
       .withColumn("cell", expr("array_position(__cs, array_max(__cs))").cast("int"))
-      .drop("__cs"))
-    try {
+      .drop("__cs")
     val coded = (0 until m).foldLeft(withCell) { (df, s) =>
       df.withColumn(s"__sims$s",
           graft.functions.GraftFunctions.vec_mat_cosines(sub(col("u"), s), codebooks(s)))
@@ -774,7 +740,6 @@ object Similarity {
     spark.sql(s"ALTER TABLE $codesT SET TBLPROPERTIES " +
       s"('$AnnMProp' = '$m', '$AnnKsubProp' = '$ksub', " +
       s"'$AnnNlistProp' = '$nlist', '${Dedup.BucketsProp}' = '$buckets')")
-    } finally releaseWC()
     ()
   }
 
