@@ -100,10 +100,18 @@ object Bench {
     // queries actually saw); first call warms the JIT
     val calib = { calibrate(); Seq(calibrate(), calibrate(), calibrate()).sorted.apply(1) }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"queries_min":${fmt(_._3)},"total_min":$totalMin,"noise_ratio":$noise,"calib_sec":$calib,"sf":"$sfDir","reps":$passes,"interleaved":true,"failed":$errs}"""
-    println(line)
-    // belt-and-braces: persist the SAME line to a file so every per-query
-    // median stays machine-readable even if the stdout capture clips
+    // stdout line (the driver's capture): every contract key, but ONE
+    // per-query map — the r17 two-map line was ~12.5 KB at 238 queries
+    // and overflowed the driver's stdout-tail window, losing two rounds
+    // of PERF ground truth (judge r17 ask #2). The medians map (the
+    // "queries" contract key, values unchanged) goes LAST so a clipped
+    // tail still ends inside it and per-query pairs stay salvageable;
+    // queries_min moves to the file line only (same numbers as ever).
+    val scalars = s""""metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"noise_ratio":$noise,"calib_sec":$calib,"sf":"$sfDir","reps":$passes,"interleaved":true,"failed":$errs"""
+    println(s"""{$scalars,"queries":${fmt(_._2)}}""")
+    // the FULL line (both maps) persists to a file so every per-query
+    // median and min stays machine-readable regardless of the capture
+    val line = s"""{$scalars,"queries_min":${fmt(_._3)},"queries":${fmt(_._2)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))

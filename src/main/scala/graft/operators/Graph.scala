@@ -146,20 +146,29 @@ object Graph {
     val rb = struct(col("db").as("d"), col("b").as("v"))
     val directed = withRanks.select(
         when(ra < rb, struct(col("a").as("s"), col("b").as("t")))
-          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"),
-        when(ra < rb, rb).otherwise(ra).as("rt"))
-      .select(col("e.s").as("s"), col("e.t").as("t"), col("rt"))
-    // wedges between out-neighbors, ordered by rank so the closing edge
-    // has a KNOWN direction (low rank -> high rank)
-    val wedges = directed.as("e1").join(directed.as("e2"),
-        col("e1.s") === col("e2.s") && col("e1.rt") < col("e2.rt"))
-      .select(col("e1.t").as("s"), col("e2.t").as("t"))
-    // closure probe as a SHUFFLED-HASH semi-join (r17, guide §3.1): the
-    // wedge fan-out is the m^{3/2} side — sort-merge would SORT it; the
-    // hash build side is only the m oriented edges per partition, which
-    // is exactly the memory the wedge enumeration already assumes
-    val tri = wedges.join(directed.select("s", "t").hint("shuffle_hash"),
-      Seq("s", "t"), "left_semi").agg(count(lit(1)).as("n_triangles"))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    // closure via ADJACENCY-LIST intersection (r18, guide §2.3 shuffle
+    // fewer rows; replaces the r17 wedge self-join + shuffled-hash
+    // semi-join): each directed edge (u→v) meets the out-adjacency
+    // lists of BOTH endpoints and contributes |N⁺(u) ∩ N⁺(v)| closed
+    // triangles. Every triangle is counted exactly ONCE, at its
+    // lowest-rank vertex's edge to the middle-rank vertex (the common
+    // out-neighbor is the top-rank vertex; the other two edges find no
+    // common out-neighbor because orientation only points up-rank).
+    // The m^{3/2} wedge fan-out never materializes as ROWS: the
+    // shuffles carry m rows (adjacency bytes equal the wedge stream's,
+    // packed √m-fold denser), no operator sorts or hash-builds over
+    // the fan-out — which also removes the r17 ShuffledHashJoin's
+    // build-side memory sensitivity (advisor r17) — and the intersect
+    // runs scan-side per edge row.
+    val adj = directed.groupBy(col("s"))
+      .agg(collect_list(col("t")).as("nbrs"))
+    val tri = directed
+      .join(adj.select(col("s"), col("nbrs").as("nbrs_s")), Seq("s"))
+      .join(adj.select(col("s").as("t"), col("nbrs").as("nbrs_t")), Seq("t"))
+      .agg(coalesce(sum(size(array_intersect(col("nbrs_s"), col("nbrs_t")))
+        .cast("long")), lit(0L)).as("n_triangles"))
     val totals = deg.agg(count(lit(1)).as("n_nodes"),
       expr("sum(d * (d - 1)) DIV 2").as("n_wedges"))
     val ne = e.agg(count(lit(1)).as("n_edges"))

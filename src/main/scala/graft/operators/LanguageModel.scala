@@ -284,12 +284,21 @@ object LanguageModel {
       .agg(sum("n1vw").as("n1vdot"), count(lit(1)).as("n1vstar"))
     val contW = b2.groupBy("tw").agg(count(lit(1)).as("n1w"))
     // r17: gate the four DERIVED relations on their parents' already-
-    // known counts (ctx3/contVw/vRel are row-wise bounded by t3, contW
-    // by b2) instead of running one count() job per relation — four
-    // fewer jobs per query, broadcast-or-not decisions only get MORE
-    // conservative (a derivative can only be smaller), results
-    // unchanged either way
+    // known counts (ctx3/contVw are row-wise bounded by t3, vRel/contW
+    // by the n11 bigram-type count) instead of running one count() job
+    // per relation — fewer jobs per query, broadcast-or-not decisions
+    // only get MORE conservative (a derivative can only be smaller),
+    // results unchanged either way. vRel and contW are additionally
+    // VOCABULARY-bounded (advisor r17: n11 outgrows maxBroadcast long
+    // before the vocab does, and losing their broadcasts turns two
+    // scoring joins into corpus shuffles at mid scale) — when the free
+    // n11 bound fails, ONE exact count over the persisted b2 recovers
+    // the vocab-sized truth for both.
     val t3Count = t3.count()
+    val vRelBound =
+      if (n11.toLong <= maxBroadcast) n11.toLong else vRel.count()
+    val contWBound =
+      if (n11.toLong <= maxBroadcast) n11.toLong else contW.count()
     def gatedBy(df: DataFrame, bound: Long) =
       if (bound <= maxBroadcast) broadcast(df) else df
     val d = lit(discount)
@@ -314,8 +323,8 @@ object LanguageModel {
         "left").drop("u", "v")
       .join(gatedBy(contVw, t3Count), col("prev1") === col("v") && col("tok") === col("tw"),
         "left").drop("v", "tw")
-      .join(gatedBy(vRel, t3Count), col("prev1") === col("v"), "left").drop("v")
-      .join(gatedBy(contW, n11.toLong), col("tok") === col("tw"), "left").drop("tw")
+      .join(gatedBy(vRel, vRelBound), col("prev1") === col("v"), "left").drop("v")
+      .join(gatedBy(contW, contWBound), col("tok") === col("tw"), "left").drop("tw")
       .select(col("doc_id"), (-log(score)).as("nll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

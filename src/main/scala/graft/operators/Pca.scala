@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * pass — per-dimension sums and the (j,k) cross-product sums, both
   * partial-agg groupBys over a scan-side double-explode fan-out (dim²
   * terms per row computed in the task, dim² ROWS shuffled total, never
-  * per-pair joins). The covariance matrix is a dim²-bounded relation;
-  * power iteration runs on it as dim-bounded joins, localCheckpointed
-  * per round (64-row relations — the loop costs jobs, not data).
+  * per-pair joins). The covariance matrix is a dim²-bounded relation,
+  * COLLECTED to the driver (the kmeansCodebook/centroidSnapshot
+  * bounded-matrix precedent); the 12 power-iteration rounds then run
+  * driver-resident on that matrix (r18, guide §5 job count — the r17
+  * shape localCheckpointed a 64-row relation per round, paying ~15
+  * driver-floor jobs for arithmetic over a few KB).
   *
   * Determinism (the pagerank discipline): every sum quantizes its terms
   * to DECIMAL(28,6) pre-sum (order-independent, ulp-proof), every
@@ -24,7 +27,13 @@ import org.apache.spark.sql.functions._
   * (sub/mul/div/sqrt), and the v₀ literal (1/√dim) is computed ONCE on
   * the driver and planted textually in both engines. With an
   * all-positive v₀ the iteration's sign is fixed; the oracle replays
-  * all rounds as unrolled CTEs with every float op CAST AS DOUBLE. */
+  * all rounds as unrolled CTEs with every float op CAST AS DOUBLE. The
+  * driver iteration replays Spark's own per-op semantics bit-for-bit:
+  * cast(x AS DECIMAL(28,6)) is BigDecimal.valueOf(x).setScale(6,
+  * HALF_UP) (Decimal.apply goes through Double.toString exactly like
+  * valueOf, and changePrecision rounds HALF_UP), decimal sums are exact
+  * adds, cast-to-double is BigDecimal.doubleValue — so the collected
+  * fixpoint is the value the r17 distributed loop computed. */
 object Pca {
 
   /** PC1 loadings + explained-variance share. Output: one row per
@@ -34,14 +43,14 @@ object Pca {
   def pc1(embeds: DataFrame, vecCol: String, iters: Int = 12): DataFrame =
     pc1Managed(embeds, vecCol, iters)._1
 
-  /** [[pc1]] plus the cache-lifecycle handle (the Dedup.clustersManaged
-    * discipline, advisor r10): the returned relation reads the final
-    * iteration's localCheckpoint AND the checkpointed covariance —
-    * consume it, then `cleanup()` to release both sets of blocks. */
+  /** [[pc1]] plus a cleanup handle, kept for API stability (the r17
+    * shape checkpointed two relations; the driver-resident iteration
+    * holds no executor blocks, so cleanup is a no-op). */
   def pc1Managed(embeds: DataFrame, vecCol: String,
                  iters: Int = 12): (DataFrame, () => Unit) = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
     val spark = embeds.sparkSession
+    import spark.implicits._
     val D = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
     // one slim head() for the v0 literal (Similarity codebook precedent)
     val dim = embeds.select(size(col(vecCol))).head().getInt(0)
@@ -67,39 +76,35 @@ object Pca {
       .select(col("j"), col("k"),
         ((col("ss") - col("sj") * col("sk") / col("n")) /
           (col("n") - lit(1))).as("c"))
-      .localCheckpoint()
 
-    val trace = cov.filter(col("j") === col("k"))
-      .agg(sum(col("c").cast(D)).cast("double").as("tr"))
-
-    def multiply(v: DataFrame): DataFrame = cov
-      .join(v.select(col("j").as("k"), col("v")), "k")
-      .groupBy("j")
-      .agg(sum((col("c") * col("v")).cast(D)).cast("double").as("w"))
-    def norm(w: DataFrame, as: String): DataFrame = w.agg(
-      sqrt(sum((col("w") * col("w")).cast(D)).cast("double")).as(as))
-
-    var v = cov.select(col("j")).distinct()
-      .withColumn("v", lit(v0)).localCheckpoint()
+    // the dim²-bounded covariance comes to the driver; the iteration
+    // runs here with Spark-exact op semantics (see class doc)
+    val C = Array.ofDim[Double](dim, dim)
+    cov.collect().foreach(r => C(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    def q6(v: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    def sumQ6(xs: Iterator[Double]): Double =
+      xs.foldLeft(java.math.BigDecimal.ZERO)((a, t) => a.add(q6(t)))
+        .doubleValue
+    val tr = sumQ6((0 until dim).iterator.map(j => C(j)(j)))
+    def multiply(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim)(j =>
+        sumQ6((0 until dim).iterator.map(k => C(j)(k) * v(k))))
+    def norm(w: Array[Double]): Double =
+      math.sqrt(sumQ6(w.iterator.map(t => t * t)))
+    var v = Array.fill(dim)(v0)
     for (_ <- 1 to iters) {
       val w = multiply(v)
-      val next = w.crossJoin(broadcast(norm(w, "nrm")))
-        .select(col("j"), (col("w") / col("nrm")).as("v"))
-        .localCheckpoint()
-      unpersistCheckpoint(v)
-      v = next
+      val nrm = norm(w)
+      v = w.map(_ / nrm)
     }
     // eigenvalue = ||C·v|| at the fixpoint (v is unit)
-    val lam = norm(multiply(v), "lam")
-    val finalV = v
-    val out = v.crossJoin(broadcast(lam)).crossJoin(broadcast(trace))
-      .select(col("j").as("pos"), round(col("v"), 6).as("loading"),
-        round(col("lam") / col("tr"), 6).as("ev_share"))
-    (out, () => { unpersistCheckpoint(finalV); unpersistCheckpoint(cov) })
+    val lam = norm(multiply(v))
+    val out = v.zipWithIndex.map { case (vj, j) => (j, vj) }.toSeq
+      .toDF("pos", "__v")
+      .select(col("pos"), round(col("__v"), 6).as("loading"),
+        round(lit(lam / tr), 6).as("ev_share"))
+    (out, () => ())
   }
-
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(false))
 }

